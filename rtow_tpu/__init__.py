@@ -1,0 +1,36 @@
+"""rtow_tpu — a TPU-native differentiable path tracer.
+
+A from-scratch JAX/XLA/Pallas re-design of joaotavora/raytracing-one-weekend
+(C++ CPU path tracer): SoA scenes, counter-based RNG, a wavefront bounce
+loop instead of recursion, mesh-sharded rendering via shard_map, and
+reverse-mode gradients w.r.t. scene geometry and materials.
+"""
+from .config import Config
+from .models.builders import (
+    cover_scene,
+    mesh_scene,
+    one_sphere_scene,
+    scene_for_config,
+    three_sphere_scene,
+)
+from .models.camera import Camera, Rays, camera_rays, make_camera
+from .models.scene import Scene, SceneBuilder
+from .render import render
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Config",
+    "Camera",
+    "Rays",
+    "Scene",
+    "SceneBuilder",
+    "camera_rays",
+    "cover_scene",
+    "make_camera",
+    "mesh_scene",
+    "one_sphere_scene",
+    "render",
+    "scene_for_config",
+    "three_sphere_scene",
+]

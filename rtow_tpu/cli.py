@@ -1,0 +1,85 @@
+"""Command-line interface mirroring the reference CLI11 app
+(reference src/main.cpp:138-170): same flags, same semantics, PPM P3 on
+stdout, logging on stderr.  ``--threads`` becomes ``--devices`` (the
+reference's std::async fan-out maps to device sharding); the dead
+``-q/--quick`` flag is dropped (SURVEY.md quirks ledger).
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import Optional, Sequence
+
+from .config import Config
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="rtweekend-tpu",
+        description="Raytracing one weekend/week/restoflife — TPU native",
+    )
+    d = Config()
+    p.add_argument("-t", "--devices", type=int, default=d.n_devices,
+                   help="Number of devices to shard over (ref: --threads)")
+    p.add_argument("-w", "--image-width", type=int, default=d.image_width)
+    p.add_argument("-s", "--samples-per-pixel", type=int, default=d.samples_per_pixel)
+    p.add_argument("-c", "--max-child-rays", type=int, default=d.max_child_rays)
+    p.add_argument("-a", "--aspect-ratio", type=float, default=d.aspect_ratio)
+    p.add_argument("-n", "--balls_sqrt", type=int, default=d.number_of_balls_sqrt)
+    p.add_argument("-m", "--moving-spheres", action="store_true",
+                   default=d.moving_spheres)
+    p.add_argument("--static-spheres", dest="moving_spheres", action="store_false")
+    p.add_argument("--dry-run", action="store_true")
+    p.add_argument("-l", "--load", type=str, default=None, help="OBJ model to load")
+    p.add_argument("--seed", type=int, default=d.seed)
+    p.add_argument("--backend", choices=["jnp", "pallas"], default=d.backend)
+    p.add_argument("--no-bvh", dest="use_bvh", action="store_false", default=d.use_bvh)
+    p.add_argument("-o", "--output", type=str, default="-",
+                   help="Output PPM path ('-' = stdout, like the reference)")
+    return p
+
+
+def config_from_args(args: argparse.Namespace) -> Config:
+    return Config(
+        number_of_balls_sqrt=args.balls_sqrt,
+        aspect_ratio=args.aspect_ratio,
+        image_width=args.image_width,
+        samples_per_pixel=args.samples_per_pixel,
+        moving_spheres=args.moving_spheres,
+        max_child_rays=args.max_child_rays,
+        model=args.load,
+        n_devices=args.devices,
+        seed=args.seed,
+        use_bvh=args.use_bvh,
+        backend=args.backend,
+    )
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+
+    if args.dry_run:
+        sys.stdout.write(str(cfg))
+        return 0
+
+    # Import lazily so --dry-run/--help never pay JAX startup.
+    from .models.builders import scene_for_config
+    from .pipeline import render_auto
+    from .utils.ppm import write_ppm
+
+    scene, camera = scene_for_config(cfg)
+    if cfg.model:
+        print(f"Scene has {scene.n_triangles} triangles", file=sys.stderr)
+    image = render_auto(scene, camera, cfg, progress=True)
+
+    if args.output == "-":
+        write_ppm(sys.stdout, image)
+    else:
+        with open(args.output, "w") as f:
+            write_ppm(f, image)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

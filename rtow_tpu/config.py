@@ -1,0 +1,61 @@
+"""Render configuration — the TPU-native analogue of ``rt::Config``.
+
+Mirrors every knob of the reference Config (reference src/render.h:11-20)
+plus the TPU-specific ones (device count replaces ``nthreads``, a seed
+replaces the implicit mt19937 default seed, ray-batch sizing controls
+device memory).  Printable like the reference's ``operator<<``
+(src/render.cpp:193-203), used by ``--dry-run``.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass
+class Config:
+    # -- knobs shared with the reference (same defaults) ------------------
+    number_of_balls_sqrt: int = 11
+    aspect_ratio: float = 3.0 / 2.0
+    image_width: int = 200
+    samples_per_pixel: int = 20
+    moving_spheres: bool = True
+    max_child_rays: int = 20
+    model: Optional[str] = None  # OBJ path; selects the mesh scene
+
+    # -- TPU-native knobs --------------------------------------------------
+    #: devices used for rendering; the analogue of the reference's
+    #: ``nthreads`` std::async fan-out (src/render.cpp:172-175).
+    n_devices: int = 1
+    #: mesh split: devices = tile_shards * spp_shards (set by the runner).
+    spp_shards: int = 1
+    #: base PRNG seed (the reference's mt19937 is default-seeded; we make
+    #: the seed explicit and reproducible).
+    seed: int = 0
+    #: rays traced per device step; bounds peak HBM for the wavefront.
+    rays_per_batch: int = 1 << 18
+    #: use the flattened stackless BVH (vs brute-force intersection).
+    use_bvh: bool = True
+    #: backend for the bounce loop: "jnp" (differentiable oracle) or
+    #: "pallas" (fused TPU megakernel forward path).
+    backend: str = "jnp"
+
+    @property
+    def image_height(self) -> int:
+        # Same truncation as the reference (src/render.cpp:136).
+        return int(self.image_width / self.aspect_ratio)
+
+    def __str__(self) -> str:  # --dry-run output, reference render.cpp:193
+        return (
+            "Config {\n"
+            f"aspect_ratio: {self.aspect_ratio}\n"
+            f"number_of_balls_sqrt: {self.number_of_balls_sqrt}\n"
+            f"moving_spheres: {int(self.moving_spheres)}\n"
+            f"image_width: {self.image_width}\n"
+            f"samples_per_pixel: {self.samples_per_pixel}\n"
+            f"max_child_rays: {self.max_child_rays}\n"
+            f"n_devices: {self.n_devices}\n"
+            f"seed: {self.seed}\n"
+            f"backend: {self.backend}\n"
+            "}\n"
+        )

@@ -1,0 +1,117 @@
+"""Branchless material scatter over whole ray wavefronts.
+
+The reference dispatches ``Material::scatter`` through a virtual call per
+hit (reference src/common-model.h:115-121) and each concrete material
+draws from the global RNG.  On TPU, divergent per-lane dispatch is the
+enemy: with only three material kinds it is cheaper to evaluate *all*
+scatter rules on every live lane and ``select`` by the hit's material
+kind.  One shared unit-vector draw serves lambertian diffusion, metal
+fuzz and dielectric fuzz (each reference material draws exactly one unit
+vector per scatter, so the per-lane draw count matches).
+
+Behavioral parity notes:
+ * Metal reflects the *unnormalised* incoming direction and never checks
+   the below-horizon case — exactly like the reference
+   (src/common-model.cpp:24-31, SURVEY.md quirks ledger: "match").
+ * Dielectric: Schlick reflectance vs a uniform draw, total internal
+   reflection, the non-book ``fuzz`` extension, attenuation (1,1,1)
+   (src/common-model.cpp:40-62).
+ * Lambertian degenerate direction (random unit vector ≈ -normal):
+   the book substitutes the normal; the reference instead absorbs when
+   the draw ≈ +normal (src/common-model.cpp:16-18).  Both are
+   probability-zero events for true unit vectors; we take the book's
+   NaN-free substitution (documented divergence).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import vec
+from ..utils import rng
+from .scene import DIELECTRIC, LAMBERTIAN, METAL
+
+
+class HitRecord(NamedTuple):
+    """Flat per-lane hit info (the reference's Hit + material params,
+    src/common-model.h:40-57, gathered from the SoA tables)."""
+
+    t: jax.Array  # (L,)
+    hit: jax.Array  # (L,) bool
+    point: jax.Array  # (L, 3)
+    normal: jax.Array  # (L, 3) unit, flipped to face the ray
+    front: jax.Array  # (L,) bool
+    mat_kind: jax.Array  # (L,) int32
+    albedo: jax.Array  # (L, 3)
+    fuzz: jax.Array  # (L,)
+    ir: jax.Array  # (L,)
+
+
+class ScatterResult(NamedTuple):
+    direction: jax.Array  # (L, 3) new ray direction
+    attenuation: jax.Array  # (L, 3)
+
+
+def schlick(cosine: jax.Array, ref_idx: jax.Array) -> jax.Array:
+    """Schlick's reflectance approximation (src/common-model.cpp:33-38)."""
+    r0 = (1.0 - ref_idx) / (1.0 + ref_idx)
+    r0 = r0 * r0
+    return r0 + (1.0 - r0) * jnp.power(1.0 - cosine, 5.0)
+
+
+def scatter(key: jax.Array, in_direction: jax.Array, rec: HitRecord) -> ScatterResult:
+    """Evaluate every material rule and select by ``rec.mat_kind``.
+
+    ``in_direction`` is the incoming (unnormalised) ray direction.
+    Returns the scattered direction and per-lane attenuation.
+    """
+    dtype = in_direction.dtype
+    k_unit, k_choice = jax.random.split(key)
+    unit = rng.unit_vectors(k_unit, rec.t.shape, dtype=dtype)  # (L, 3)
+    n = rec.normal
+
+    # --- Lambertian: normal + unit vector --------------------------------
+    lam_dir = n + unit
+    degenerate = vec.length2(lam_dir) < 1e-12
+    lam_dir = jnp.where(degenerate[..., None], n, lam_dir)
+
+    # --- Metal: reflect raw direction + fuzz * unit -----------------------
+    metal_dir = vec.reflect(in_direction, n) + rec.fuzz[..., None] * unit
+
+    # --- Dielectric: Snell + TIR + Schlick choice + fuzz ------------------
+    unit_in = vec.normalize(in_direction)
+    cos_theta = jnp.minimum(vec.dot(-unit_in, n), 1.0)
+    sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
+    ratio = jnp.where(rec.front, 1.0 / rec.ir, rec.ir)
+    cannot_refract = ratio * sin_theta > 1.0
+    reflect_prob = schlick(cos_theta, ratio)
+    choice = rng.uniform(k_choice, rec.t.shape, dtype=dtype)
+    must_reflect = cannot_refract | (reflect_prob > choice)
+    refr = vec.refract(unit_in, n, ratio[..., None])
+    refl = vec.reflect(unit_in, n)
+    diel_dir = jnp.where(must_reflect[..., None], refl, refr)
+    diel_dir = diel_dir + rec.fuzz[..., None] * unit
+
+    # --- select by kind ----------------------------------------------------
+    kind = rec.mat_kind[..., None]
+    direction = jnp.where(
+        kind == LAMBERTIAN,
+        lam_dir,
+        jnp.where(kind == METAL, metal_dir, diel_dir),
+    )
+    attenuation = jnp.where(
+        kind == DIELECTRIC, jnp.ones_like(rec.albedo), rec.albedo
+    )
+    return ScatterResult(direction=direction, attenuation=attenuation)
+
+
+def sky_color(direction: jax.Array) -> jax.Array:
+    """Background gradient (reference src/render.cpp:125-128):
+    white→(0.5, 0.7, 1.0) lerped on the unit-direction y component."""
+    unit = vec.normalize(direction)
+    tt = 0.5 * (unit[..., 1] + 1.0)
+    white = jnp.asarray([1.0, 1.0, 1.0], dtype=direction.dtype)
+    blue = jnp.asarray([0.5, 0.7, 1.0], dtype=direction.dtype)
+    return (1.0 - tt)[..., None] * white + tt[..., None] * blue

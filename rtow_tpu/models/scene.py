@@ -1,0 +1,198 @@
+"""SoA scene representation — the TPU-native replacement for both of the
+reference's primitive dispatch models.
+
+The reference dispatches ray-primitive hits either through virtual calls
+(``OOStore<Primitive>``, reference src/oo-primitives.h:90-102) or through
+``std::variant``/``std::visit`` (src/variant-primitives.h:84-113).  Both
+are per-object control flow — poison for a vector machine.  Here the whole
+scene is a pytree of dense typed arrays (struct-of-arrays): one array set
+per primitive *kind*, one flat material parameter table (the reference's
+"boutique", src/common-model.h:153-167).  "Dispatch" becomes masked
+arithmetic over whole wavefronts, and ``jax.grad`` flows into the
+geometry/material leaves natively (the differentiability north star).
+
+Static spheres and MovingSpheres (src/oo-primitives.h:47-72) unify into
+one array family: ``center(t) = center0 + t * dcenter`` with
+``dcenter = 0`` for static spheres — exactly the reference's lerp over the
+shutter interval [0, 1] (src/oo-primitives.h:63-66) and a no-op for
+static ones, so there is no branch at trace time.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import numpy as np
+
+from ..utils.dtypes import REAL
+
+# Material kinds (the reference's concrete Material subclasses,
+# src/common-model.h:123-150).
+LAMBERTIAN = 0
+METAL = 1
+DIELECTRIC = 2
+
+
+def _pytree_dataclass(cls):
+    cls = dataclasses.dataclass(cls)
+    fields = [f.name for f in dataclasses.fields(cls)]
+    return jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+
+
+@_pytree_dataclass
+class Materials:
+    """Flat material table: ``kind`` selects which params are live.
+
+    Replaces the reference's material "boutique" of heap-allocated
+    subclasses (src/common-model.h:153-167) with one dense table.
+    """
+
+    kind: jax.Array  # (K,)  int32 in {LAMBERTIAN, METAL, DIELECTRIC}
+    albedo: jax.Array  # (K, 3) lambertian/metal albedo; unused for dielectric
+    fuzz: jax.Array  # (K,)  metal & dielectric fuzz (clamped [0,1] at build)
+    ir: jax.Array  # (K,)  dielectric index of refraction
+
+
+@_pytree_dataclass
+class Spheres:
+    center0: jax.Array  # (N, 3) center at shutter-open
+    dcenter: jax.Array  # (N, 3) center1 - center0 (zero for static spheres)
+    radius: jax.Array  # (N,)   may be negative (hollow-glass trick,
+    #                            reference src/common-model.cpp:88)
+    material: jax.Array  # (N,) int32 index into Materials
+
+
+@_pytree_dataclass
+class Triangles:
+    verts: jax.Array  # (M, 3 corners, 3 coords)
+    material: jax.Array  # (M,) int32 index into Materials
+
+
+@_pytree_dataclass
+class Scene:
+    spheres: Spheres
+    triangles: Triangles
+    materials: Materials
+
+    @property
+    def n_spheres(self) -> int:
+        return self.spheres.radius.shape[0]
+
+    @property
+    def n_triangles(self) -> int:
+        return self.triangles.material.shape[0]
+
+    @property
+    def n_primitives(self) -> int:
+        return self.n_spheres + self.n_triangles
+
+
+class SceneBuilder:
+    """Host-side append API mirroring ``Scene::primitives().add<T>(...)``
+    (reference src/render.h:22-33), frozen into dense device arrays.
+
+    Building happens in numpy float64 (the reference's precision) and is
+    cast to the device dtype once, at freeze time.
+    """
+
+    def __init__(self) -> None:
+        self._mat_kind: list[int] = []
+        self._mat_albedo: list[tuple] = []
+        self._mat_fuzz: list[float] = []
+        self._mat_ir: list[float] = []
+        self._sph: list[tuple] = []  # (c0, c1, radius, mat)
+        self._tri: list[tuple] = []  # (a, b, c, mat)
+
+    # -- materials (the "boutique") ---------------------------------------
+    def add_lambertian(self, albedo) -> int:
+        return self._add_mat(LAMBERTIAN, albedo, 0.0, 1.0)
+
+    def add_metal(self, albedo, fuzz: float = 0.0) -> int:
+        return self._add_mat(METAL, albedo, fuzz, 1.0)
+
+    def add_dielectric(self, ir: float, fuzz: float = 0.0) -> int:
+        return self._add_mat(DIELECTRIC, (0.0, 0.0, 0.0), fuzz, ir)
+
+    def _add_mat(self, kind, albedo, fuzz, ir) -> int:
+        self._mat_kind.append(kind)
+        self._mat_albedo.append(tuple(float(x) for x in albedo))
+        # Reference clamps fuzz into [0, 1] at construction
+        # (src/common-model.h:133, :145).
+        self._mat_fuzz.append(min(max(float(fuzz), 0.0), 1.0))
+        self._mat_ir.append(float(ir))
+        return len(self._mat_kind) - 1
+
+    # -- primitives --------------------------------------------------------
+    def add_sphere(self, center, radius: float, material: int) -> None:
+        c = tuple(float(x) for x in center)
+        self._sph.append((c, c, float(radius), material))
+
+    def add_moving_sphere(self, center0, center1, radius: float, material: int) -> None:
+        self._sph.append(
+            (
+                tuple(float(x) for x in center0),
+                tuple(float(x) for x in center1),
+                float(radius),
+                material,
+            )
+        )
+
+    def add_triangle(self, a, b, c, material: int) -> None:
+        self._tri.append(
+            (
+                tuple(float(x) for x in a),
+                tuple(float(x) for x in b),
+                tuple(float(x) for x in c),
+                material,
+            )
+        )
+
+    def add_mesh(self, tri_verts: np.ndarray, material: int) -> None:
+        """Bulk-append (M, 3, 3) triangle vertices (OBJ ingestion path)."""
+        for a, b, c in np.asarray(tri_verts, dtype=np.float64):
+            self.add_triangle(a, b, c, material)
+
+    # -- freeze --------------------------------------------------------------
+    def build(self, dtype=REAL) -> Scene:
+        if not self._mat_kind:
+            raise ValueError("scene has no materials")
+        if not self._sph and not self._tri:
+            raise ValueError("scene has no primitives")
+
+        np_real = np.float64  # assemble at full precision, cast once
+        if self._sph:
+            c0 = np.array([s[0] for s in self._sph], dtype=np_real)
+            c1 = np.array([s[1] for s in self._sph], dtype=np_real)
+            rad = np.array([s[2] for s in self._sph], dtype=np_real)
+            smat = np.array([s[3] for s in self._sph], dtype=np.int32)
+        else:
+            c0 = np.zeros((0, 3), np_real)
+            c1 = np.zeros((0, 3), np_real)
+            rad = np.zeros((0,), np_real)
+            smat = np.zeros((0,), np.int32)
+        if self._tri:
+            tv = np.array([t[:3] for t in self._tri], dtype=np_real)
+            tmat = np.array([t[3] for t in self._tri], dtype=np.int32)
+        else:
+            tv = np.zeros((0, 3, 3), np_real)
+            tmat = np.zeros((0,), np.int32)
+
+        import jax.numpy as jnp
+
+        as_real = lambda x: jnp.asarray(x, dtype=dtype)
+        return Scene(
+            spheres=Spheres(
+                center0=as_real(c0),
+                dcenter=as_real(c1 - c0),
+                radius=as_real(rad),
+                material=jnp.asarray(smat),
+            ),
+            triangles=Triangles(verts=as_real(tv), material=jnp.asarray(tmat)),
+            materials=Materials(
+                kind=jnp.asarray(np.array(self._mat_kind, np.int32)),
+                albedo=as_real(np.array(self._mat_albedo, np_real)),
+                fuzz=as_real(np.array(self._mat_fuzz, np_real)),
+                ir=as_real(np.array(self._mat_ir, np_real)),
+            ),
+        )

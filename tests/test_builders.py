@@ -1,0 +1,98 @@
+"""Scene builders: cover-scene distribution, OBJ ingestion, config ladder."""
+import os
+import textwrap
+
+import numpy as np
+import pytest
+
+from rtow_tpu.config import Config
+from rtow_tpu.models.builders import cover_scene, mesh_scene, one_sphere_scene, three_sphere_scene
+from rtow_tpu.models.scene import DIELECTRIC, LAMBERTIAN, METAL
+from rtow_tpu.utils.obj import ObjError, load_obj
+
+SUZANNE = "/root/reference/suzanne.obj"
+
+
+def test_cover_scene_statistics():
+    cfg = Config(number_of_balls_sqrt=11, moving_spheres=True, seed=0)
+    scene, cam = cover_scene(cfg)
+    # Grid is 22x22 = 484 candidates; a few are skipped near (4, 0.2, 0);
+    # plus ground + three heroes.
+    n = scene.n_spheres
+    assert 470 <= n <= 488
+    kinds = np.asarray(scene.materials.kind)
+    # Material mix ~ 80/15/5 over the grid.
+    frac_lam = (kinds == LAMBERTIAN).mean()
+    frac_met = (kinds == METAL).mean()
+    frac_die = (kinds == DIELECTRIC).mean()
+    assert 0.70 < frac_lam < 0.90
+    assert 0.08 < frac_met < 0.22
+    assert 0.02 < frac_die < 0.12
+    # Moving spheres have nonzero dcenter, upward only, <= 0.5
+    dc = np.asarray(scene.spheres.dcenter)
+    moving = np.abs(dc).sum(-1) > 0
+    assert moving.sum() > 200
+    assert np.all(dc[moving][:, 1] > 0)
+    assert np.all(dc[moving][:, 1] <= 0.5)
+    # Hero spheres present: radius-1000 ground and three radius-1 spheres.
+    r = np.asarray(scene.spheres.radius)
+    assert (r == 1000.0).sum() == 1
+    assert (r == 1.0).sum() == 3
+
+
+def test_cover_scene_static_mode():
+    cfg = Config(moving_spheres=False, seed=0)
+    scene, _ = cover_scene(cfg)
+    assert np.all(np.asarray(scene.spheres.dcenter) == 0.0)
+
+
+def test_cover_scene_seed_reproducible():
+    cfg = Config(seed=5)
+    s1, _ = cover_scene(cfg)
+    s2, _ = cover_scene(cfg)
+    np.testing.assert_array_equal(np.asarray(s1.spheres.center0),
+                                  np.asarray(s2.spheres.center0))
+
+
+def test_obj_loader_tetrahedron(tmp_path):
+    p = tmp_path / "tet.obj"
+    p.write_text(textwrap.dedent("""\
+        # tetrahedron
+        v 0 0 0
+        v 1 0 0
+        v 0 1 0
+        v 0 0 1
+        f 1 2 3
+        f 1 2 4
+        f 1/1/1 3/2/2 4//3
+        f -4 -3 -2
+    """))
+    tris = load_obj(str(p))
+    assert tris.shape == (4, 3, 3)
+    np.testing.assert_array_equal(tris[0], [[0, 0, 0], [1, 0, 0], [0, 1, 0]])
+    np.testing.assert_array_equal(tris[3], tris[0])  # negative indices
+
+
+def test_obj_loader_rejects_quads(tmp_path):
+    p = tmp_path / "quad.obj"
+    p.write_text("v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\nf 1 2 3 4\n")
+    with pytest.raises(ObjError, match="isn't a triangle"):
+        load_obj(str(p))
+
+
+@pytest.mark.skipif(not os.path.exists(SUZANNE), reason="reference asset absent")
+def test_suzanne_triangle_count():
+    # Reference prints "Scene has 968 triangles" (src/main.cpp:134).
+    tris = load_obj(SUZANNE)
+    assert tris.shape == (968, 3, 3)
+    cfg = Config(model=SUZANNE)
+    scene, cam = mesh_scene(cfg)
+    assert scene.n_triangles == 968
+    assert scene.n_spheres == 0
+
+
+def test_ladder_scenes_build():
+    s1, c1 = one_sphere_scene()
+    assert s1.n_spheres == 2
+    s3, c3 = three_sphere_scene()
+    assert s3.n_spheres == 5  # includes the hollow-glass inner sphere
