@@ -83,7 +83,7 @@ def scatter(key: jax.Array, in_direction: jax.Array, rec: HitRecord) -> ScatterR
     # --- Dielectric: Snell + TIR + Schlick choice + fuzz ------------------
     unit_in = vec.normalize(in_direction)
     cos_theta = jnp.minimum(vec.dot(-unit_in, n), 1.0)
-    sin_theta = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
+    sin_theta = vec.safe_sqrt(1.0 - cos_theta * cos_theta)
     ratio = jnp.where(rec.front, 1.0 / rec.ir, rec.ir)
     cannot_refract = ratio * sin_theta > 1.0
     reflect_prob = schlick(cos_theta, ratio)

@@ -79,11 +79,35 @@ def primitive_aabbs(scene: Scene) -> Tuple[np.ndarray, np.ndarray]:
     return np.concatenate(mins), np.concatenate(maxs)
 
 
-def build_bvh(scene: Scene, leaf_size: int = LEAF_SIZE, dtype=None) -> FlatBVH:
-    """Build the flattened BVH on host."""
+def build_bvh(
+    scene: Scene, leaf_size: int = LEAF_SIZE, dtype=None, use_native: bool = True
+) -> FlatBVH:
+    """Build the flattened BVH on host.
+
+    Dispatches to the iterative C++ builder (rtow_tpu.native, bit-identical
+    trees via stable sorting) for large primitive counts; the NumPy
+    recursion below is the fallback and parity oracle."""
     if dtype is None:
         dtype = scene.spheres.center0.dtype if scene.n_spheres else scene.triangles.verts.dtype
     pmin, pmax = primitive_aabbs(scene)
+    if use_native and pmin.shape[0] >= 1024:
+        try:
+            from .. import native
+
+            if native.available():
+                bmin, bmax, first, count, skip, ids = native.build_bvh_arrays(
+                    pmin, pmax, leaf_size
+                )
+                return FlatBVH(
+                    bbox_min=jnp.asarray(bmin, dtype),
+                    bbox_max=jnp.asarray(bmax, dtype),
+                    first=jnp.asarray(first),
+                    count=jnp.asarray(count),
+                    skip=jnp.asarray(skip),
+                    prim_ids=jnp.asarray(ids),
+                )
+        except Exception:
+            pass
     centroid = 0.5 * (pmin + pmax)
     n = pmin.shape[0]
 
@@ -146,7 +170,7 @@ def build_bvh(scene: Scene, leaf_size: int = LEAF_SIZE, dtype=None) -> FlatBVH:
             stack.append((right, esc))
 
     # Pad prim order so leaf gathers never index out of range.
-    order_arr = np.asarray(order + [0] * LEAF_SIZE, np.int32)
+    order_arr = np.asarray(order + [0] * leaf_size, np.int32)
 
     return FlatBVH(
         bbox_min=jnp.asarray(np.asarray(bbox_min), dtype),
@@ -185,13 +209,13 @@ def _single_prim_t(
         h = vec.dot(oc, direction)
         cc = vec.dot(oc, oc) - r * r
         disc = h * h - a * cc
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        sq = vec.safe_sqrt(disc)  # guarded: no inf derivative on miss lanes
         near = (-h - sq) / a
         far = (-h + sq) / a
         near_ok = (near >= tmin) & (near <= tmax)
         far_ok = (far >= tmin) & (far <= tmax)
         t_s = jnp.where(near_ok, near, far)
-        ok_s = (disc >= 0.0) & (near_ok | far_ok) & (prim_id < n_sph)
+        ok_s = (disc > 0.0) & (near_ok | far_ok) & (prim_id < n_sph)
         out = jnp.where(ok_s, t_s, out)
 
     if scene.n_triangles:
@@ -201,7 +225,8 @@ def _single_prim_t(
         e2 = scene.triangles.verts[ti, 2] - va
         nrm = vec.cross(e1, e2)
         det = -vec.dot(direction, nrm)
-        invdet = 1.0 / det
+        det_ok = jnp.abs(det) >= 1e-6
+        invdet = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
         ao = origin - va
         dao = vec.cross(ao, direction)
         u = vec.dot(e2, dao) * invdet
@@ -229,8 +254,12 @@ def traverse(
     time: jax.Array,
     tmin: float = intersect.T_MIN,
     cull_backfaces: bool = True,
+    leaf_size: int = LEAF_SIZE,
 ) -> Tuple[jax.Array, jax.Array]:
     """Nearest-hit search -> (t, global prim id) per lane.
+
+    ``leaf_size`` must be >= the leaf capacity the tree was built with
+    (it bounds the unrolled leaf sweep).
 
     All lanes walk the flattened tree in lockstep on their own cursors;
     the loop ends when every cursor has escaped past the last node.
@@ -269,7 +298,7 @@ def traverse(
 
         first = bvh.first[node_c]
         t_new, id_new = t_best, id_best
-        for k in range(LEAF_SIZE):
+        for k in range(leaf_size):
             pid = bvh.prim_ids[first + k]
             lane_on = is_leaf & (k < cnt)
             t_k = _single_prim_t(
@@ -302,7 +331,7 @@ def make_nearest_hit(scene: Scene, leaf_size: int = LEAF_SIZE):
                     cull_backfaces: bool = True) -> HitRecord:
         t_nd, prim_idx = traverse(
             bvh, jax.lax.stop_gradient(scene_rt), origin, direction, time,
-            tmin, cull_backfaces,
+            tmin, cull_backfaces, leaf_size=leaf_size,
         )
         prim_idx = jax.lax.stop_gradient(prim_idx)
         # Recompute the winner's t differentiably.

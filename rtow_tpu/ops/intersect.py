@@ -52,11 +52,15 @@ def sphere_ts(
 
     a = vec.length2(d)[..., None]  # (L, 1)
     o_d = vec.length2(o)  # reused pieces
-    # Pairwise dots via small matmuls: (L,3) @ (3,N).
-    od_c0 = d @ c0.T  # (L, N) = d.c0
-    od_dc = d @ dc.T  # (L, N) = d.dc
-    oo_c0 = o @ c0.T  # (L, N) = o.c0
-    oo_dc = o @ dc.T  # (L, N) = o.dc
+    # Pairwise dots via small matmuls: (L,3) @ (3,N).  precision=HIGHEST is
+    # load-bearing on TPU: the MXU's default bf16 passes lose ~8 mantissa
+    # bits, catastrophic for the expanded quadratic when |center| ~ 1e3
+    # (the r=1000 ground sphere) — renders as diagonal streak noise.
+    hi = jax.lax.Precision.HIGHEST
+    od_c0 = jnp.matmul(d, c0.T, precision=hi)  # (L, N) = d.c0
+    od_dc = jnp.matmul(d, dc.T, precision=hi)  # (L, N) = d.dc
+    oo_c0 = jnp.matmul(o, c0.T, precision=hi)  # (L, N) = o.c0
+    oo_dc = jnp.matmul(o, dc.T, precision=hi)  # (L, N) = o.dc
     c0_c0 = vec.length2(c0)  # (N,)
     c0_dc = vec.dot(c0, dc)  # (N,)
     dc_dc = vec.length2(dc)  # (N,)
@@ -72,13 +76,13 @@ def sphere_ts(
     )  # (L, N)
 
     disc = h * h - a * c
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sq = vec.safe_sqrt(disc)  # guarded: no inf derivative on miss lanes
     near = (-h - sq) / a
     far = (-h + sq) / a
     near_ok = (near >= tmin) & (near <= tmax)
     far_ok = (far >= tmin) & (far <= tmax)
     root = jnp.where(near_ok, near, far)
-    valid = (disc >= 0.0) & (near_ok | far_ok)
+    valid = (disc > 0.0) & (near_ok | far_ok)
     return jnp.where(valid, root, jnp.inf)
 
 
@@ -103,7 +107,7 @@ def triangle_ts(
     n = vec.cross(e1, e2)  # (M, 3)
 
     o, d = origin, direction
-    det = -(d @ n.T)  # (L, M)
+    det = -jnp.matmul(d, n.T, precision=jax.lax.Precision.HIGHEST)  # (L, M)
     # ao and dao are per-pair; decompose via scalar-triple-product algebra:
     #   u = e2.(ao × d) = ao.(d × e2),   v = -e1.(ao × d) = -ao.(d × e1)
     # with ao = o - a.  cross(ao, d) per pair would be (L, M, 3); instead
@@ -113,7 +117,10 @@ def triangle_ts(
     # through the BVH which chunks M.
     ao = o[..., None, :] - a  # (L, M, 3)
     dao = jnp.cross(ao, d[..., None, :])  # (L, M, 3)
-    invdet = 1.0 / det
+    # Guarded reciprocal: 1/det is inf for parallel rays, and inf * zero
+    # cotangent = NaN in reverse mode even on masked lanes.
+    det_ok = jnp.abs(det) >= 1e-6
+    invdet = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
     u = vec.dot(jnp.broadcast_to(e2, dao.shape), dao) * invdet
     v = -vec.dot(jnp.broadcast_to(e1, dao.shape), dao) * invdet
     t = vec.dot(ao, jnp.broadcast_to(n, ao.shape)) * invdet

@@ -28,8 +28,25 @@ def length(a: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(length2(a))
 
 
+def safe_sqrt(x: jnp.ndarray) -> jnp.ndarray:
+    """sqrt(x) for x > 0, exactly 0 otherwise — with a well-defined (zero)
+    gradient on the clamped branch.
+
+    The naive ``sqrt(maximum(x, 0))`` has derivative ``inf`` at 0, which
+    turns into NaN through the ``where`` mask downstream (the classic
+    where-trap); this guards the *input* so no inf ever enters autodiff.
+    """
+    pos = x > 0.0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
+
+
 def normalize(a: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
-    return a / jnp.maximum(length(a)[..., None], jnp.asarray(eps, a.dtype))
+    import jax
+
+    l2 = length2(a)[..., None]
+    pos = l2 > eps
+    inv = jnp.where(pos, jax.lax.rsqrt(jnp.where(pos, l2, 1.0)), 0.0)
+    return a * inv
 
 
 def cross(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -57,8 +74,7 @@ def refract(unit_incident: jnp.ndarray, normal: jnp.ndarray, eta: jnp.ndarray) -
     eta = jnp.asarray(eta)
     cos_theta = -vdot(unit_incident, normal)
     k = 1.0 - eta * eta * (1.0 - cos_theta * cos_theta)
-    k = jnp.maximum(k, 0.0)
-    return eta * unit_incident + (eta * cos_theta - jnp.sqrt(k)) * normal
+    return eta * unit_incident + (eta * cos_theta - safe_sqrt(k)) * normal
 
 
 def lerp(a: jnp.ndarray, b: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:

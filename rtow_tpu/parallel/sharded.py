@@ -1,0 +1,186 @@
+"""Mesh-sharded rendering: ``shard_map`` over (tile, spp) + ``psum``.
+
+The TPU-native replacement for the reference's ``std::async`` fan-out
+(reference src/render.cpp:172-180):
+
+* the scene/BVH/camera are replicated (a few KB — same as the reference's
+  shared read-only scene),
+* devices along the ``tile`` axis own disjoint contiguous pixel blocks,
+* devices along the ``spp`` axis trace disjoint sample shards of their
+  pixel block and ``psum`` their radiance accumulator over ICI — the
+  collective analogue of the reference's per-thread image sum,
+* spp accounting is exact: remainder samples are masked, never dropped
+  (the reference silently floor-divides spp across threads,
+  src/render.cpp:174,185 — fixed per SURVEY.md quirks ledger).
+
+Every lane derives its RNG key from (chunk, device) counters, so the
+image is deterministic for a fixed mesh shape and seed regardless of
+schedule — unlike the reference's racy shared mt19937.
+"""
+from __future__ import annotations
+
+import functools
+import sys
+import time as _time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..config import Config
+from ..models.camera import Camera, camera_rays, pixel_coords
+from ..models.scene import Scene
+from ..ops import integrator
+from ..utils.dtypes import REAL
+from .mesh import SPP_AXIS, TILE_AXIS, make_mesh
+
+
+def _device_render_block(
+    scene: Scene,
+    camera: Camera,
+    key: jax.Array,
+    *,
+    ppt: int,
+    spp_local: int,
+    spp: int,
+    n_pixels: int,
+    chunk: int,
+    width: int,
+    height: int,
+    max_depth: int,
+    nearest_hit: Optional[Callable],
+    cull_backfaces: bool,
+) -> jax.Array:
+    """Render this device's (pixel-block × sample-shard) -> (ppt, 3) sum.
+
+    Runs inside ``shard_map``: uses axis indices to locate the block,
+    psums the result over the spp axis so every spp-peer holds the full
+    sample sum for its pixel block.
+    """
+    ti = jax.lax.axis_index(TILE_AXIS)
+    si = jax.lax.axis_index(SPP_AXIS)
+    dev_key = jax.random.fold_in(jax.random.fold_in(key, ti), si)
+
+    lanes_total = ppt * spp_local
+    n_chunks = -(-lanes_total // chunk)
+    dtype = camera.origin.dtype
+
+    def chunk_body(c, fb):
+        lane0 = c * chunk
+        lane_ids = lane0 + jnp.arange(chunk, dtype=jnp.int32)
+        pix_local = lane_ids // spp_local
+        s_local = lane_ids - pix_local * spp_local
+        pix_global = ti * ppt + pix_local
+        s_global = si * spp_local + s_local
+        valid = (
+            (lane_ids < lanes_total)
+            & (pix_global < n_pixels)
+            & (s_global < spp)
+        )
+        pix_safe = jnp.minimum(pix_global, n_pixels - 1).astype(jnp.int32)
+
+        ck = jax.random.fold_in(dev_key, c)
+        k_pix, k_cam, k_trace = jax.random.split(ck, 3)
+        s, t = pixel_coords(width, height, k_pix, pix_safe, dtype=dtype)
+        rays = camera_rays(camera, k_cam, s, t)
+        radiance = integrator.trace(
+            scene,
+            rays,
+            k_trace,
+            max_depth,
+            nearest_hit=nearest_hit,
+            cull_backfaces=cull_backfaces,
+        )
+        radiance = jnp.where(valid[..., None], radiance, 0.0)
+        return fb.at[pix_local].add(radiance, mode="drop")
+
+    fb0 = jnp.zeros((ppt, 3), dtype=REAL)
+    fb = jax.lax.fori_loop(0, n_chunks, chunk_body, fb0)
+    # Collective sum over sample shards — the reference's image sum
+    # (src/render.cpp:176-180) as one ICI psum.
+    return jax.lax.psum(fb, SPP_AXIS)
+
+
+def build_sharded_step(
+    mesh: Mesh,
+    cfg: Config,
+    nearest_hit: Optional[Callable] = None,
+    cull_backfaces: bool = True,
+):
+    """Jitted sharded render step: (scene, camera, key) -> (pixels_pad, 3) sums.
+
+    Returns (step_fn, meta) where meta carries the padded sizes needed to
+    reassemble the image on host.
+    """
+    width, height = cfg.image_width, cfg.image_height
+    spp = cfg.samples_per_pixel
+    n_pixels = width * height
+    tile_shards = mesh.shape[TILE_AXIS]
+    spp_shards = mesh.shape[SPP_AXIS]
+    ppt = -(-n_pixels // tile_shards)  # pixels per tile shard (padded)
+    spp_local = -(-spp // spp_shards)  # samples per spp shard (masked)
+    chunk = min(cfg.rays_per_batch, ppt * spp_local)
+
+    block = functools.partial(
+        _device_render_block,
+        ppt=ppt,
+        spp_local=spp_local,
+        spp=spp,
+        n_pixels=n_pixels,
+        chunk=chunk,
+        width=width,
+        height=height,
+        max_depth=cfg.max_child_rays,
+        nearest_hit=nearest_hit,
+        cull_backfaces=cull_backfaces,
+    )
+
+    sharded = shard_map(
+        block,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),  # scene/camera/key replicated
+        out_specs=P(TILE_AXIS, None),  # framebuffer sharded by pixel block
+        check_vma=False,
+    )
+    step = jax.jit(sharded)
+    meta = dict(ppt=ppt, spp_local=spp_local, tile_shards=tile_shards,
+                spp_shards=spp_shards, n_pixels=n_pixels)
+    return step, meta
+
+
+def render_sharded(
+    scene: Scene,
+    camera: Camera,
+    cfg: Config,
+    key: Optional[jax.Array] = None,
+    nearest_hit: Optional[Callable] = None,
+    cull_backfaces: bool = True,
+    progress: bool = False,
+    mesh: Optional[Mesh] = None,
+) -> np.ndarray:
+    """Render the mean-radiance image (H, W, 3) on a device mesh."""
+    if mesh is None:
+        mesh = make_mesh(cfg.n_devices, cfg.samples_per_pixel)
+    if key is None:
+        key = jax.random.key(cfg.seed)
+
+    step, meta = build_sharded_step(mesh, cfg, nearest_hit, cull_backfaces)
+    t0 = _time.perf_counter()
+    fb = step(scene, camera, key)
+    fb.block_until_ready()
+    elapsed = _time.perf_counter() - t0
+    if progress:
+        lanes = meta["n_pixels"] * cfg.samples_per_pixel
+        print(
+            f"Done in {int(elapsed * 1000)}ms on "
+            f"{meta['tile_shards']}x{meta['spp_shards']} mesh "
+            f"({lanes / elapsed / 1e6:.2f} Mprimary-rays/s)",
+            file=sys.stderr,
+        )
+
+    width, height = cfg.image_width, cfg.image_height
+    fb_np = np.asarray(fb, dtype=np.float64)[: meta["n_pixels"]]
+    return fb_np.reshape(height, width, 3) / cfg.samples_per_pixel

@@ -19,12 +19,24 @@ class ObjError(RuntimeError):
     pass
 
 
-def load_obj(path: str) -> np.ndarray:
+def load_obj(path: str, use_native: bool = True) -> np.ndarray:
     """Load an OBJ file -> triangle vertex array (M, 3, 3) float64.
 
     Raises ObjError on non-triangular faces, like the reference
-    (src/main.cpp:130).
+    (src/main.cpp:130).  Dispatches to the C++ loader (rtow_tpu.native)
+    when its shared library is available; this Python path is the
+    always-available fallback and the parity oracle.
     """
+    if use_native:
+        try:
+            from .. import native
+
+            if native.available():
+                return native.load_obj(path)
+        except ObjError:
+            raise
+        except Exception:
+            pass  # toolchain missing / load failure -> Python fallback
     verts: list[tuple[float, float, float]] = []
     faces: list[tuple[int, int, int]] = []
     with open(path, "r", encoding="utf-8", errors="replace") as f:

@@ -19,8 +19,20 @@ def tonemap(mean_image: np.ndarray) -> np.ndarray:
     return (256.0 * np.clip(c, 0.0, 0.999)).astype(np.int32)
 
 
-def write_ppm(out: IO[str], mean_image: np.ndarray) -> None:
-    """Write a P3 ASCII PPM of the mean radiance image."""
+def write_ppm(out: IO[str], mean_image: np.ndarray, use_native: bool = True) -> None:
+    """Write a P3 ASCII PPM of the mean radiance image.
+
+    Uses the C++ serializer (rtow_tpu.native) when available — byte-identical
+    output, ~10x faster on large frames; this Python body is the fallback."""
+    if use_native:
+        try:
+            from .. import native
+
+            if native.available():
+                out.write(native.ppm_string(mean_image))
+                return
+        except Exception:
+            pass
     h, w, _ = mean_image.shape
     ints = tonemap(mean_image)
     buf = io.StringIO()
