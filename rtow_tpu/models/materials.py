@@ -84,7 +84,10 @@ def scatter(key: jax.Array, in_direction: jax.Array, rec: HitRecord) -> ScatterR
     unit_in = vec.normalize(in_direction)
     cos_theta = jnp.minimum(vec.dot(-unit_in, n), 1.0)
     sin_theta = vec.safe_sqrt(1.0 - cos_theta * cos_theta)
-    ratio = jnp.where(rec.front, 1.0 / rec.ir, rec.ir)
+    # ir can be 0 on padded/miss lanes (zero rows of the one-hot param
+    # fetch); guard the reciprocal so no inf/NaN leaks into autodiff.
+    ir_safe = jnp.where(rec.ir > 0.0, rec.ir, 1.0)
+    ratio = jnp.where(rec.front, 1.0 / ir_safe, ir_safe)
     cannot_refract = ratio * sin_theta > 1.0
     reflect_prob = schlick(cos_theta, ratio)
     choice = rng.uniform(k_choice, rec.t.shape, dtype=dtype)

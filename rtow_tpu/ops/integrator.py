@@ -105,3 +105,172 @@ def trace(
     # is reverse-mode differentiable with per-bounce checkpointing.
     final, _ = jax.lax.scan(bounce, init, jnp.arange(max_depth + 1))
     return final.radiance
+
+
+def trace_forward(
+    scene: Scene,
+    rays: Rays,
+    key: jax.Array,
+    max_depth: int,
+    nearest_hit: Optional[NearestHitFn] = None,
+    cull_backfaces: bool = True,
+) -> jax.Array:
+    """Forward-only trace with early termination -> per-lane radiance.
+
+    Identical semantics to :func:`trace`, but the bounce loop is a
+    ``lax.while_loop`` that stops as soon as every lane is dead — the
+    mean path length is ~5 bounces while ``max_depth`` is 20-50, so this
+    skips most of the fixed-depth work.  Not reverse-mode differentiable
+    (use :func:`trace` for gradients).
+    """
+    if nearest_hit is None:
+        nearest_hit = intersect.nearest_hit_bruteforce
+
+    dtype = rays.origin.dtype
+    lanes = rays.time.shape
+
+    init = WavefrontState(
+        origin=rays.origin,
+        direction=rays.direction,
+        time=rays.time,
+        throughput=jnp.ones((*lanes, 3), dtype=dtype),
+        radiance=jnp.zeros((*lanes, 3), dtype=dtype),
+        alive=jnp.ones(lanes, dtype=bool),
+    )
+
+    def cond(carry):
+        st, i = carry
+        return jnp.any(st.alive) & (i <= max_depth)
+
+    def body(carry):
+        st, i = carry
+        rec = nearest_hit(
+            scene, st.origin, st.direction, st.time, cull_backfaces=cull_backfaces
+        )
+        missed = st.alive & ~rec.hit
+        radiance = st.radiance + jnp.where(
+            missed[..., None], st.throughput * sky_color(st.direction), 0.0
+        )
+        can_scatter = st.alive & rec.hit & (i < max_depth)
+        sc = scatter(jax.random.fold_in(key, i), st.direction, rec)
+        origin = jnp.where(can_scatter[..., None], rec.point, st.origin)
+        direction = jnp.where(can_scatter[..., None], sc.direction, st.direction)
+        throughput = jnp.where(
+            can_scatter[..., None], st.throughput * sc.attenuation, st.throughput
+        )
+        return (
+            WavefrontState(origin, direction, st.time, throughput, radiance,
+                           can_scatter),
+            i + 1,
+        )
+
+    final, _ = jax.lax.while_loop(cond, body, (init, jnp.int32(0)))
+    return final.radiance
+
+
+def trace_progressive(
+    scene: Scene,
+    camera,
+    key: jax.Array,
+    pixel_ids: jax.Array,
+    *,
+    spp: int,
+    max_depth: int,
+    width: int,
+    height: int,
+    nearest_hit: Optional[NearestHitFn] = None,
+    cull_backfaces: bool = True,
+) -> jax.Array:
+    """Persistent-wavefront render: (P,) pixels -> (P, 3) radiance sums.
+
+    One lane per pixel; each lane traces its ``spp`` samples
+    *sequentially*, regenerating a fresh camera ray the moment the
+    previous sample's path dies, and accumulates radiance locally.  The
+    loop ends when every lane has finished all its samples.
+
+    Why: a flat (pixel × sample) wavefront runs every bounce iteration at
+    full width until the *longest* path in the chunk finishes (~max_depth
+    for any glass path), while the mean path is ~5 bounces — >10x wasted
+    lanes.  Lane-local regeneration keeps utilisation near 100% with zero
+    scatters (each lane owns one pixel, so accumulation is elementwise).
+    Total iterations ~ spp x mean_path + tail instead of ~max_path, a
+    ~5x speedup at spp>=8 on the cover scene.  Forward-only
+    (while_loop); use :func:`trace` for gradients.
+    """
+    from ..models.camera import camera_rays, pixel_coords
+
+    if nearest_hit is None:
+        nearest_hit = intersect.nearest_hit_bruteforce
+
+    n_pix = pixel_ids.shape[0]
+    dtype = camera.origin.dtype
+    zeros3 = jnp.zeros((n_pix, 3), dtype=dtype)
+
+    class _St(NamedTuple):
+        origin: jax.Array
+        direction: jax.Array
+        time: jax.Array
+        throughput: jax.Array
+        radiance: jax.Array
+        alive: jax.Array
+        bounce: jax.Array  # scatters used by the current sample
+        started: jax.Array  # samples begun on this lane
+        it: jax.Array
+
+    init = _St(
+        origin=zeros3,
+        direction=jnp.ones((n_pix, 3), dtype=dtype),  # benign placeholder
+        time=jnp.zeros((n_pix,), dtype=dtype),
+        throughput=zeros3,
+        radiance=zeros3,
+        alive=jnp.zeros((n_pix,), dtype=bool),
+        bounce=jnp.zeros((n_pix,), jnp.int32),
+        started=jnp.zeros((n_pix,), jnp.int32),
+        it=jnp.int32(0),
+    )
+
+    def cond(st: _St):
+        return jnp.any(st.alive | (st.started < spp))
+
+    def body(st: _St) -> _St:
+        k = jax.random.fold_in(key, st.it)
+        k_pix, k_cam, k_trace = jax.random.split(k, 3)
+
+        # Regenerate: idle lanes with samples left start a fresh camera ray.
+        need = (~st.alive) & (st.started < spp)
+        s, t = pixel_coords(width, height, k_pix, pixel_ids, dtype=dtype)
+        rays = camera_rays(camera, k_cam, s, t)
+        nd = need[..., None]
+        origin = jnp.where(nd, rays.origin, st.origin)
+        direction = jnp.where(nd, rays.direction, st.direction)
+        time = jnp.where(need, rays.time, st.time)
+        throughput = jnp.where(nd, 1.0, st.throughput)
+        bounce = jnp.where(need, 0, st.bounce)
+        started = st.started + need.astype(jnp.int32)
+        alive = st.alive | need
+
+        # One bounce for every live lane (reference semantics: miss -> sky,
+        # depth-exhausted hit -> black, src/render.cpp:112-129).
+        rec = nearest_hit(scene, origin, direction, time,
+                          cull_backfaces=cull_backfaces)
+        missed = alive & ~rec.hit
+        radiance = st.radiance + jnp.where(
+            missed[..., None], throughput * sky_color(direction), 0.0
+        )
+        can = alive & rec.hit & (bounce < max_depth)
+        sc = scatter(k_trace, direction, rec)
+        cd = can[..., None]
+        return _St(
+            origin=jnp.where(cd, rec.point, origin),
+            direction=jnp.where(cd, sc.direction, direction),
+            time=time,
+            throughput=jnp.where(cd, throughput * sc.attenuation, throughput),
+            radiance=radiance,
+            alive=can,
+            bounce=bounce + can.astype(jnp.int32),
+            started=started,
+            it=st.it + 1,
+        )
+
+    final = jax.lax.while_loop(cond, body, init)
+    return final.radiance

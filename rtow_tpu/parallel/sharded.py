@@ -64,41 +64,33 @@ def _device_render_block(
     si = jax.lax.axis_index(SPP_AXIS)
     dev_key = jax.random.fold_in(jax.random.fold_in(key, ti), si)
 
-    lanes_total = ppt * spp_local
-    n_chunks = -(-lanes_total // chunk)
-    dtype = camera.origin.dtype
+    # Pixels per chunk == lanes per chunk (persistent lane per pixel).
+    ppc = min(chunk, ppt)
+    n_chunks = -(-ppt // ppc)
+    # Exact spp: this shard owns samples [si*spp_local, ...) clipped to spp —
+    # remainder shards trace fewer samples instead of dropping them
+    # (reference floor-division quirk fixed, src/render.cpp:174,185).
+    my_spp = jnp.clip(spp - si * spp_local, 0, spp_local)
+
+    from ..render import chunk_radiance
 
     def chunk_body(c, fb):
-        lane0 = c * chunk
-        lane_ids = lane0 + jnp.arange(chunk, dtype=jnp.int32)
-        pix_local = lane_ids // spp_local
-        s_local = lane_ids - pix_local * spp_local
+        pix0 = c * ppc
+        pix_local = pix0 + jnp.arange(ppc, dtype=jnp.int32)
         pix_global = ti * ppt + pix_local
-        s_global = si * spp_local + s_local
-        valid = (
-            (lane_ids < lanes_total)
-            & (pix_global < n_pixels)
-            & (s_global < spp)
+        spp_limit = jnp.where(
+            (pix_local < ppt) & (pix_global < n_pixels), my_spp, 0
         )
         pix_safe = jnp.minimum(pix_global, n_pixels - 1).astype(jnp.int32)
-
-        ck = jax.random.fold_in(dev_key, c)
-        k_pix, k_cam, k_trace = jax.random.split(ck, 3)
-        s, t = pixel_coords(width, height, k_pix, pix_safe, dtype=dtype)
-        rays = camera_rays(camera, k_cam, s, t)
-        radiance = integrator.trace(
-            scene,
-            rays,
-            k_trace,
-            max_depth,
-            nearest_hit=nearest_hit,
-            cull_backfaces=cull_backfaces,
+        sums = chunk_radiance(
+            scene, camera, jax.random.fold_in(dev_key, c), pix_safe, spp_limit,
+            width=width, height=height, max_depth=max_depth,
+            nearest_hit=nearest_hit, cull_backfaces=cull_backfaces,
         )
-        radiance = jnp.where(valid[..., None], radiance, 0.0)
-        return fb.at[pix_local].add(radiance, mode="drop")
+        return jax.lax.dynamic_update_slice(fb, sums, (pix0, 0))
 
-    fb0 = jnp.zeros((ppt, 3), dtype=REAL)
-    fb = jax.lax.fori_loop(0, n_chunks, chunk_body, fb0)
+    fb0 = jnp.zeros((ppc * n_chunks, 3), dtype=REAL)
+    fb = jax.lax.fori_loop(0, n_chunks, chunk_body, fb0)[:ppt]
     # Collective sum over sample shards — the reference's image sum
     # (src/render.cpp:176-180) as one ICI psum.
     return jax.lax.psum(fb, SPP_AXIS)

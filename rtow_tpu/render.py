@@ -3,14 +3,18 @@
 
 The reference fans the sample budget out over ``std::async`` threads,
 each re-rendering the whole frame, and sums the per-thread images.  Here
-the (pixel × sample) lane space is flattened, chunked to bound device
-memory, traced as a wavefront per chunk inside one jitted step, and
-scatter-added into the framebuffer.  Device parallelism lives in
-``rtow_tpu.parallel`` (mesh-sharded lanes + psum), not here.
+the (pixel × sample) lane space is flattened pixel-major, cut into
+chunks that bound peak HBM, and traced chunk-by-chunk inside ONE jitted
+``fori_loop`` (one device dispatch per frame, not per chunk — the axon
+tunnel costs ~30ms per dispatch).  Because lanes are pixel-major and the
+chunk size is a multiple of spp, each chunk's radiance reduces to a
+contiguous pixel block accumulated with ``dynamic_update_slice`` — no
+TPU scatter (measured ~25x slower than the slice path).
 
-Unlike the reference, spp accounting is exact — no silent
-``spp / nthreads`` floor division (src/render.cpp:174,185 quirk, fixed
-per SURVEY.md quirks ledger).
+Device parallelism lives in ``rtow_tpu.parallel`` (mesh-sharded lanes +
+psum), not here.  Unlike the reference, spp accounting is exact — no
+silent ``spp / nthreads`` floor division (src/render.cpp:174,185 quirk,
+fixed per SURVEY.md quirks ledger).
 """
 from __future__ import annotations
 
@@ -26,46 +30,65 @@ import numpy as np
 from .config import Config
 from .models.camera import Camera, camera_rays, pixel_coords
 from .models.scene import Scene
-from .ops import integrator, intersect
+from .ops import integrator
 from .utils.dtypes import REAL
 
 
-def _chunk_step(
+def chunk_radiance(
     scene: Scene,
     camera: Camera,
-    framebuffer: jax.Array,
     key: jax.Array,
-    lane_start: jax.Array,
+    pixel_ids: jax.Array,
+    spp_limit,
     *,
-    chunk: int,
-    spp: int,
-    lane_count: int,
     width: int,
     height: int,
     max_depth: int,
     nearest_hit: Optional[Callable],
     cull_backfaces: bool,
 ) -> jax.Array:
-    """Trace one chunk of (pixel, sample) lanes and accumulate radiance."""
-    dtype = framebuffer.dtype
-    lane_ids = lane_start + jnp.arange(chunk, dtype=jnp.int64 if lane_count > 2**31 else jnp.int32)
-    valid = lane_ids < lane_count
-    lane_safe = jnp.minimum(lane_ids, lane_count - 1)
-    pixel_ids = (lane_safe // spp).astype(jnp.int32)
+    """Trace spp samples for each pixel id -> per-pixel radiance sums (P, 3).
 
-    k_pix, k_cam, k_trace = jax.random.split(key, 3)
-    s, t = pixel_coords(width, height, k_pix, pixel_ids, dtype=dtype)
-    rays = camera_rays(camera, k_cam, s, t)
-    radiance = integrator.trace(
-        scene,
-        rays,
-        k_trace,
-        max_depth,
-        nearest_hit=nearest_hit,
-        cull_backfaces=cull_backfaces,
+    ``spp_limit`` is a scalar or per-pixel (P,) sample budget — 0 disables a
+    lane (padding pixels, spp-remainder shards)."""
+    return integrator.trace_progressive(
+        scene, camera, key, pixel_ids,
+        spp=spp_limit, max_depth=max_depth, width=width, height=height,
+        nearest_hit=nearest_hit, cull_backfaces=cull_backfaces,
     )
-    radiance = jnp.where(valid[..., None], radiance, 0.0)
-    return framebuffer.at[pixel_ids].add(radiance)
+
+
+def _frame(
+    scene: Scene,
+    camera: Camera,
+    key: jax.Array,
+    *,
+    n_pixels: int,
+    ppc: int,
+    n_chunks: int,
+    spp: int,
+    width: int,
+    height: int,
+    max_depth: int,
+    nearest_hit: Optional[Callable],
+    cull_backfaces: bool,
+) -> jax.Array:
+    """Whole-frame render: fori_loop over pixel-chunks -> (ppc*n_chunks, 3)."""
+
+    def body(c, fb):
+        pix0 = c * ppc
+        pixel_ids = pix0 + jnp.arange(ppc, dtype=jnp.int32)
+        spp_limit = jnp.where(pixel_ids < n_pixels, spp, 0)
+        pix_safe = jnp.minimum(pixel_ids, n_pixels - 1)
+        sums = chunk_radiance(
+            scene, camera, jax.random.fold_in(key, c), pix_safe, spp_limit,
+            width=width, height=height, max_depth=max_depth,
+            nearest_hit=nearest_hit, cull_backfaces=cull_backfaces,
+        )
+        return jax.lax.dynamic_update_slice(fb, sums, (pix0, 0))
+
+    fb0 = jnp.zeros((ppc * n_chunks, 3), dtype=REAL)
+    return jax.lax.fori_loop(0, n_chunks, body, fb0)
 
 
 def render(
@@ -85,43 +108,40 @@ def render(
     width, height = cfg.image_width, cfg.image_height
     spp = cfg.samples_per_pixel
     n_pixels = width * height
-    lane_count = n_pixels * spp
-    chunk = min(cfg.rays_per_batch, lane_count)
-    n_chunks = -(-lane_count // chunk)
+    # Pixels per chunk == lanes per chunk (one persistent lane per pixel;
+    # samples run sequentially per lane, see integrator.trace_progressive).
+    ppc = min(cfg.rays_per_batch, n_pixels)
+    n_chunks = -(-n_pixels // ppc)
 
     if key is None:
         key = jax.random.key(cfg.seed)
 
-    step = jax.jit(
+    frame = jax.jit(
         functools.partial(
-            _chunk_step,
-            chunk=chunk,
+            _frame,
+            n_pixels=n_pixels,
+            ppc=ppc,
+            n_chunks=n_chunks,
             spp=spp,
-            lane_count=lane_count,
             width=width,
             height=height,
             max_depth=cfg.max_child_rays,
             nearest_hit=nearest_hit,
             cull_backfaces=cull_backfaces,
-        ),
-        donate_argnums=(2,),
+        )
     )
 
-    fb = jnp.zeros((n_pixels, 3), dtype=REAL)
     t_start = _time.perf_counter()
-    for c in range(n_chunks):
-        fb = step(scene, camera, fb, jax.random.fold_in(key, c), c * chunk)
-        if progress:
-            print(f"\rChunks remaining: {n_chunks - c - 1} ", end="", file=sys.stderr, flush=True)
+    fb = frame(scene, camera, key)
     fb.block_until_ready()
     elapsed = _time.perf_counter() - t_start
     if progress:
-        primary_mrays = lane_count / elapsed / 1e6
+        lanes = n_pixels * spp
         print(
-            f"\nDone in {int(elapsed * 1000)}ms "
-            f"({primary_mrays:.2f} Mprimary-rays/s)",
+            f"Done in {int(elapsed * 1000)}ms "
+            f"({lanes / elapsed / 1e6:.2f} Mprimary-rays/s)",
             file=sys.stderr,
         )
 
-    mean = np.asarray(fb, dtype=np.float64).reshape(height, width, 3) / spp
+    mean = np.asarray(fb, dtype=np.float64)[:n_pixels].reshape(height, width, 3) / spp
     return mean
