@@ -5,6 +5,15 @@ A from-scratch JAX/XLA/Pallas re-design of joaotavora/raytracing-one-weekend
 loop instead of recursion, mesh-sharded rendering via shard_map, and
 reverse-mode gradients w.r.t. scene geometry and materials.
 """
+import jax as _jax
+
+# Persistent compilation cache: the megakernel + fused bounce loops take
+# minutes to compile (remote Mosaic/XLA compile on the TPU host); cache
+# them across processes.  No-op when already configured.
+if _jax.config.jax_compilation_cache_dir is None:
+    _jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 from .config import Config
 from .models.builders import (
     cover_scene,

@@ -1,0 +1,428 @@
+"""Pallas TPU megakernel: the fully-fused progressive path tracer.
+
+One ``pallas_call`` renders the whole frame: each program owns a tile of
+``TILE_ROWS x 128`` pixels and runs the complete persistent-wavefront
+loop (camera-ray regeneration -> sphere sweep -> nearest select ->
+masked material scatter -> sky/depth termination) entirely in
+VMEM/registers.  This is the megakernel the north star asks for
+(BASELINE.json): zero HBM traffic per bounce (the jnp path re-reads and
+re-writes ~15 lane arrays per iteration), per-tile early exit (a tile
+whose pixels finished all samples stops — sky tiles exit after ~2
+iterations while glass tiles run long; the jnp wavefront runs every
+iteration at full width), and the on-core PRNG instead of threefry
+key-chains.
+
+Scope: sphere scenes (the flagship cover workload).  Triangle meshes
+route through the jnp integrator + BVH (ops/bvh.py).
+
+Semantics match ``integrator.trace_progressive`` exactly (same
+reference-faithful bounce rules, reference src/render.cpp:112-129);
+images agree statistically (different RNG streams).
+
+Layout notes (see pallas guide):
+* lane state is (TILE_ROWS, 128) f32 — sublane x lane native tiling,
+* the sphere table is (16, Npad) f32 in VMEM; per 128-sphere block a
+  (1, 1, 128) slice broadcasts against (TILE_ROWS, 128, 1) lane state
+  into (TILE_ROWS, 128, 128) pair arrays that live only in VMEM,
+* the winner's 13 parameters are fetched with an exact one-hot
+  (argmin index match) multiply-reduce per block — no per-lane gathers.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.scene import DIELECTRIC, LAMBERTIAN, METAL, Scene
+
+TILE_ROWS = 8  # sublane rows per program -> 1024 pixels/tile
+LANES = 128
+TILE = TILE_ROWS * LANES
+SPHERE_BLOCK = 128
+
+# Sphere-table rows.
+_C0X, _C0Y, _C0Z, _DCX, _DCY, _DCZ, _R, _ALR, _ALG, _ALB, _FUZZ, _IR, _KIND = range(13)
+_TBL_ROWS = 13
+
+_INV24 = np.float32(1.0 / (1 << 24))
+_TWO_PI = np.float32(2.0 * np.pi)
+T_MIN = np.float32(1e-3)
+BIG = np.float32(3.0e38)
+
+
+def _mix(x):
+    """murmur3 finalizer — full-avalanche uint32 hash (vector-friendly)."""
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return x
+
+
+def _uniform(lane_u32, salt_u32, draw: int):
+    """U[0,1) per lane from a counter-based hash of (lane, salt, draw).
+
+    Stateless by construction — identical on hardware, in interpret
+    mode, and across replays (pltpu.prng_* is a zero-stub under the
+    interpreter and its statefulness is invisible to checkpoint/replay).
+    """
+    h = _mix(lane_u32 ^ (salt_u32 + jnp.uint32((draw * 0x9E3779B9) & 0xFFFFFFFF)))
+    # Mosaic has no uint32->f32 cast; (h >> 8) < 2^24 fits int32 exactly.
+    return (h >> 8).astype(jnp.int32).astype(jnp.float32) * _INV24
+
+
+def build_sphere_table(scene: Scene) -> jax.Array:
+    """(13, Npad) f32 parameter table, padded with never-hit spheres."""
+    sp = scene.spheres
+    mats = scene.materials
+    n = sp.radius.shape[0]
+    npad = -(-n // SPHERE_BLOCK) * SPHERE_BLOCK
+    tbl = np.zeros((_TBL_ROWS, npad), np.float32)
+    c0 = np.asarray(sp.center0, np.float32)
+    dc = np.asarray(sp.dcenter, np.float32)
+    mid = np.asarray(sp.material)
+    tbl[_C0X, :n], tbl[_C0Y, :n], tbl[_C0Z, :n] = c0.T
+    tbl[_DCX, :n], tbl[_DCY, :n], tbl[_DCZ, :n] = dc.T
+    tbl[_R, :n] = np.asarray(sp.radius, np.float32)
+    al = np.asarray(mats.albedo, np.float32)[mid]
+    tbl[_ALR, :n], tbl[_ALG, :n], tbl[_ALB, :n] = al.T
+    tbl[_FUZZ, :n] = np.asarray(mats.fuzz, np.float32)[mid]
+    tbl[_IR, :n] = np.asarray(mats.ir, np.float32)[mid]
+    tbl[_KIND, :n] = np.asarray(mats.kind, np.float32)[mid]
+    # Padding spheres: r = 0 -> discriminant h^2 - a*|oc|^2 < 0 unless the
+    # ray passes exactly through the origin; also force far-away center.
+    tbl[_C0X, n:] = 1.0e9
+    return jnp.asarray(tbl)
+
+
+def _kernel(cam_ref, meta_ref, tbl_ref, out_r, out_g, out_b, *, n_blocks,
+            max_depth, spp):
+    pid = pl.program_id(0)
+
+    width = meta_ref[0, 1]
+    height = meta_ref[0, 2]
+    n_pixels = meta_ref[0, 3]
+
+    # Camera scalars.
+    cox, coy, coz = cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2]
+    cux, cuy, cuz = cam_ref[0, 3], cam_ref[0, 4], cam_ref[0, 5]
+    cvx, cvy, cvz = cam_ref[0, 6], cam_ref[0, 7], cam_ref[0, 8]
+    llx, lly, llz = cam_ref[0, 9], cam_ref[0, 10], cam_ref[0, 11]
+    chx, chy, chz = cam_ref[0, 12], cam_ref[0, 13], cam_ref[0, 14]
+    cwx, cwy, cwz = cam_ref[0, 15], cam_ref[0, 16], cam_ref[0, 17]
+    lens_r = cam_ref[0, 18]
+    t0 = cam_ref[0, 19]
+    dt = cam_ref[0, 20]
+
+    shape = (TILE_ROWS, LANES)
+    rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    pix = pid * TILE + rows * LANES + cols
+    lane_u32 = _mix(pix.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
+    in_img = pix < n_pixels
+    pix_c = jnp.minimum(pix, n_pixels - 1)
+    prow = pix_c // width
+    pcol = pix_c - prow * width
+    spp_lim = jnp.where(in_img, spp, 0)
+
+    inv_w = 1.0 / (width - 1).astype(jnp.float32)
+    inv_h = 1.0 / (height - 1).astype(jnp.float32)
+    frow = (height - 1 - prow).astype(jnp.float32)
+    fcol = pcol.astype(jnp.float32)
+
+    zero = jnp.zeros(shape, jnp.float32)
+    k_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (TILE_ROWS, LANES, SPHERE_BLOCK), 2
+    )
+
+    def cond(c):
+        # c[13] is the int32 alive mask (bool vectors fail Mosaic's
+        # while-carry legalization).
+        return jnp.any((c[13] > 0) | (c[15] < spp_lim))
+
+    def body(c):
+        (ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb,
+         alive_i, bounce, started, it) = c
+        alive = alive_i > 0
+        salt = (meta_ref[0, 0] + it * jnp.int32(40503)).astype(jnp.uint32)
+        salt = _mix(salt)
+
+        # ---- regeneration: idle lanes with samples left ----------------
+        need = jnp.logical_and(jnp.logical_not(alive), started < spp_lim)
+        ju = _uniform(lane_u32, salt, 0)
+        jv = _uniform(lane_u32, salt, 1)
+        s = (fcol + ju) * inv_w
+        t = (frow + jv) * inv_h
+        du = _uniform(lane_u32, salt, 2)
+        dv = _uniform(lane_u32, salt, 3)
+        rad_l = lens_r * jnp.sqrt(du)
+        th = _TWO_PI * dv
+        lx = rad_l * jnp.cos(th)
+        ly = rad_l * jnp.sin(th)
+        nox = cox + lx * cux + ly * cvx
+        noy = coy + lx * cuy + ly * cvy
+        noz = coz + lx * cuz + ly * cvz
+        ndx = llx + s * chx + t * cwx - nox
+        ndy = lly + s * chy + t * cwy - noy
+        ndz = llz + s * chz + t * cwz - noz
+        ntm = t0 + _uniform(lane_u32, salt, 4) * dt
+
+        ox = jnp.where(need, nox, ox)
+        oy = jnp.where(need, noy, oy)
+        oz = jnp.where(need, noz, oz)
+        dx = jnp.where(need, ndx, dx)
+        dy = jnp.where(need, ndy, dy)
+        dz = jnp.where(need, ndz, dz)
+        tm = jnp.where(need, ntm, tm)
+        tpr = jnp.where(need, 1.0, tpr)
+        tpg = jnp.where(need, 1.0, tpg)
+        tpb = jnp.where(need, 1.0, tpb)
+        bounce = jnp.where(need, 0, bounce)
+        started = started + need.astype(jnp.int32)
+        alive = jnp.logical_or(alive, need)
+
+        # ---- nearest-hit sweep over sphere blocks ----------------------
+        a = dx * dx + dy * dy + dz * dz
+        inv_a = 1.0 / a
+        o3x, o3y, o3z = ox[..., None], oy[..., None], oz[..., None]
+        d3x, d3y, d3z = dx[..., None], dy[..., None], dz[..., None]
+        tm3 = tm[..., None]
+        inva3 = inv_a[..., None]
+
+        # fori_loop (not a python loop) over sphere blocks: the unrolled
+        # form blew Mosaic's compile time past 20 minutes at 4 blocks.
+        def sweep_block(b, carry):
+            best_t, best_k = carry
+            sl = pl.ds(pl.multiple_of(b * SPHERE_BLOCK, SPHERE_BLOCK),
+                       SPHERE_BLOCK)
+            c0x = tbl_ref[_C0X, sl][None, None, :]
+            c0y = tbl_ref[_C0Y, sl][None, None, :]
+            c0z = tbl_ref[_C0Z, sl][None, None, :]
+            dcx = tbl_ref[_DCX, sl][None, None, :]
+            dcy = tbl_ref[_DCY, sl][None, None, :]
+            dcz = tbl_ref[_DCZ, sl][None, None, :]
+            r_ = tbl_ref[_R, sl][None, None, :]
+
+            ocx = o3x - (c0x + tm3 * dcx)
+            ocy = o3y - (c0y + tm3 * dcy)
+            ocz = o3z - (c0z + tm3 * dcz)
+            h = ocx * d3x + ocy * d3y + ocz * d3z
+            cc = ocx * ocx + ocy * ocy + ocz * ocz - r_ * r_
+            disc = h * h - a[..., None] * cc
+            pos = disc > 0.0
+            sq = jnp.sqrt(jnp.where(pos, disc, 1.0))
+            near = (-h - sq) * inva3
+            far = (-h + sq) * inva3
+            near_ok = jnp.logical_and(near >= T_MIN, near <= best_t[..., None])
+            far_ok = jnp.logical_and(far >= T_MIN, far <= best_t[..., None])
+            t_pair = jnp.where(near_ok, near, far)
+            ok = jnp.logical_and(pos, jnp.logical_or(near_ok, far_ok))
+            t_pair = jnp.where(ok, t_pair, BIG)
+            bt = jnp.min(t_pair, axis=2)
+            bk = jnp.argmin(t_pair, axis=2).astype(jnp.int32)
+            upd = bt < best_t
+            best_t = jnp.where(upd, bt, best_t)
+            best_k = jnp.where(upd, bk + b * SPHERE_BLOCK, best_k)
+            return best_t, best_k
+
+        best_t, best_k = jax.lax.fori_loop(
+            0, n_blocks, sweep_block,
+            (jnp.full(shape, BIG, jnp.float32), jnp.zeros(shape, jnp.int32)),
+        )
+
+        hit = best_t < BIG
+        t_hit = jnp.where(hit, best_t, 1.0)
+
+        # ---- winner parameter fetch (exact one-hot multiply-reduce) ----
+        bk3 = best_k[..., None]
+
+        def fetch_block(b, params):
+            sl = pl.ds(pl.multiple_of(b * SPHERE_BLOCK, SPHERE_BLOCK),
+                       SPHERE_BLOCK)
+            oh = (bk3 - b * SPHERE_BLOCK == k_iota).astype(jnp.float32)
+            return tuple(
+                params[p] + jnp.sum(oh * tbl_ref[p, sl][None, None, :], axis=2)
+                for p in range(_TBL_ROWS)
+            )
+
+        params = jax.lax.fori_loop(
+            0, n_blocks, fetch_block, tuple([zero] * _TBL_ROWS)
+        )
+        (c0x, c0y, c0z, dcx, dcy, dcz, r_, alr, alg, alb, fuzz, ir,
+         kind) = params
+
+        # ---- hit record -------------------------------------------------
+        px = ox + t_hit * dx
+        py = oy + t_hit * dy
+        pz = oz + t_hit * dz
+        r_abs = jnp.where(r_ == 0.0, 1.0, jnp.abs(r_))
+        nx = (px - (c0x + tm * dcx)) / r_abs
+        ny = (py - (c0y + tm * dcy)) / r_abs
+        nz = (pz - (c0z + tm * dcz)) / r_abs
+        dn = dx * nx + dy * ny + dz * nz
+        front = jnp.logical_xor(dn < 0.0, r_ < 0.0)
+        flip = jnp.where(front, 1.0, -1.0)
+        nx, ny, nz = nx * flip, ny * flip, nz * flip
+
+        # ---- shared unit-vector draw (cylinder-map uniform sphere) -----
+        uz = 1.0 - 2.0 * _uniform(lane_u32, salt, 5)
+        uph = _TWO_PI * _uniform(lane_u32, salt, 6)
+        uxy = jnp.sqrt(jnp.maximum(1.0 - uz * uz, 0.0))
+        uvx = uxy * jnp.cos(uph)
+        uvy = uxy * jnp.sin(uph)
+        uvz = uz
+
+        # Lambertian: n + unit (degenerate -> n).
+        lamx, lamy, lamz = nx + uvx, ny + uvy, nz + uvz
+        degen = lamx * lamx + lamy * lamy + lamz * lamz < 1e-12
+        lamx = jnp.where(degen, nx, lamx)
+        lamy = jnp.where(degen, ny, lamy)
+        lamz = jnp.where(degen, nz, lamz)
+
+        # Metal: reflect(raw d) + fuzz*unit (no horizon check — reference).
+        ddn2 = 2.0 * (dx * nx + dy * ny + dz * nz)
+        mrx = dx - ddn2 * nx + fuzz * uvx
+        mry = dy - ddn2 * ny + fuzz * uvy
+        mrz = dz - ddn2 * nz + fuzz * uvz
+
+        # Dielectric: Schlick + TIR stochastic choice, + fuzz extension.
+        dlen = jnp.sqrt(a)
+        inv_dlen = 1.0 / dlen
+        udx, udy, udz = dx * inv_dlen, dy * inv_dlen, dz * inv_dlen
+        cos_t = jnp.minimum(-(udx * nx + udy * ny + udz * nz), 1.0)
+        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+        ir_safe = jnp.where(ir > 0.0, ir, 1.0)
+        ratio = jnp.where(front, 1.0 / ir_safe, ir_safe)
+        cannot = ratio * sin_t > 1.0
+        r0 = (1.0 - ratio) / (1.0 + ratio)
+        r0 = r0 * r0
+        omc = 1.0 - cos_t
+        omc2 = omc * omc
+        refl_p = r0 + (1.0 - r0) * omc2 * omc2 * omc
+        choice = _uniform(lane_u32, salt, 7)
+        must_reflect = jnp.logical_or(cannot, refl_p > choice)
+        # refract (glm semantics, unit incident)
+        k_ = jnp.maximum(1.0 - ratio * ratio * (1.0 - cos_t * cos_t), 0.0)
+        sqk = jnp.sqrt(k_)
+        rfx = ratio * udx + (ratio * cos_t - sqk) * nx
+        rfy = ratio * udy + (ratio * cos_t - sqk) * ny
+        rfz = ratio * udz + (ratio * cos_t - sqk) * nz
+        # reflect (unit incident)
+        udn2 = 2.0 * (udx * nx + udy * ny + udz * nz)
+        rlx = udx - udn2 * nx
+        rly = udy - udn2 * ny
+        rlz = udz - udn2 * nz
+        dix = jnp.where(must_reflect, rlx, rfx) + fuzz * uvx
+        diy = jnp.where(must_reflect, rly, rfy) + fuzz * uvy
+        diz = jnp.where(must_reflect, rlz, rfz) + fuzz * uvz
+
+        is_metal = kind == np.float32(METAL)
+        is_diel = kind == np.float32(DIELECTRIC)
+        sdx = jnp.where(is_metal, mrx, jnp.where(is_diel, dix, lamx))
+        sdy = jnp.where(is_metal, mry, jnp.where(is_diel, diy, lamy))
+        sdz = jnp.where(is_metal, mrz, jnp.where(is_diel, diz, lamz))
+        atr = jnp.where(is_diel, 1.0, alr)
+        atg = jnp.where(is_diel, 1.0, alg)
+        atb = jnp.where(is_diel, 1.0, alb)
+
+        # ---- sky for missed live lanes ---------------------------------
+        missed = jnp.logical_and(alive, jnp.logical_not(hit))
+        inv_len = 1.0 / jnp.sqrt(a)
+        sky_t = 0.5 * (dy * inv_len + 1.0)
+        skyr = 1.0 - sky_t + sky_t * 0.5
+        skyg = 1.0 - sky_t + sky_t * 0.7
+        skyb = 1.0  # 1-t + t*1.0
+        rr = rr + jnp.where(missed, tpr * skyr, 0.0)
+        rg = rg + jnp.where(missed, tpg * skyg, 0.0)
+        rb = rb + jnp.where(missed, tpb * skyb, 0.0)
+
+        # ---- advance ----------------------------------------------------
+        can = jnp.logical_and(jnp.logical_and(alive, hit), bounce < max_depth)
+        ox = jnp.where(can, px, ox)
+        oy = jnp.where(can, py, oy)
+        oz = jnp.where(can, pz, oz)
+        dx = jnp.where(can, sdx, dx)
+        dy = jnp.where(can, sdy, dy)
+        dz = jnp.where(can, sdz, dz)
+        tpr = jnp.where(can, tpr * atr, tpr)
+        tpg = jnp.where(can, tpg * atg, tpg)
+        tpb = jnp.where(can, tpb * atb, tpb)
+        bounce = bounce + can.astype(jnp.int32)
+        return (ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb,
+                can.astype(jnp.int32), bounce, started, it + 1)
+
+    izero = jnp.zeros(shape, jnp.int32)
+    init = (zero, zero, zero, zero + 1.0, zero, zero, zero,
+            zero, zero, zero, zero, zero, zero, izero, izero, izero,
+            jnp.int32(0))
+    final = jax.lax.while_loop(cond, body, init)
+    out_r[...] = final[10]
+    out_g[...] = final[11]
+    out_b[...] = final[12]
+
+
+def render_spheres_pallas(
+    scene: Scene,
+    camera,
+    seed,
+    *,
+    width: int,
+    height: int,
+    spp: int,
+    max_depth: int,
+) -> jax.Array:
+    """Render (n_pixels, 3) radiance SUMS with the fused megakernel."""
+    if scene.n_triangles:
+        raise ValueError("pallas megakernel is sphere-only; use the jnp path")
+    tbl = build_sphere_table(scene)
+    n_blocks = tbl.shape[1] // SPHERE_BLOCK
+    n_pixels = width * height
+    n_tiles = -(-n_pixels // TILE)
+
+    cam_vec = jnp.stack([
+        camera.origin[0], camera.origin[1], camera.origin[2],
+        camera.u[0], camera.u[1], camera.u[2],
+        camera.v[0], camera.v[1], camera.v[2],
+        camera.lower_left[0], camera.lower_left[1], camera.lower_left[2],
+        camera.horizontal[0], camera.horizontal[1], camera.horizontal[2],
+        camera.vertical[0], camera.vertical[1], camera.vertical[2],
+        camera.lens_radius, camera.t0, camera.t1 - camera.t0,
+    ]).astype(jnp.float32)[None, :]  # (1, 21) for SMEM
+    meta = jnp.stack([
+        jnp.asarray(seed, jnp.int32), jnp.int32(width), jnp.int32(height),
+        jnp.int32(n_pixels),
+    ])[None, :]  # (1, 4)
+
+    kernel = functools.partial(
+        _kernel, n_blocks=n_blocks, max_depth=max_depth, spp=spp
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, LANES), jnp.float32)
+    ] * 3
+
+    r, g, b = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # camera scalars
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # meta ints
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # sphere table
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0)),
+            pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0)),
+            pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0)),
+        ],
+        out_shape=out_shape,
+    )(cam_vec, meta, tbl)
+
+    rad = jnp.stack(
+        [r.reshape(-1), g.reshape(-1), b.reshape(-1)], axis=-1
+    )[:n_pixels]
+    return rad

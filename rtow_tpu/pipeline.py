@@ -1,11 +1,14 @@
 """Backend/parallelism dispatch for rendering.
 
-Picks the intersection backend (brute-force sweep, stackless BVH, or the
-Pallas megakernel) and the execution layout (single device vs mesh-sharded)
-from a Config.  Keeps `render.py` (the scheduler) free of policy.
+Picks the intersection backend (brute-force fused sweep, stackless BVH,
+or the Pallas megakernel) and the execution layout (single device vs
+mesh-sharded) from a Config.  Keeps `render.py` (the scheduler) free of
+policy.
 """
 from __future__ import annotations
 
+import sys
+import time as _time
 from typing import Optional
 
 import numpy as np
@@ -22,7 +25,51 @@ def pick_nearest_hit(scene: Scene, cfg: Config):
         from .ops import bvh
 
         return bvh.make_nearest_hit(scene)
-    return None  # integrator defaults to the brute-force sweep
+    return None  # integrator defaults to the fused brute-force sweep
+
+
+def pallas_supported(scene: Scene, cfg: Config) -> bool:
+    """The fused megakernel covers sphere-only scenes (the flagship
+    cover workload); meshes route through the jnp integrator + BVH."""
+    return cfg.backend == "pallas" and scene.n_triangles == 0 and scene.n_spheres > 0
+
+
+def render_pallas(
+    scene: Scene,
+    camera: Camera,
+    cfg: Config,
+    seed: Optional[int] = None,
+    progress: bool = False,
+) -> np.ndarray:
+    """Whole-frame render through the Pallas megakernel."""
+    import jax
+
+    from .ops.pallas_megakernel import render_spheres_pallas
+
+    width, height = cfg.image_width, cfg.image_height
+    spp = cfg.samples_per_pixel
+    if seed is None:
+        seed = cfg.seed
+
+    fn = jax.jit(
+        lambda s: render_spheres_pallas(
+            scene, camera, s,
+            width=width, height=height, spp=spp,
+            max_depth=cfg.max_child_rays,
+        )
+    )
+    t0 = _time.perf_counter()
+    rad = fn(seed)
+    rad.block_until_ready()
+    elapsed = _time.perf_counter() - t0
+    if progress:
+        lanes = width * height * spp
+        print(
+            f"Done in {int(elapsed * 1000)}ms "
+            f"({lanes / elapsed / 1e6:.2f} Mprimary-rays/s, pallas)",
+            file=sys.stderr,
+        )
+    return np.asarray(rad, dtype=np.float64).reshape(height, width, 3) / spp
 
 
 def render_auto(
@@ -35,10 +82,13 @@ def render_auto(
     """Render with the best available backend for the config."""
     import jax
 
-    nearest = pick_nearest_hit(scene, cfg)
     if cfg.n_devices > 1 and len(jax.devices()) > 1:
         from .parallel.sharded import render_sharded
 
+        nearest = pick_nearest_hit(scene, cfg)
         return render_sharded(scene, camera, cfg, key=key, nearest_hit=nearest,
                               progress=progress)
+    if pallas_supported(scene, cfg):
+        return render_pallas(scene, camera, cfg, progress=progress)
+    nearest = pick_nearest_hit(scene, cfg)
     return render(scene, camera, cfg, key=key, nearest_hit=nearest, progress=progress)

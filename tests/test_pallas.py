@@ -1,0 +1,82 @@
+"""Pallas megakernel tests (interpret mode — no TPU required).
+
+The kernel must agree with the jnp renderer statistically (different
+RNG streams; tolerance calibrated to seed-to-seed noise) and reproduce
+exact reference semantics on deterministic sub-paths.
+"""
+import jax
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from rtow_tpu.config import Config
+from rtow_tpu.models.builders import one_sphere_scene, three_sphere_scene
+from rtow_tpu.ops.pallas_megakernel import (
+    build_sphere_table, render_spheres_pallas,
+)
+from rtow_tpu.render import render
+
+
+def _kernel_img(scene, cam, W, H, spp, depth, seed=0):
+    with pltpu.force_tpu_interpret_mode():
+        rad = render_spheres_pallas(
+            scene, cam, seed, width=W, height=H, spp=spp, max_depth=depth
+        )
+    return np.asarray(rad).reshape(H, W, 3) / spp
+
+
+def test_matches_jnp_one_sphere():
+    scene, cam = one_sphere_scene(aspect_ratio=1.0)
+    W = H = 24
+    img_k = _kernel_img(scene, cam, W, H, spp=32, depth=4)
+    cfg = Config(image_width=W, aspect_ratio=1.0, samples_per_pixel=32,
+                 max_child_rays=4)
+    img_j = render(scene, cam, cfg)
+    assert abs(img_k.mean() - img_j.mean()) < 0.02
+    assert np.abs(img_k - img_j).mean() < 0.03
+
+
+def test_matches_jnp_three_sphere():
+    """Metal + dielectric (incl. hollow glass) against the jnp oracle."""
+    scene, cam = three_sphere_scene(aspect_ratio=1.0)
+    W = H = 32
+    img_k = _kernel_img(scene, cam, W, H, spp=48, depth=5)
+    cfg = Config(image_width=W, aspect_ratio=1.0, samples_per_pixel=48,
+                 max_child_rays=5)
+    img_j = render(scene, cam, cfg)
+    cfg2 = Config(image_width=W, aspect_ratio=1.0, samples_per_pixel=48,
+                  max_child_rays=5, seed=77)
+    noise = np.abs(render(scene, cam, cfg2) - img_j).mean()
+    assert np.abs(img_k - img_j).mean() < max(3 * noise, 0.03)
+
+
+def test_deterministic_and_seed_sensitive():
+    scene, cam = one_sphere_scene(aspect_ratio=1.0)
+    a = _kernel_img(scene, cam, 16, 16, spp=4, depth=3, seed=1)
+    b = _kernel_img(scene, cam, 16, 16, spp=4, depth=3, seed=1)
+    c = _kernel_img(scene, cam, 16, 16, spp=4, depth=3, seed=2)
+    np.testing.assert_array_equal(a, b)
+    assert np.abs(a - c).max() > 0.0
+
+
+def test_sphere_table_layout():
+    scene, _ = three_sphere_scene()
+    tbl = np.asarray(build_sphere_table(scene))
+    assert tbl.shape == (13, 128)
+    n = scene.n_spheres
+    np.testing.assert_allclose(tbl[6, :n], np.asarray(scene.spheres.radius))
+    # Padding spheres live far away with r=0 (never hittable).
+    assert (tbl[6, n:] == 0).all() and (tbl[0, n:] == 1e9).all()
+
+
+def test_rejects_triangle_scenes():
+    from rtow_tpu.models.scene import SceneBuilder
+
+    b = SceneBuilder()
+    m = b.add_lambertian((0.5, 0.5, 0.5))
+    b.add_triangle((0, 0, 0), (1, 0, 0), (0, 1, 0), m)
+    scene = b.build()
+    _, cam = one_sphere_scene()
+    with pytest.raises(ValueError):
+        render_spheres_pallas(scene, cam, 0, width=8, height=8, spp=1,
+                              max_depth=1)
