@@ -31,11 +31,11 @@ def main() -> int:
     spp = int(os.environ.get("RTOW_BENCH_SPP", "32"))
     width = int(os.environ.get("RTOW_BENCH_WIDTH", "1200"))
     depth = int(os.environ.get("RTOW_BENCH_DEPTH", "50"))
-    backend = os.environ.get("RTOW_BENCH_BACKEND", "jnp")
+    backend = os.environ.get("RTOW_BENCH_BACKEND", "auto")
 
     from rtow_tpu.config import Config
     from rtow_tpu.models.builders import cover_scene
-    from rtow_tpu.pipeline import pick_nearest_hit
+    from rtow_tpu.pipeline import pallas_supported, pick_nearest_hit, render_pallas
     from rtow_tpu.render import render
 
     cfg = Config(
@@ -46,24 +46,28 @@ def main() -> int:
         backend=backend,
     )
     scene, camera = cover_scene(cfg)
-    nearest = pick_nearest_hit(scene, cfg)
 
     print(
         f"bench: cover scene {cfg.image_width}x{cfg.image_height} spp={spp} "
-        f"depth={depth} on {jax.devices()[0].platform}",
+        f"depth={depth} backend={backend} on {jax.devices()[0].platform}",
         file=sys.stderr,
     )
 
-    # Warm-up render (compile) on a tiny slice of the same shapes.
-    warm_cfg = Config(
-        image_width=width, aspect_ratio=16.0 / 9.0, samples_per_pixel=1,
-        max_child_rays=depth, rays_per_batch=cfg.rays_per_batch,
-    )
-    render(scene, camera, warm_cfg, nearest_hit=nearest)
-
-    t0 = time.perf_counter()
-    img = render(scene, camera, cfg, nearest_hit=nearest)
-    elapsed = time.perf_counter() - t0
+    if pallas_supported(scene, cfg):
+        render_pallas(scene, camera, cfg, seed=1)  # warm-up/compile
+        t0 = time.perf_counter()
+        img = render_pallas(scene, camera, cfg)
+        elapsed = time.perf_counter() - t0
+    else:
+        nearest = pick_nearest_hit(scene, cfg)
+        warm_cfg = Config(
+            image_width=width, aspect_ratio=16.0 / 9.0, samples_per_pixel=1,
+            max_child_rays=depth, rays_per_batch=cfg.rays_per_batch,
+        )
+        render(scene, camera, warm_cfg, nearest_hit=nearest)
+        t0 = time.perf_counter()
+        img = render(scene, camera, cfg, nearest_hit=nearest)
+        elapsed = time.perf_counter() - t0
 
     lanes = cfg.image_width * cfg.image_height * spp
     mrays = lanes / elapsed / 1e6

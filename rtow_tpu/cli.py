@@ -32,7 +32,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dry-run", action="store_true")
     p.add_argument("-l", "--load", type=str, default=None, help="OBJ model to load")
     p.add_argument("--seed", type=int, default=d.seed)
-    p.add_argument("--backend", choices=["jnp", "pallas"], default=d.backend)
+    p.add_argument("--backend", choices=["auto", "jnp", "pallas"], default=d.backend)
     p.add_argument("--no-bvh", dest="use_bvh", action="store_false", default=d.use_bvh)
     p.add_argument("-o", "--output", type=str, default="-",
                    help="Output PPM path ('-' = stdout, like the reference)")

@@ -36,9 +36,10 @@ class Config:
     rays_per_batch: int = 1 << 18
     #: use the flattened stackless BVH (vs brute-force intersection).
     use_bvh: bool = True
-    #: backend for the bounce loop: "jnp" (differentiable oracle) or
-    #: "pallas" (fused TPU megakernel forward path).
-    backend: str = "jnp"
+    #: backend for the bounce loop: "auto" (pallas megakernel on TPU for
+    #: sphere scenes, jnp otherwise), "jnp" (differentiable oracle) or
+    #: "pallas" (force the fused TPU megakernel forward path).
+    backend: str = "auto"
 
     @property
     def image_height(self) -> int:

@@ -30,8 +30,15 @@ def pick_nearest_hit(scene: Scene, cfg: Config):
 
 def pallas_supported(scene: Scene, cfg: Config) -> bool:
     """The fused megakernel covers sphere-only scenes (the flagship
-    cover workload); meshes route through the jnp integrator + BVH."""
-    return cfg.backend == "pallas" and scene.n_triangles == 0 and scene.n_spheres > 0
+    cover workload); meshes route through the jnp integrator + BVH.
+    "auto" selects it whenever the default device is a real TPU."""
+    import jax
+
+    if scene.n_triangles or not scene.n_spheres:
+        return False
+    if cfg.backend == "pallas":
+        return True
+    return cfg.backend == "auto" and jax.devices()[0].platform == "tpu"
 
 
 def render_pallas(
@@ -51,15 +58,11 @@ def render_pallas(
     if seed is None:
         seed = cfg.seed
 
-    fn = jax.jit(
-        lambda s: render_spheres_pallas(
-            scene, camera, s,
-            width=width, height=height, spp=spp,
-            max_depth=cfg.max_child_rays,
-        )
-    )
     t0 = _time.perf_counter()
-    rad = fn(seed)
+    rad = render_spheres_pallas(
+        scene, camera, seed,
+        width=width, height=height, spp=spp, max_depth=cfg.max_child_rays,
+    )
     rad.block_until_ready()
     elapsed = _time.perf_counter() - t0
     if progress:

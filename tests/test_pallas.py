@@ -62,11 +62,12 @@ def test_deterministic_and_seed_sensitive():
 def test_sphere_table_layout():
     scene, _ = three_sphere_scene()
     tbl = np.asarray(build_sphere_table(scene))
-    assert tbl.shape == (13, 128)
+    # (Npad spheres, 16 params) — spheres on the sublane axis.
+    assert tbl.shape == (128, 16)
     n = scene.n_spheres
-    np.testing.assert_allclose(tbl[6, :n], np.asarray(scene.spheres.radius))
+    np.testing.assert_allclose(tbl[:n, 6], np.asarray(scene.spheres.radius))
     # Padding spheres live far away with r=0 (never hittable).
-    assert (tbl[6, n:] == 0).all() and (tbl[0, n:] == 1e9).all()
+    assert (tbl[n:, 6] == 0).all() and (tbl[n:, 0] == 1e9).all()
 
 
 def test_rejects_triangle_scenes():
