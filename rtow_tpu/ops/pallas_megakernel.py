@@ -106,9 +106,40 @@ def build_sphere_table(scene: Scene) -> jax.Array:
     return jnp.concatenate([tbl, pad], axis=0)
 
 
-def _kernel(cam_ref, meta_ref, tbl_ref, out_r, out_g, out_b, *, n_blocks,
-            max_depth, spp, ablate="full", fixed_iters=0):
-    pid = pl.program_id(0)
+#: Triangle-table cols: a(3), e1(3), e2(3), albedo(3), fuzz, ir, kind.
+_TRI_ROWS = 15
+
+
+def build_tri_table(scene: Scene) -> jax.Array:
+    """(Mpad, 16) f32 triangle table (triangles on rows/sublanes).
+
+    Padding rows are fully degenerate (e1 = e2 = 0 -> zero normal ->
+    det = 0 -> culled)."""
+    tr = scene.triangles
+    mats = scene.materials
+    m = tr.material.shape[0]
+    mpad = -(-m // SPHERE_BLOCK) * SPHERE_BLOCK
+    mid = tr.material
+    f32 = jnp.float32
+    v0, v1, v2 = tr.verts[:, 0], tr.verts[:, 1], tr.verts[:, 2]
+    e1, e2 = v1 - v0, v2 - v0
+    tbl = jnp.stack([
+        v0[:, 0], v0[:, 1], v0[:, 2],
+        e1[:, 0], e1[:, 1], e1[:, 2],
+        e2[:, 0], e2[:, 1], e2[:, 2],
+        mats.albedo[mid, 0], mats.albedo[mid, 1], mats.albedo[mid, 2],
+        mats.fuzz[mid], mats.ir[mid], mats.kind[mid].astype(f32),
+        jnp.zeros((m,), f32),
+    ], axis=1).astype(f32)  # (m, 16)
+    return jnp.concatenate([tbl, jnp.zeros((mpad - m, 16), f32)], axis=0)
+
+
+def _kernel(cam_ref, meta_ref, tbl_ref, tri_ref, out_r, out_g, out_b, *,
+            n_blocks, n_tri_blocks, max_depth, spp, cull=True,
+            ablate="full", fixed_iters=0):
+    # Global tile id: grid position + this shard's tile offset (meta[0,4])
+    # — devices in a mesh each render a contiguous tile range.
+    pid = pl.program_id(0) + meta_ref[0, 4]
 
     width = meta_ref[0, 1]
     height = meta_ref[0, 2]
@@ -245,10 +276,65 @@ def _kernel(cam_ref, meta_ref, tbl_ref, out_r, out_g, out_b, *, n_blocks,
             best_k = jnp.where(upd, bk + b * SPHERE_BLOCK, best_k)
             return best_t, best_k
 
-        best_t, best_k = jax.lax.fori_loop(
-            0, n_blocks, sweep_block,
-            (jnp.full(shape, BIG, jnp.float32), jnp.zeros(shape, jnp.int32)),
-        )
+        best_t = jnp.full(shape, BIG, jnp.float32)
+        best_k = jnp.zeros(shape, jnp.int32)
+        if n_blocks:
+            best_t, best_k = jax.lax.fori_loop(
+                0, n_blocks, sweep_block, (best_t, best_k)
+            )
+
+        sph_pad = n_blocks * SPHERE_BLOCK
+        if n_tri_blocks:
+            # Moller-Trumbore in the reference's determinant form
+            # (src/common-model.cpp:104-125) over triangle blocks.
+            def tri_sweep(b, carry):
+                best_t, best_k = carry
+                blk = tri_ref[
+                    pl.ds(pl.multiple_of(b * SPHERE_BLOCK, SPHERE_BLOCK),
+                          SPHERE_BLOCK), :
+                ]
+                bt3 = best_t[:, None, :]
+                ax_, ay_, az_ = col(blk, 0), col(blk, 1), col(blk, 2)
+                e1x, e1y, e1z = col(blk, 3), col(blk, 4), col(blk, 5)
+                e2x, e2y, e2z = col(blk, 6), col(blk, 7), col(blk, 8)
+                nxb = e1y * e2z - e1z * e2y
+                nyb = e1z * e2x - e1x * e2z
+                nzb = e1x * e2y - e1y * e2x
+                det = -(d3x * nxb + d3y * nyb + d3z * nzb)
+                if cull:
+                    det_ok = det >= np.float32(1e-6)
+                else:
+                    det_ok = jnp.abs(det) >= np.float32(1e-6)
+                invdet = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0),
+                                   0.0)
+                aox = o3x - ax_
+                aoy = o3y - ay_
+                aoz = o3z - az_
+                daox = aoy * d3z - aoz * d3y
+                daoy = aoz * d3x - aox * d3z
+                daoz = aox * d3y - aoy * d3x
+                u = (e2x * daox + e2y * daoy + e2z * daoz) * invdet
+                v = -(e1x * daox + e1y * daoy + e1z * daoz) * invdet
+                tt = (aox * nxb + aoy * nyb + aoz * nzb) * invdet
+                ok = jnp.logical_and(
+                    jnp.logical_and(det_ok, tt >= T_MIN),
+                    jnp.logical_and(tt <= bt3,
+                                    jnp.logical_and(u >= 0.0,
+                                                    jnp.logical_and(v >= 0.0,
+                                                                    u + v <= 1.0))),
+                )
+                t_pair = jnp.where(ok, tt, BIG)
+                bt = jnp.min(t_pair, axis=1)
+                bk = jnp.argmin(t_pair, axis=1).astype(jnp.int32)
+                upd = bt < best_t
+                best_t = jnp.where(upd, bt, best_t)
+                best_k = jnp.where(upd, bk + sph_pad + b * SPHERE_BLOCK,
+                                   best_k)
+                return best_t, best_k
+
+            best_t, best_k = jax.lax.fori_loop(
+                0, n_tri_blocks, tri_sweep, (best_t, best_k)
+            )
 
         hit = best_t < BIG
         t_hit = jnp.where(hit, best_t, 1.0)
@@ -269,12 +355,41 @@ def _kernel(cam_ref, meta_ref, tbl_ref, out_r, out_g, out_b, *, n_blocks,
 
         if ablate == "nofetch":
             params = tuple(zero + 0.3 for _ in range(_TBL_ROWS))
-        else:
+        elif n_blocks:
             params = jax.lax.fori_loop(
                 0, n_blocks, fetch_block, tuple([zero] * _TBL_ROWS)
             )
+        else:
+            params = tuple([zero] * _TBL_ROWS)
         (c0x, c0y, c0z, dcx, dcy, dcz, r_, alr, alg, alb, fuzz, ir,
          kind) = params
+
+        if n_tri_blocks:
+            def tri_fetch(b, tp):
+                blk = tri_ref[
+                    pl.ds(pl.multiple_of(b * SPHERE_BLOCK, SPHERE_BLOCK),
+                          SPHERE_BLOCK), :
+                ]
+                oh = (bk3 - sph_pad - b * SPHERE_BLOCK == k_iota).astype(
+                    jnp.float32
+                )
+                return tuple(
+                    tp[i] + jnp.sum(oh * col(blk, 3 + i), axis=1)
+                    for i in range(12)  # e1(3), e2(3), albedo(3), fuzz, ir, kind
+                )
+
+            tp = jax.lax.fori_loop(
+                0, n_tri_blocks, tri_fetch, tuple([zero] * 12)
+            )
+            (te1x, te1y, te1z, te2x, te2y, te2z, talr, talg, talb, tfuzz,
+             tir, tkind) = tp
+            is_tri = best_k >= sph_pad
+            alr = jnp.where(is_tri, talr, alr)
+            alg = jnp.where(is_tri, talg, alg)
+            alb = jnp.where(is_tri, talb, alb)
+            fuzz = jnp.where(is_tri, tfuzz, fuzz)
+            ir = jnp.where(is_tri, tir, ir)
+            kind = jnp.where(is_tri, tkind, kind)
 
         # ---- hit record -------------------------------------------------
         px = ox + t_hit * dx
@@ -288,6 +403,26 @@ def _kernel(cam_ref, meta_ref, tbl_ref, out_r, out_g, out_b, *, n_blocks,
         front = jnp.logical_xor(dn < 0.0, r_ < 0.0)
         flip = jnp.where(front, 1.0, -1.0)
         nx, ny, nz = nx * flip, ny * flip, nz * flip
+
+        if n_tri_blocks:
+            # Triangle normal: unit cross(e1, e2); reference reports
+            # triangles always front-facing (src/common-model.cpp:122).
+            tnx = te1y * te2z - te1z * te2y
+            tny = te1z * te2x - te1x * te2z
+            tnz = te1x * te2y - te1y * te2x
+            tl2 = tnx * tnx + tny * tny + tnz * tnz
+            tl_ok = tl2 > 0.0
+            tinv = jnp.where(tl_ok,
+                             jax.lax.rsqrt(jnp.where(tl_ok, tl2, 1.0)), 0.0)
+            tnx, tny, tnz = tnx * tinv, tny * tinv, tnz * tinv
+            if not cull:
+                tflip = jnp.where(dx * tnx + dy * tny + dz * tnz < 0.0,
+                                  1.0, -1.0)
+                tnx, tny, tnz = tnx * tflip, tny * tflip, tnz * tflip
+            nx = jnp.where(is_tri, tnx, nx)
+            ny = jnp.where(is_tri, tny, ny)
+            nz = jnp.where(is_tri, tnz, nz)
+            front = jnp.logical_or(is_tri, front)
 
         # ---- shared unit-vector draw (cylinder-map uniform sphere) -----
         uz = 1.0 - 2.0 * _uniform(lane_u32, salt, 5)
@@ -393,12 +528,7 @@ def _kernel(cam_ref, meta_ref, tbl_ref, out_r, out_g, out_b, *, n_blocks,
     out_b[...] = final[12]
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("width", "height", "spp", "max_depth", "ablate",
-                     "fixed_iters"),
-)
-def render_spheres_pallas(
+def render_blocks_pallas(
     scene: Scene,
     camera,
     seed,
@@ -407,22 +537,36 @@ def render_spheres_pallas(
     height: int,
     spp: int,
     max_depth: int,
+    cull: bool = True,
     ablate: str = "full",
     fixed_iters: int = 0,
-) -> jax.Array:
+    tile0=0,
+    n_tiles_local: int = 0,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Render (n_pixels, 3) radiance SUMS with the fused megakernel.
 
-    Jitted with static shape params — repeated calls (bench warm-up,
-    multi-frame loops) reuse the compiled executable.
+    Handles spheres and (brute-force block-swept) triangles; large
+    meshes where a BVH wins route through the jnp path instead
+    (pipeline.pallas_supported).  Jitted with static shape params —
+    repeated calls (bench warm-up, multi-frame loops) reuse the
+    compiled executable.
     """
+    if scene.n_spheres:
+        tbl = build_sphere_table(scene)
+        n_blocks = tbl.shape[0] // SPHERE_BLOCK
+    else:
+        tbl = jnp.zeros((SPHERE_BLOCK, 16), jnp.float32)
+        n_blocks = 0
     if scene.n_triangles:
-        raise ValueError("pallas megakernel is sphere-only; use the jnp path")
-    tbl = build_sphere_table(scene)
-    n_blocks = tbl.shape[0] // SPHERE_BLOCK
+        tri = build_tri_table(scene)
+        n_tri_blocks = tri.shape[0] // SPHERE_BLOCK
+    else:
+        tri = jnp.zeros((SPHERE_BLOCK, 16), jnp.float32)
+        n_tri_blocks = 0
     n_pixels = width * height
     tiles_x = -(-width // LANES)
     tiles_y = -(-height // TILE_ROWS)
-    n_tiles = tiles_x * tiles_y
+    n_tiles = n_tiles_local or tiles_x * tiles_y
 
     cam_vec = jnp.stack([
         camera.origin[0], camera.origin[1], camera.origin[2],
@@ -435,12 +579,13 @@ def render_spheres_pallas(
     ]).astype(jnp.float32)[None, :]  # (1, 21) for SMEM
     meta = jnp.stack([
         jnp.asarray(seed, jnp.int32), jnp.int32(width), jnp.int32(height),
-        jnp.int32(n_pixels),
-    ])[None, :]  # (1, 4)
+        jnp.int32(n_pixels), jnp.asarray(tile0, jnp.int32),
+    ])[None, :]  # (1, 5)
 
     kernel = functools.partial(
-        _kernel, n_blocks=n_blocks, max_depth=max_depth, spp=spp,
-        ablate=ablate, fixed_iters=fixed_iters,
+        _kernel, n_blocks=n_blocks, n_tri_blocks=n_tri_blocks,
+        max_depth=max_depth, spp=spp, cull=cull, ablate=ablate,
+        fixed_iters=fixed_iters,
     )
     out_shape = [
         jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, LANES), jnp.float32)
@@ -453,6 +598,7 @@ def render_spheres_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # camera scalars
             pl.BlockSpec(memory_space=pltpu.SMEM),  # meta ints
             pl.BlockSpec(memory_space=pltpu.VMEM),  # sphere table
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # triangle table
         ],
         out_specs=[
             pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0)),
@@ -460,10 +606,17 @@ def render_spheres_pallas(
             pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0)),
         ],
         out_shape=out_shape,
-    )(cam_vec, meta, tbl)
+    )(cam_vec, meta, tbl, tri)
+
+    return r, g, b
+
+
+def unblock_image(r, g, b, *, width: int, height: int) -> jax.Array:
+    """Block rows (tiles*TILE_ROWS, 128) x3 -> (H*W, 3) image order."""
+    tiles_x = -(-width // LANES)
+    tiles_y = -(-height // TILE_ROWS)
 
     def unblock(x):
-        """(tiles_y*tiles_x*TILE_ROWS, 128) block rows -> (H*W,) image order."""
         img = x.reshape(tiles_y, tiles_x, TILE_ROWS, LANES)
         img = img.transpose(0, 2, 1, 3).reshape(
             tiles_y * TILE_ROWS, tiles_x * LANES
@@ -471,3 +624,30 @@ def render_spheres_pallas(
         return img[:height, :width].reshape(-1)
 
     return jnp.stack([unblock(r), unblock(g), unblock(b)], axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "spp", "max_depth", "cull",
+                     "ablate", "fixed_iters"),
+)
+def render_spheres_pallas(
+    scene: Scene,
+    camera,
+    seed,
+    *,
+    width: int,
+    height: int,
+    spp: int,
+    max_depth: int,
+    cull: bool = True,
+    ablate: str = "full",
+    fixed_iters: int = 0,
+) -> jax.Array:
+    """Single-device whole-frame render -> (n_pixels, 3) radiance sums."""
+    r, g, b = render_blocks_pallas(
+        scene, camera, seed, width=width, height=height, spp=spp,
+        max_depth=max_depth, cull=cull, ablate=ablate,
+        fixed_iters=fixed_iters,
+    )
+    return unblock_image(r, g, b, width=width, height=height)

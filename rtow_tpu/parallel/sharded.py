@@ -143,6 +143,72 @@ def build_sharded_step(
     return step, meta
 
 
+def render_sharded_pallas(
+    scene: Scene,
+    camera: Camera,
+    cfg: Config,
+    seed: int = None,
+    mesh: Optional[Mesh] = None,
+    progress: bool = False,
+) -> np.ndarray:
+    """Mesh-sharded megakernel render: devices own contiguous tile ranges.
+
+    The Pallas analogue of :func:`render_sharded`: the (tile, spp) mesh
+    is flattened to one device axis, each device runs the megakernel over
+    its image-tile range (the kernel's in-VMEM progressive loop handles
+    the spp dimension), and the block framebuffers concatenate over the
+    device axis — no collective needed beyond the implicit all-gather of
+    the output sharding.
+    """
+    from ..ops.pallas_megakernel import (
+        LANES, TILE_ROWS, render_blocks_pallas, unblock_image,
+    )
+
+    if mesh is None:
+        mesh = make_mesh(cfg.n_devices, cfg.samples_per_pixel)
+    if seed is None:
+        seed = cfg.seed
+    devs = int(np.prod(list(mesh.shape.values())))
+    flat = Mesh(np.asarray(mesh.devices).reshape(-1), ("dev",))
+
+    width, height = cfg.image_width, cfg.image_height
+    tiles_x = -(-width // LANES)
+    tiles_y = -(-height // TILE_ROWS)
+    tiles_total = tiles_x * tiles_y
+    tpd = -(-tiles_total // devs)  # tiles per device (tail masked in-kernel)
+
+    def dev_fn(scene, camera, seed):
+        k = jax.lax.axis_index("dev")
+        return render_blocks_pallas(
+            scene, camera, seed,
+            width=width, height=height, spp=cfg.samples_per_pixel,
+            max_depth=cfg.max_child_rays, tile0=k * tpd, n_tiles_local=tpd,
+        )
+
+    sharded = shard_map(
+        dev_fn, mesh=flat,
+        in_specs=(P(), P(), P()),
+        out_specs=(P("dev", None), P("dev", None), P("dev", None)),
+        check_vma=False,
+    )
+    t0 = _time.perf_counter()
+    r, g, b = jax.jit(sharded)(scene, camera, jnp.int32(seed))
+    jax.block_until_ready(r)
+    elapsed = _time.perf_counter() - t0
+    if progress:
+        lanes = width * height * cfg.samples_per_pixel
+        print(
+            f"Done in {int(elapsed * 1000)}ms on {devs} devices "
+            f"({lanes / elapsed / 1e6:.2f} Mprimary-rays/s, pallas)",
+            file=sys.stderr,
+        )
+    # Devices may pad past tiles_total; crop block rows before unblocking.
+    rows = tiles_total * TILE_ROWS
+    img = unblock_image(r[:rows], g[:rows], b[:rows], width=width, height=height)
+    fb = np.asarray(img, dtype=np.float64)
+    return fb.reshape(height, width, 3) / cfg.samples_per_pixel
+
+
 def render_sharded(
     scene: Scene,
     camera: Camera,

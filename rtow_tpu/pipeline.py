@@ -29,12 +29,13 @@ def pick_nearest_hit(scene: Scene, cfg: Config):
 
 
 def pallas_supported(scene: Scene, cfg: Config) -> bool:
-    """The fused megakernel covers sphere-only scenes (the flagship
-    cover workload); meshes route through the jnp integrator + BVH.
-    "auto" selects it whenever the default device is a real TPU."""
+    """The fused megakernel covers spheres + brute-force triangle blocks
+    (suzanne-scale); very large meshes route through the jnp integrator
+    + BVH, where log-depth traversal beats a linear sweep.
+    "auto" selects the kernel whenever the default device is a real TPU."""
     import jax
 
-    if scene.n_triangles or not scene.n_spheres:
+    if scene.n_primitives == 0 or scene.n_triangles > 4096:
         return False
     if cfg.backend == "pallas":
         return True

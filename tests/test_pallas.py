@@ -70,14 +70,27 @@ def test_sphere_table_layout():
     assert (tbl[n:, 6] == 0).all() and (tbl[n:, 0] == 1e9).all()
 
 
-def test_rejects_triangle_scenes():
+def test_matches_jnp_triangles():
+    """Mixed sphere+triangle scene through the kernel's triangle block
+    sweep vs the jnp oracle."""
+    from rtow_tpu.models.camera import make_camera
     from rtow_tpu.models.scene import SceneBuilder
 
     b = SceneBuilder()
-    m = b.add_lambertian((0.5, 0.5, 0.5))
-    b.add_triangle((0, 0, 0), (1, 0, 0), (0, 1, 0), m)
+    red = b.add_lambertian((0.7, 0.2, 0.2))
+    gray = b.add_lambertian((0.5, 0.5, 0.5))
+    # A quad (two triangles) standing in front of the camera + ground.
+    b.add_triangle((-0.6, -0.4, -1.2), (0.6, -0.4, -1.2), (0.6, 0.6, -1.2), red)
+    b.add_triangle((-0.6, -0.4, -1.2), (0.6, 0.6, -1.2), (-0.6, 0.6, -1.2), red)
+    b.add_sphere((0.0, -100.5, -1.0), 100.0, gray)
     scene = b.build()
-    _, cam = one_sphere_scene()
-    with pytest.raises(ValueError):
-        render_spheres_pallas(scene, cam, 0, width=8, height=8, spp=1,
-                              max_depth=1)
+    cam = make_camera(lookfrom=(0.0, 0.0, 0.0), lookat=(0.0, 0.0, -1.0),
+                      fov_degrees=70.0, aspect_ratio=1.0, aperture=0.0,
+                      focus_dist=1.0)
+    W = H = 24
+    img_k = _kernel_img(scene, cam, W, H, spp=48, depth=4)
+    cfg = Config(image_width=W, aspect_ratio=1.0, samples_per_pixel=48,
+                 max_child_rays=4, backend="jnp")
+    img_j = render(scene, cam, cfg)
+    assert abs(img_k.mean() - img_j.mean()) < 0.02
+    assert np.abs(img_k - img_j).mean() < 0.035

@@ -84,3 +84,19 @@ def test_pixel_padding():
     img = render_sharded(scene, cam, cfg, mesh=mesh)
     assert img.shape == (10, 10, 3)
     assert np.isfinite(img).all()
+
+
+def test_sharded_pallas_interpret(scene_cam):
+    """Tile-range sharded megakernel over the virtual mesh (interpret)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from rtow_tpu.parallel.sharded import render_sharded_pallas
+
+    scene, cam = scene_cam
+    cfg = _cfg(image_width=48, samples_per_pixel=16, max_child_rays=5)
+    with pltpu.force_tpu_interpret_mode():
+        img = render_sharded_pallas(scene, cam, cfg, mesh=make_mesh(8, 16))
+    ref = render(scene, cam, cfg)
+    assert img.shape == ref.shape
+    assert np.isfinite(img).all()
+    assert abs(img.mean() - ref.mean()) < 0.03
