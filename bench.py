@@ -28,7 +28,7 @@ import jax
 
 
 def main() -> int:
-    spp = int(os.environ.get("RTOW_BENCH_SPP", "32"))
+    spp = int(os.environ.get("RTOW_BENCH_SPP", "128"))
     width = int(os.environ.get("RTOW_BENCH_WIDTH", "1200"))
     depth = int(os.environ.get("RTOW_BENCH_DEPTH", "50"))
     backend = os.environ.get("RTOW_BENCH_BACKEND", "auto")
