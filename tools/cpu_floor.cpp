@@ -10,8 +10,14 @@
 // reference's architecture (src/render.cpp) written independently, used ONLY
 // to anchor the CPU Mrays/s floor for bench.py's vs_baseline.
 //
-// Usage: cpu_floor [width] [spp] [depth] [nthreads]
+// Usage: cpu_floor [width] [spp] [depth] [nthreads] [scene.txt] [out.ppm]
 // Output: one line "mrays <value>" on stdout (primary rays/s in millions).
+// scene.txt (optional): one sphere per line,
+//   "cx cy cz dcx dcy dcz r kind aR aG aB fuzz ir"  (kind 0/1/2)
+// written by tools/dump_scene.py — renders OUR generated scene so images
+// can be compared pixel-region-wise against the TPU renderer.
+// out.ppm (optional): write the tone-mapped P3 image (reference
+// write_color semantics: mean, sqrt, clamp .999, x256).
 
 #include <algorithm>
 #include <atomic>
@@ -265,11 +271,27 @@ int main(int argc, char** argv) {
   int depth = argc > 3 ? std::atoi(argv[3]) : 50;
   int nthreads = argc > 4 ? std::atoi(argv[4])
                           : (int)std::thread::hardware_concurrency();
+  const char* scene_path = argc > 5 ? argv[5] : nullptr;
+  const char* out_ppm = argc > 6 ? argv[6] : nullptr;
   int height = (int)(width / (16.0 / 9.0));
 
-  // Cover scene (reference src/main.cpp:23-83 distribution).
   std::vector<Sphere> sph;
   std::vector<Mat> mats;
+  if (scene_path) {
+    FILE* sf = std::fopen(scene_path, "r");
+    if (!sf) { std::fprintf(stderr, "cannot open %s\n", scene_path); return 1; }
+    double cx, cy, cz, dx_, dy_, dz_, r, aR, aG, aB, fz, ir;
+    int kind;
+    while (std::fscanf(sf, "%lf %lf %lf %lf %lf %lf %lf %d %lf %lf %lf %lf %lf",
+                       &cx, &cy, &cz, &dx_, &dy_, &dz_, &r, &kind, &aR, &aG,
+                       &aB, &fz, &ir) == 13) {
+      mats.push_back({(Kind)kind, {aR, aG, aB}, fz, ir});
+      sph.push_back({{cx, cy, cz}, {dx_, dy_, dz_}, r, (int)mats.size() - 1});
+    }
+    std::fclose(sf);
+    std::fprintf(stderr, "loaded %zu spheres from %s\n", sph.size(), scene_path);
+  } else {
+  // Cover scene (reference src/main.cpp:23-83 distribution).
   std::mt19937 gen(1234);
   auto u01 = [&]() { return std::uniform_real_distribution<double>(0, 1)(gen); };
   mats.push_back({LAMB, {0.5, 0.5, 0.5}});
@@ -298,6 +320,7 @@ int main(int argc, char** argv) {
   sph.push_back({{-4, 1, 0}, {}, 1.0, (int)mats.size() - 1});
   mats.push_back({METAL, {0.7, 0.6, 0.5}, 0.0});
   sph.push_back({{4, 1, 0}, {}, 1.0, (int)mats.size() - 1});
+  }
 
   BVH bvh;
   std::vector<int> perm(sph.size());
@@ -317,6 +340,7 @@ int main(int argc, char** argv) {
   V3 llc = lookfrom - horiz * 0.5 - vert * 0.5 - fd * w;
   double lens_r = aperture / 2;
 
+  std::vector<V3> frame((size_t)width * height);
   auto t_start = std::chrono::high_resolution_clock::now();
   auto work = [&](int rows_lo, int rows_hi) {
     double acc = 0;  // prevent DCE
@@ -332,6 +356,8 @@ int main(int argc, char** argv) {
                 llc + su * horiz + sv * vert - lookfrom - off, rnd()};
           col = col + ray_color(r, bvh, sph, mats, depth);
         }
+        // image row 0 = top (reference from_top_i, render.cpp:153)
+        frame[(size_t)(height - 1 - i) * width + j] = col * (1.0 / spp);
         acc += col.x + col.y + col.z;
       }
     return acc;
@@ -350,5 +376,18 @@ int main(int argc, char** argv) {
   double mrays = (double)width * height * spp / secs / 1e6;
   std::fprintf(stderr, "checksum %.3f, %.2fs, %d threads\n", sum, secs, nthreads);
   std::printf("mrays %.4f\n", mrays);
+  if (out_ppm) {
+    FILE* f = std::fopen(out_ppm, "w");
+    std::fprintf(f, "P3\n%d %d\n255\n", width, height);
+    for (auto& c : frame) {
+      auto tone = [](double x) {
+        x = x > 0 ? std::sqrt(x) : 0;
+        x = x < 0 ? 0 : (x > 0.999 ? 0.999 : x);
+        return (int)(256 * x);
+      };
+      std::fprintf(f, "%d %d %d\n", tone(c.x), tone(c.y), tone(c.z));
+    }
+    std::fclose(f);
+  }
   return 0;
 }
