@@ -103,6 +103,7 @@ class SceneBuilder:
         self._mat_ir: list[float] = []
         self._sph: list[tuple] = []  # (c0, c1, radius, mat)
         self._tri: list[tuple] = []  # (a, b, c, mat)
+        self._tri_blocks: list[tuple] = []  # ((M, 3, 3) array, mat)
 
     # -- materials (the "boutique") ---------------------------------------
     def add_lambertian(self, albedo) -> int:
@@ -149,15 +150,20 @@ class SceneBuilder:
         )
 
     def add_mesh(self, tri_verts: np.ndarray, material: int) -> None:
-        """Bulk-append (M, 3, 3) triangle vertices (OBJ ingestion path)."""
-        for a, b, c in np.asarray(tri_verts, dtype=np.float64):
-            self.add_triangle(a, b, c, material)
+        """Bulk-append (M, 3, 3) triangle vertices (OBJ ingestion path).
+
+        Stored as one array block — a python loop over a 360k-triangle
+        dragon-class mesh would take seconds."""
+        block = np.ascontiguousarray(tri_verts, dtype=np.float64)
+        if block.ndim != 3 or block.shape[1:] != (3, 3):
+            raise ValueError(f"expected (M, 3, 3) vertices, got {block.shape}")
+        self._tri_blocks.append((block, int(material)))
 
     # -- freeze --------------------------------------------------------------
     def build(self, dtype=REAL) -> Scene:
         if not self._mat_kind:
             raise ValueError("scene has no materials")
-        if not self._sph and not self._tri:
+        if not self._sph and not self._tri and not self._tri_blocks:
             raise ValueError("scene has no primitives")
 
         np_real = np.float64  # assemble at full precision, cast once
@@ -171,9 +177,17 @@ class SceneBuilder:
             c1 = np.zeros((0, 3), np_real)
             rad = np.zeros((0,), np_real)
             smat = np.zeros((0,), np.int32)
+        tvs = []
+        tmats = []
         if self._tri:
-            tv = np.array([t[:3] for t in self._tri], dtype=np_real)
-            tmat = np.array([t[3] for t in self._tri], dtype=np.int32)
+            tvs.append(np.array([t[:3] for t in self._tri], dtype=np_real))
+            tmats.append(np.array([t[3] for t in self._tri], dtype=np.int32))
+        for block, mat in self._tri_blocks:
+            tvs.append(block)
+            tmats.append(np.full((block.shape[0],), mat, np.int32))
+        if tvs:
+            tv = np.concatenate(tvs)
+            tmat = np.concatenate(tmats)
         else:
             tv = np.zeros((0, 3, 3), np_real)
             tmat = np.zeros((0,), np.int32)

@@ -96,3 +96,20 @@ def test_ladder_scenes_build():
     assert s1.n_spheres == 2
     s3, c3 = three_sphere_scene()
     assert s3.n_spheres == 5  # includes the hollow-glass inner sphere
+
+
+def test_add_mesh_bulk_block():
+    """Bulk mesh blocks concatenate with per-triangle appends."""
+    import numpy as np
+
+    from rtow_tpu.models.scene import SceneBuilder
+
+    b = SceneBuilder()
+    m = b.add_lambertian((0.5, 0.5, 0.5))
+    b.add_triangle((0, 0, 0), (1, 0, 0), (0, 1, 0), m)
+    block = np.arange(2 * 3 * 3, dtype=np.float64).reshape(2, 3, 3)
+    b.add_mesh(block, m)
+    scene = b.build()
+    assert scene.n_triangles == 3
+    np.testing.assert_allclose(np.asarray(scene.triangles.verts)[1:], block)
+    assert (np.asarray(scene.triangles.material) == m).all()

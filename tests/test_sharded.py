@@ -100,3 +100,10 @@ def test_sharded_pallas_interpret(scene_cam):
     assert img.shape == ref.shape
     assert np.isfinite(img).all()
     assert abs(img.mean() - ref.mean()) < 0.03
+
+
+def test_distributed_initialize_single_host_noop():
+    from rtow_tpu.parallel import distributed
+
+    distributed.initialize()  # no env, single host -> returns without init
+    assert distributed.is_primary()
