@@ -84,7 +84,7 @@ def _device_render_block(
         pix_safe = jnp.minimum(pix_global, n_pixels - 1).astype(jnp.int32)
         sums = chunk_radiance(
             scene, camera, jax.random.fold_in(dev_key, c), pix_safe, spp_limit,
-            width=width, height=height, max_depth=max_depth,
+            spp_cap=spp_local, width=width, height=height, max_depth=max_depth,
             nearest_hit=nearest_hit, cull_backfaces=cull_backfaces,
         )
         return jax.lax.dynamic_update_slice(fb, sums, (pix0, 0))

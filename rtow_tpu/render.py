@@ -41,6 +41,7 @@ def chunk_radiance(
     pixel_ids: jax.Array,
     spp_limit,
     *,
+    spp_cap: int,
     width: int,
     height: int,
     max_depth: int,
@@ -50,12 +51,60 @@ def chunk_radiance(
     """Trace spp samples for each pixel id -> per-pixel radiance sums (P, 3).
 
     ``spp_limit`` is a scalar or per-pixel (P,) sample budget — 0 disables a
-    lane (padding pixels, spp-remainder shards)."""
+    lane (padding pixels, spp-remainder shards).
+
+    BVH scenes take the scan-based flat-wavefront path: the stackless
+    traversal is itself a ``while_loop``, and nesting it inside the
+    progressive integrator's ``while_loop`` faults the TPU (observed
+    device crashes on v5e); a fixed-depth ``scan`` around the traversal
+    loop is stable."""
+    if nearest_hit is not None:
+        return _chunk_radiance_flat(
+            scene, camera, key, pixel_ids, spp_limit, spp_cap,
+            width=width, height=height, max_depth=max_depth,
+            nearest_hit=nearest_hit, cull_backfaces=cull_backfaces,
+        )
     return integrator.trace_progressive(
         scene, camera, key, pixel_ids,
         spp=spp_limit, max_depth=max_depth, width=width, height=height,
         nearest_hit=nearest_hit, cull_backfaces=cull_backfaces,
     )
+
+
+def _chunk_radiance_flat(
+    scene: Scene,
+    camera: Camera,
+    key: jax.Array,
+    pixel_ids: jax.Array,
+    spp_limit,
+    spp_max: int,
+    *,
+    width: int,
+    height: int,
+    max_depth: int,
+    nearest_hit: Callable,
+    cull_backfaces: bool,
+) -> jax.Array:
+    """Flat (pixel x sample) wavefront with the scan integrator -> (P, 3).
+
+    ``spp_max`` is the static per-pixel sample budget; ``spp_limit``
+    (scalar or per-pixel array <= spp_max) masks the tail."""
+    lane_pix = jnp.repeat(pixel_ids, spp_max)
+    s_idx = jnp.tile(jnp.arange(spp_max, dtype=jnp.int32), pixel_ids.shape[0])
+    valid = s_idx < (
+        jnp.repeat(jnp.broadcast_to(jnp.asarray(spp_limit), pixel_ids.shape),
+                   spp_max)
+    )
+    k_pix, k_cam, k_trace = jax.random.split(key, 3)
+    s, t = pixel_coords(width, height, k_pix, lane_pix,
+                        dtype=camera.origin.dtype)
+    rays = camera_rays(camera, k_cam, s, t)
+    radiance = integrator.trace(
+        scene, rays, k_trace, max_depth,
+        nearest_hit=nearest_hit, cull_backfaces=cull_backfaces,
+    )
+    radiance = jnp.where(valid[..., None], radiance, 0.0)
+    return radiance.reshape(pixel_ids.shape[0], spp_max, 3).sum(axis=1)
 
 
 def _frame(
@@ -82,7 +131,7 @@ def _frame(
         pix_safe = jnp.minimum(pixel_ids, n_pixels - 1)
         sums = chunk_radiance(
             scene, camera, jax.random.fold_in(key, c), pix_safe, spp_limit,
-            width=width, height=height, max_depth=max_depth,
+            spp_cap=spp, width=width, height=height, max_depth=max_depth,
             nearest_hit=nearest_hit, cull_backfaces=cull_backfaces,
         )
         return jax.lax.dynamic_update_slice(fb, sums, (pix0, 0))
@@ -108,9 +157,13 @@ def render(
     width, height = cfg.image_width, cfg.image_height
     spp = cfg.samples_per_pixel
     n_pixels = width * height
-    # Pixels per chunk == lanes per chunk (one persistent lane per pixel;
-    # samples run sequentially per lane, see integrator.trace_progressive).
-    ppc = min(cfg.rays_per_batch, n_pixels)
+    # Pixels per chunk: the progressive path uses one persistent lane per
+    # pixel; the flat BVH path expands to (pixel x sample) lanes, so its
+    # pixel budget shrinks by spp.
+    if nearest_hit is None:
+        ppc = min(cfg.rays_per_batch, n_pixels)
+    else:
+        ppc = min(max(cfg.rays_per_batch // spp, 1), n_pixels)
     n_chunks = -(-n_pixels // ppc)
 
     if key is None:
