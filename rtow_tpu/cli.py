@@ -36,6 +36,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-bvh", dest="use_bvh", action="store_false", default=d.use_bvh)
     p.add_argument("-o", "--output", type=str, default="-",
                    help="Output PPM path ('-' = stdout, like the reference)")
+    p.add_argument("-v", "--verbose", action="store_true",
+                   help="Print diagnostics (BVH quality, device info)")
+    p.add_argument("--profile-dir", type=str, default="",
+                   help="Write a jax.profiler trace here (TensorBoard)")
     return p
 
 
@@ -52,6 +56,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
         seed=args.seed,
         use_bvh=args.use_bvh,
         backend=args.backend,
+        verbose=args.verbose,
+        profile_dir=args.profile_dir,
     )
 
 

@@ -36,6 +36,12 @@ class Config:
     rays_per_batch: int = 1 << 18
     #: use the flattened stackless BVH (vs brute-force intersection).
     use_bvh: bool = True
+    #: print diagnostics (BVH quality metric, timings) to stderr — the
+    #: reference prints its stupid_volume every run (render.cpp:148).
+    verbose: bool = False
+    #: jax.profiler trace output directory (TensorBoard-loadable); empty
+    #: disables profiling.
+    profile_dir: str = ""
     #: backend for the bounce loop: "auto" (pallas megakernel on TPU for
     #: sphere scenes, jnp otherwise), "jnp" (differentiable oracle) or
     #: "pallas" (force the fused TPU megakernel forward path).

@@ -24,7 +24,14 @@ def pick_nearest_hit(scene: Scene, cfg: Config):
     if cfg.use_bvh and scene.n_triangles > 64:
         from .ops import bvh
 
-        return bvh.make_nearest_hit(scene)
+        nearest = bvh.make_nearest_hit(scene)
+        if cfg.verbose:
+            from .utils.profiling import bvh_quality
+
+            built = bvh.build_bvh(scene)
+            print(f"BVH quality (stupid_volume): {bvh_quality(built):.3f}",
+                  file=sys.stderr)
+        return nearest
     return None  # integrator defaults to the fused brute-force sweep
 
 
@@ -84,6 +91,21 @@ def render_auto(
     progress: bool = False,
 ) -> np.ndarray:
     """Render with the best available backend for the config."""
+    import jax
+
+    from .utils.profiling import trace_profile
+
+    with trace_profile(cfg.profile_dir):
+        return _render_auto(scene, camera, cfg, key, progress)
+
+
+def _render_auto(
+    scene: Scene,
+    camera: Camera,
+    cfg: Config,
+    key=None,
+    progress: bool = False,
+) -> np.ndarray:
     import jax
 
     if cfg.n_devices > 1 and len(jax.devices()) > 1:
