@@ -198,3 +198,39 @@ def test_sgd_converges_albedo():
     got = np.asarray(scene.materials.albedo[0])
     np.testing.assert_allclose(got, [0.8, 0.2, 0.6], atol=0.08)
     assert float(loss) < loss0
+
+
+def test_triangle_grad_matches_fd():
+    """FD gate for triangle vertex gradients (north-star geometry grads)."""
+    cam = make_camera(
+        lookfrom=(0.0, 0.0, 1.0), lookat=(0.0, 0.0, -1.0), fov_degrees=60.0,
+        aspect_ratio=1.0, aperture=0.0, focus_dist=1.0,
+    )
+    b = SceneBuilder()
+    red = b.add_lambertian((0.7, 0.3, 0.3))
+    gray = b.add_lambertian((0.5, 0.5, 0.5))
+    # One large TILTED triangle covering the pixel window — a vertex
+    # perturbation rotates the normal, so interior-pixel shading has a
+    # strong smooth dependence on it and no silhouette crosses the window.
+    b.add_triangle((-4.0, -4.0, -0.6), (4.0, -1.0, -1.8), (0.0, 5.0, -1.4), red)
+    b.add_sphere((0.0, -100.5, -1.0), 100.0, gray)
+    scene = b.build()
+    rows, cols = np.meshgrid(range(5, 8), range(5, 8), indexing="ij")
+    pix = jnp.asarray((rows * W + cols).ravel(), dtype=jnp.int32)
+    target = jnp.zeros((pix.shape[0], 3))
+
+    def loss_v(v):
+        tv = scene.triangles.verts.at[0, 0, 2].add(v)
+        s2 = dataclasses.replace(
+            scene, triangles=dataclasses.replace(scene.triangles, verts=tv)
+        )
+        return float(_loss_fn(s2, cam, pix, target))
+
+    _, grads = jax.value_and_grad(_loss_fn, allow_int=True)(
+        scene, cam, pix, target
+    )
+    ad = float(grads.triangles.verts[0, 0, 2])
+    eps = 1e-2
+    fd = (loss_v(eps) - loss_v(-eps)) / (2 * eps)
+    denom = max(abs(fd), abs(ad), 1e-6)
+    assert abs(ad - fd) / denom < 0.1, f"AD {ad} vs FD {fd}"
