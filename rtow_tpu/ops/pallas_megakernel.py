@@ -43,7 +43,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..models.scene import DIELECTRIC, LAMBERTIAN, METAL, Scene
 
-TILE_ROWS = 8  # sublane rows per program -> 1024 pixels/tile
+import os as _os
+
+# Sublane rows per program (8 -> 1024 pixels/tile). Overridable for tile
+# tuning experiments; 8 measured best on v5e (16 coarsens the early-exit
+# granularity and grows pair temps past comfortable VMEM occupancy).
+TILE_ROWS = int(_os.environ.get("RTOW_TILE_ROWS", "8"))
 LANES = 128
 TILE = TILE_ROWS * LANES
 SPHERE_BLOCK = 128
@@ -135,8 +140,7 @@ def build_tri_table(scene: Scene) -> jax.Array:
 
 
 def _kernel(cam_ref, meta_ref, tbl_ref, tri_ref, out_r, out_g, out_b, *,
-            n_blocks, n_tri_blocks, max_depth, spp, cull=True,
-            ablate="full", fixed_iters=0):
+            n_blocks, n_tri_blocks, cull=True, ablate="full", fixed_iters=0):
     # Global tile id: grid position + this shard's tile offset (meta[0,4])
     # — devices in a mesh each render a contiguous tile range.
     pid = pl.program_id(0) + meta_ref[0, 4]
@@ -144,6 +148,10 @@ def _kernel(cam_ref, meta_ref, tbl_ref, tri_ref, out_r, out_g, out_b, *,
     width = meta_ref[0, 1]
     height = meta_ref[0, 2]
     n_pixels = meta_ref[0, 3]
+    # Runtime knobs (not compile-time): one compiled kernel serves every
+    # spp/depth — Mosaic compiles take minutes through the remote tunnel.
+    spp = meta_ref[0, 5]
+    max_depth = meta_ref[0, 6]
 
     # Camera scalars.
     cox, coy, coz = cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2]
@@ -535,8 +543,8 @@ def render_blocks_pallas(
     *,
     width: int,
     height: int,
-    spp: int,
-    max_depth: int,
+    spp,
+    max_depth,
     cull: bool = True,
     ablate: str = "full",
     fixed_iters: int = 0,
@@ -580,12 +588,12 @@ def render_blocks_pallas(
     meta = jnp.stack([
         jnp.asarray(seed, jnp.int32), jnp.int32(width), jnp.int32(height),
         jnp.int32(n_pixels), jnp.asarray(tile0, jnp.int32),
-    ])[None, :]  # (1, 5)
+        jnp.asarray(spp, jnp.int32), jnp.asarray(max_depth, jnp.int32),
+    ])[None, :]  # (1, 7)
 
     kernel = functools.partial(
         _kernel, n_blocks=n_blocks, n_tri_blocks=n_tri_blocks,
-        max_depth=max_depth, spp=spp, cull=cull, ablate=ablate,
-        fixed_iters=fixed_iters,
+        cull=cull, ablate=ablate, fixed_iters=fixed_iters,
     )
     out_shape = [
         jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, LANES), jnp.float32)
@@ -628,8 +636,7 @@ def unblock_image(r, g, b, *, width: int, height: int) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "spp", "max_depth", "cull",
-                     "ablate", "fixed_iters"),
+    static_argnames=("width", "height", "cull", "ablate", "fixed_iters"),
 )
 def render_spheres_pallas(
     scene: Scene,
@@ -638,8 +645,8 @@ def render_spheres_pallas(
     *,
     width: int,
     height: int,
-    spp: int,
-    max_depth: int,
+    spp,
+    max_depth,
     cull: bool = True,
     ablate: str = "full",
     fixed_iters: int = 0,
