@@ -115,18 +115,47 @@ def build_sphere_table(scene: Scene) -> jax.Array:
 _TRI_ROWS = 15
 
 
-def build_tri_table(scene: Scene) -> jax.Array:
-    """(Mpad, 16) f32 triangle table (triangles on rows/sublanes).
+def _morton_order(cmin: jax.Array, cmax: jax.Array, cent: jax.Array) -> jax.Array:
+    """Morton (z-order) permutation of centroids — spatially coherent
+    128-triangle blocks get tight AABBs for the block-cull test."""
+    ext = jnp.maximum(cmax - cmin, 1e-9)
+    q = ((cent - cmin) / ext * 1023.0).astype(jnp.uint32)  # (M, 3) 10 bits
 
-    Padding rows are fully degenerate (e1 = e2 = 0 -> zero normal ->
-    det = 0 -> culled)."""
+    def spread(x):  # interleave 10 bits with two zero bits each
+        x = (x | (x << 16)) & jnp.uint32(0x030000FF)
+        x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+        x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+        x = (x | (x << 2)) & jnp.uint32(0x09249249)
+        return x
+
+    code = spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+    return jnp.argsort(code)
+
+
+def build_tri_table(scene: Scene) -> Tuple[jax.Array, jax.Array]:
+    """Triangle tables: ((Mpad, 16) params, (NB, 8) block AABBs).
+
+    Triangles are Morton-sorted so each 128-triangle block is spatially
+    compact; the kernel slab-tests each block's AABB per tile iteration
+    and skips blocks no live ray can hit.  Padding rows are fully
+    degenerate (e1 = e2 = 0 -> zero normal -> det = 0 -> culled) and
+    padding blocks get inverted AABBs (never hit)."""
     tr = scene.triangles
     mats = scene.materials
     m = tr.material.shape[0]
     mpad = -(-m // SPHERE_BLOCK) * SPHERE_BLOCK
-    mid = tr.material
     f32 = jnp.float32
-    v0, v1, v2 = tr.verts[:, 0], tr.verts[:, 1], tr.verts[:, 2]
+
+    verts = tr.verts
+    tmin = verts.min(axis=1)  # (M, 3)
+    tmax = verts.max(axis=1)
+    cent = 0.5 * (tmin + tmax)
+    order = _morton_order(tmin.min(axis=0), tmax.max(axis=0), cent)
+    verts = verts[order]
+    mid = tr.material[order]
+    tmin, tmax = tmin[order], tmax[order]
+
+    v0, v1, v2 = verts[:, 0], verts[:, 1], verts[:, 2]
     e1, e2 = v1 - v0, v2 - v0
     tbl = jnp.stack([
         v0[:, 0], v0[:, 1], v0[:, 2],
@@ -136,11 +165,29 @@ def build_tri_table(scene: Scene) -> jax.Array:
         mats.fuzz[mid], mats.ir[mid], mats.kind[mid].astype(f32),
         jnp.zeros((m,), f32),
     ], axis=1).astype(f32)  # (m, 16)
-    return jnp.concatenate([tbl, jnp.zeros((mpad - m, 16), f32)], axis=0)
+    tbl = jnp.concatenate([tbl, jnp.zeros((mpad - m, 16), f32)], axis=0)
+
+    # Per-128-block AABBs; padded triangles get inverted boxes.
+    big = jnp.float32(1.0e30)
+    bmin = jnp.concatenate([tmin, jnp.full((mpad - m, 3), big)], axis=0)
+    bmax = jnp.concatenate([tmax, jnp.full((mpad - m, 3), -big)], axis=0)
+    nb = mpad // SPHERE_BLOCK
+    blk_min = bmin.reshape(nb, SPHERE_BLOCK, 3).min(axis=1)
+    blk_max = bmax.reshape(nb, SPHERE_BLOCK, 3).max(axis=1)
+    # Epsilon-pad: axis-aligned flat blocks (zero extent) would fail the
+    # strict slab inequality and be culled outright.
+    pad_eps = 1e-4 + 1e-4 * jnp.abs(blk_max - blk_min)
+    blk_min = blk_min - pad_eps
+    blk_max = blk_max + pad_eps
+    boxes = jnp.concatenate(
+        [blk_min, blk_max, jnp.zeros((nb, 2), f32)], axis=1
+    ).astype(f32)  # (NB, 8)
+    return tbl, boxes
 
 
-def _kernel(cam_ref, meta_ref, tbl_ref, tri_ref, out_r, out_g, out_b, *,
-            n_blocks, n_tri_blocks, cull=True, ablate="full", fixed_iters=0):
+def _kernel(cam_ref, meta_ref, tbl_ref, tri_ref, tri_box_ref, out_r, out_g,
+            out_b, *, n_blocks, n_tri_blocks, cull=True, ablate="full",
+            fixed_iters=0):
     # Global tile id: grid position + this shard's tile offset (meta[0,4])
     # — devices in a mesh each render a contiguous tile range.
     pid = pl.program_id(0) + meta_ref[0, 4]
@@ -211,9 +258,12 @@ def _kernel(cam_ref, meta_ref, tbl_ref, tri_ref, out_r, out_g, out_b, *,
         du = _uniform(lane_u32, salt, 2)
         dv = _uniform(lane_u32, salt, 3)
         rad_l = lens_r * jnp.sqrt(du)
-        th = _TWO_PI * dv
-        lx = rad_l * jnp.cos(th)
-        ly = rad_l * jnp.sin(th)
+        if ablate == "noregen":  # measure transcendental cost: skip trig
+            lx, ly = rad_l * dv, rad_l * (1.0 - dv)
+        else:
+            th = _TWO_PI * dv
+            lx = rad_l * jnp.cos(th)
+            ly = rad_l * jnp.sin(th)
         nox = cox + lx * cux + ly * cvx
         noy = coy + lx * cuy + ly * cvy
         noz = coz + lx * cuz + ly * cvz
@@ -293,10 +343,46 @@ def _kernel(cam_ref, meta_ref, tbl_ref, tri_ref, out_r, out_g, out_b, *,
 
         sph_pad = n_blocks * SPHERE_BLOCK
         if n_tri_blocks:
+            # Block culling: triangles are Morton-sorted into spatially
+            # compact 128-blocks; slab-test each block AABB against the
+            # tile's live rays and cond-skip blocks nobody can hit.
+            inv_dx = 1.0 / dx
+            inv_dy = 1.0 / dy
+            inv_dz = 1.0 / dz
+
             # Moller-Trumbore in the reference's determinant form
             # (src/common-model.cpp:104-125) over triangle blocks.
             def tri_sweep(b, carry):
                 best_t, best_k = carry
+                bx0, by0, bz0 = (tri_box_ref[b, 0], tri_box_ref[b, 1],
+                                 tri_box_ref[b, 2])
+                bx1, by1, bz1 = (tri_box_ref[b, 3], tri_box_ref[b, 4],
+                                 tri_box_ref[b, 5])
+                tx0 = (bx0 - ox) * inv_dx
+                tx1 = (bx1 - ox) * inv_dx
+                ty0 = (by0 - oy) * inv_dy
+                ty1 = (by1 - oy) * inv_dy
+                tz0 = (bz0 - oz) * inv_dz
+                tz1 = (bz1 - oz) * inv_dz
+                enter = jnp.maximum(
+                    jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                    jnp.maximum(jnp.minimum(tz0, tz1), T_MIN),
+                )
+                exit_ = jnp.minimum(
+                    jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                    jnp.minimum(jnp.maximum(tz0, tz1), best_t),
+                )
+                box_hit = jnp.logical_and(exit_ > enter, alive)
+
+                def sweep_it(carry):
+                    best_t, best_k = carry
+                    return _tri_block_sweep(b, best_t, best_k)
+
+                return jax.lax.cond(
+                    jnp.any(box_hit), sweep_it, lambda c: c, (best_t, best_k)
+                )
+
+            def _tri_block_sweep(b, best_t, best_k):
                 blk = tri_ref[
                     pl.ds(pl.multiple_of(b * SPHERE_BLOCK, SPHERE_BLOCK),
                           SPHERE_BLOCK), :
@@ -434,10 +520,14 @@ def _kernel(cam_ref, meta_ref, tbl_ref, tri_ref, out_r, out_g, out_b, *,
 
         # ---- shared unit-vector draw (cylinder-map uniform sphere) -----
         uz = 1.0 - 2.0 * _uniform(lane_u32, salt, 5)
-        uph = _TWO_PI * _uniform(lane_u32, salt, 6)
+        uu = _uniform(lane_u32, salt, 6)
         uxy = jnp.sqrt(jnp.maximum(1.0 - uz * uz, 0.0))
-        uvx = uxy * jnp.cos(uph)
-        uvy = uxy * jnp.sin(uph)
+        if ablate == "noregen":
+            uvx, uvy = uxy * uu, uxy * (1.0 - uu)
+        else:
+            uph = _TWO_PI * uu
+            uvx = uxy * jnp.cos(uph)
+            uvy = uxy * jnp.sin(uph)
         uvz = uz
 
         # Lambertian: n + unit (degenerate -> n).
@@ -566,10 +656,11 @@ def render_blocks_pallas(
         tbl = jnp.zeros((SPHERE_BLOCK, 16), jnp.float32)
         n_blocks = 0
     if scene.n_triangles:
-        tri = build_tri_table(scene)
+        tri, tri_boxes = build_tri_table(scene)
         n_tri_blocks = tri.shape[0] // SPHERE_BLOCK
     else:
         tri = jnp.zeros((SPHERE_BLOCK, 16), jnp.float32)
+        tri_boxes = jnp.zeros((1, 8), jnp.float32)
         n_tri_blocks = 0
     n_pixels = width * height
     tiles_x = -(-width // LANES)
@@ -607,6 +698,7 @@ def render_blocks_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # meta ints
             pl.BlockSpec(memory_space=pltpu.VMEM),  # sphere table
             pl.BlockSpec(memory_space=pltpu.VMEM),  # triangle table
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # tri block AABBs
         ],
         out_specs=[
             pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0)),
@@ -614,7 +706,7 @@ def render_blocks_pallas(
             pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0)),
         ],
         out_shape=out_shape,
-    )(cam_vec, meta, tbl, tri)
+    )(cam_vec, meta, tbl, tri, tri_boxes)
 
     return r, g, b
 

@@ -37,12 +37,12 @@ def pick_nearest_hit(scene: Scene, cfg: Config):
 
 def pallas_supported(scene: Scene, cfg: Config) -> bool:
     """The fused megakernel covers spheres + brute-force triangle blocks
-    (suzanne-scale); very large meshes route through the jnp integrator
-    + BVH, where log-depth traversal beats a linear sweep.
+    with Morton block culling (up to ~65k triangles); larger meshes
+    route through the jnp integrator + BVH.
     "auto" selects the kernel whenever the default device is a real TPU."""
     import jax
 
-    if scene.n_primitives == 0 or scene.n_triangles > 4096:
+    if scene.n_primitives == 0 or scene.n_triangles > 65536:
         return False
     if cfg.backend == "pallas":
         return True

@@ -94,3 +94,31 @@ def test_matches_jnp_triangles():
     img_j = render(scene, cam, cfg)
     assert abs(img_k.mean() - img_j.mean()) < 0.02
     assert np.abs(img_k - img_j).mean() < 0.035
+
+
+def test_matches_jnp_multiblock_mesh():
+    """Morton-sorted multi-block mesh (3 blocks) vs the jnp oracle —
+    exercises the block-cull slab test and cross-block winner selection."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from make_mesh import make_knot
+
+    from rtow_tpu.models.camera import make_camera
+    from rtow_tpu.models.scene import SceneBuilder
+
+    verts, faces = make_knot(16, 12)  # 384 triangles -> 3 blocks
+    b = SceneBuilder()
+    m = b.add_lambertian((0.6, 0.5, 0.4))
+    b.add_mesh(verts[faces], m)
+    scene = b.build()
+    cam = make_camera(lookfrom=(0.0, 0.0, 3.0), lookat=(0.0, 0.0, 0.0),
+                      fov_degrees=45.0, aspect_ratio=1.0, aperture=0.0,
+                      focus_dist=3.0)
+    W = H = 24
+    img_k = _kernel_img(scene, cam, W, H, spp=24, depth=3)
+    cfg = Config(image_width=W, aspect_ratio=1.0, samples_per_pixel=24,
+                 max_child_rays=3, backend="jnp")
+    img_j = render(scene, cam, cfg)
+    assert abs(img_k.mean() - img_j.mean()) < 0.02
+    assert np.abs(img_k - img_j).mean() < 0.04
