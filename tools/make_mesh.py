@@ -53,8 +53,10 @@ def make_knot(segments: int, rings: int, radius: float = 0.12) -> tuple:
             b = i2 * rings + j
             cc = i2 * rings + j2
             d = i * rings + j2
-            faces.append((a, b, cc))
-            faces.append((a, cc, d))
+            # Wound so outward normals face the camera under the
+            # reference's backface culling (det >= 1e-6).
+            faces.append((a, cc, b))
+            faces.append((a, d, cc))
     return verts, np.asarray(faces, np.int64)
 
 
