@@ -132,8 +132,13 @@ def _morton_order(cmin: jax.Array, cmax: jax.Array, cent: jax.Array) -> jax.Arra
     return jnp.argsort(code)
 
 
-def build_tri_table(scene: Scene) -> Tuple[jax.Array, jax.Array]:
-    """Triangle tables: ((Mpad, 16) params, (NB, 8) block AABBs).
+#: 128-triangle blocks per super-block for the two-level cull.
+SUPER = 16
+
+
+def build_tri_table(scene: Scene) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Triangle tables: ((Mpad, 16) params, (NB, 8) block AABBs,
+    (NSB, 8) super-block AABBs).
 
     Triangles are Morton-sorted so each 128-triangle block is spatially
     compact; the kernel slab-tests each block's AABB per tile iteration
@@ -144,6 +149,10 @@ def build_tri_table(scene: Scene) -> Tuple[jax.Array, jax.Array]:
     mats = scene.materials
     m = tr.material.shape[0]
     mpad = -(-m // SPHERE_BLOCK) * SPHERE_BLOCK
+    # Pad to whole super-blocks when the mesh is big enough to use the
+    # two-level cull (kernel only descends into hit super-blocks).
+    if mpad // SPHERE_BLOCK >= 2 * SUPER:
+        mpad = -(-mpad // (SPHERE_BLOCK * SUPER)) * SPHERE_BLOCK * SUPER
     f32 = jnp.float32
 
     verts = tr.verts
@@ -182,12 +191,22 @@ def build_tri_table(scene: Scene) -> Tuple[jax.Array, jax.Array]:
     boxes = jnp.concatenate(
         [blk_min, blk_max, jnp.zeros((nb, 2), f32)], axis=1
     ).astype(f32)  # (NB, 8)
-    return tbl, boxes
+
+    if nb % SUPER == 0 and nb >= 2 * SUPER:
+        nsb = nb // SUPER
+        sup_min = blk_min.reshape(nsb, SUPER, 3).min(axis=1)
+        sup_max = blk_max.reshape(nsb, SUPER, 3).max(axis=1)
+        super_boxes = jnp.concatenate(
+            [sup_min, sup_max, jnp.zeros((nsb, 2), f32)], axis=1
+        ).astype(f32)
+    else:
+        super_boxes = jnp.zeros((1, 8), f32)  # flat path sentinel
+    return tbl, boxes, super_boxes
 
 
-def _kernel(cam_ref, meta_ref, tbl_ref, tri_ref, tri_box_ref, out_r, out_g,
-            out_b, *, n_blocks, n_tri_blocks, cull=True, ablate="full",
-            fixed_iters=0):
+def _kernel(cam_ref, meta_ref, tbl_ref, tri_ref, tri_box_ref, tri_sup_ref,
+            out_r, out_g, out_b, *, n_blocks, n_tri_blocks, n_super=0,
+            cull=True, ablate="full", fixed_iters=0):
     # Global tile id: grid position + this shard's tile offset (meta[0,4])
     # — devices in a mesh each render a contiguous tile range.
     pid = pl.program_id(0) + meta_ref[0, 4]
@@ -426,9 +445,51 @@ def _kernel(cam_ref, meta_ref, tbl_ref, tri_ref, tri_box_ref, out_r, out_g,
                                    best_k)
                 return best_t, best_k
 
-            best_t, best_k = jax.lax.fori_loop(
-                0, n_tri_blocks, tri_sweep, (best_t, best_k)
-            )
+            if n_super:
+                # Two-level cull: only descend into super-blocks (16
+                # blocks each) whose AABB some live ray hits.
+                def super_sweep(sb, carry):
+                    best_t, best_k = carry
+                    sx0, sy0, sz0 = (tri_sup_ref[sb, 0], tri_sup_ref[sb, 1],
+                                     tri_sup_ref[sb, 2])
+                    sx1, sy1, sz1 = (tri_sup_ref[sb, 3], tri_sup_ref[sb, 4],
+                                     tri_sup_ref[sb, 5])
+                    ux0 = (sx0 - ox) * inv_dx
+                    ux1 = (sx1 - ox) * inv_dx
+                    uy0 = (sy0 - oy) * inv_dy
+                    uy1 = (sy1 - oy) * inv_dy
+                    uz0 = (sz0 - oz) * inv_dz
+                    uz1 = (sz1 - oz) * inv_dz
+                    s_enter = jnp.maximum(
+                        jnp.maximum(jnp.minimum(ux0, ux1),
+                                    jnp.minimum(uy0, uy1)),
+                        jnp.maximum(jnp.minimum(uz0, uz1), T_MIN),
+                    )
+                    s_exit = jnp.minimum(
+                        jnp.minimum(jnp.maximum(ux0, ux1),
+                                    jnp.maximum(uy0, uy1)),
+                        jnp.minimum(jnp.maximum(uz0, uz1), best_t),
+                    )
+                    s_hit = jnp.logical_and(s_exit > s_enter, alive)
+
+                    def descend(c):
+                        return jax.lax.fori_loop(
+                            0, SUPER,
+                            lambda jb, c2: tri_sweep(sb * SUPER + jb, c2), c
+                        )
+
+                    return jax.lax.cond(
+                        jnp.any(s_hit), descend, lambda c: c,
+                        (best_t, best_k),
+                    )
+
+                best_t, best_k = jax.lax.fori_loop(
+                    0, n_super, super_sweep, (best_t, best_k)
+                )
+            else:
+                best_t, best_k = jax.lax.fori_loop(
+                    0, n_tri_blocks, tri_sweep, (best_t, best_k)
+                )
 
         hit = best_t < BIG
         t_hit = jnp.where(hit, best_t, 1.0)
@@ -656,12 +717,16 @@ def render_blocks_pallas(
         tbl = jnp.zeros((SPHERE_BLOCK, 16), jnp.float32)
         n_blocks = 0
     if scene.n_triangles:
-        tri, tri_boxes = build_tri_table(scene)
+        tri, tri_boxes, tri_super = build_tri_table(scene)
         n_tri_blocks = tri.shape[0] // SPHERE_BLOCK
+        n_super = (n_tri_blocks // SUPER
+                   if tri_super.shape[0] > 1 else 0)
     else:
         tri = jnp.zeros((SPHERE_BLOCK, 16), jnp.float32)
         tri_boxes = jnp.zeros((1, 8), jnp.float32)
+        tri_super = jnp.zeros((1, 8), jnp.float32)
         n_tri_blocks = 0
+        n_super = 0
     n_pixels = width * height
     tiles_x = -(-width // LANES)
     tiles_y = -(-height // TILE_ROWS)
@@ -684,7 +749,7 @@ def render_blocks_pallas(
 
     kernel = functools.partial(
         _kernel, n_blocks=n_blocks, n_tri_blocks=n_tri_blocks,
-        cull=cull, ablate=ablate, fixed_iters=fixed_iters,
+        n_super=n_super, cull=cull, ablate=ablate, fixed_iters=fixed_iters,
     )
     out_shape = [
         jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, LANES), jnp.float32)
@@ -699,6 +764,7 @@ def render_blocks_pallas(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # sphere table
             pl.BlockSpec(memory_space=pltpu.VMEM),  # triangle table
             pl.BlockSpec(memory_space=pltpu.SMEM),  # tri block AABBs
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # tri super-block AABBs
         ],
         out_specs=[
             pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0)),
@@ -706,7 +772,7 @@ def render_blocks_pallas(
             pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0)),
         ],
         out_shape=out_shape,
-    )(cam_vec, meta, tbl, tri, tri_boxes)
+    )(cam_vec, meta, tbl, tri, tri_boxes, tri_super)
 
     return r, g, b
 
