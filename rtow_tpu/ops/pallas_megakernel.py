@@ -41,7 +41,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..models.scene import DIELECTRIC, LAMBERTIAN, METAL, Scene
+from ..models.scene import DIELECTRIC, METAL, Scene
 
 import os as _os
 
@@ -109,10 +109,6 @@ def build_sphere_table(scene: Scene) -> jax.Array:
     # ray passes exactly through the origin; also force far-away center.
     pad = jnp.zeros((npad - n, 16), f32).at[:, _C0X].set(1.0e9)
     return jnp.concatenate([tbl, pad], axis=0)
-
-
-#: Triangle-table cols: a(3), e1(3), e2(3), albedo(3), fuzz, ir, kind.
-_TRI_ROWS = 15
 
 
 def _morton_order(cmin: jax.Array, cmax: jax.Array, cent: jax.Array) -> jax.Array:

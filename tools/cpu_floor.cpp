@@ -162,16 +162,7 @@ static void build_bvh_rec(const std::vector<Sphere>& sph, std::vector<int>& perm
   build_bvh_rec(sph, perm, mid, hi, out);
 }
 
-static void fix_skips(BVH& b, int node, int esc) {
-  b.nodes[node].skip = esc;
-  if (b.nodes[node].count == 0) {
-    // preorder: left = node+1; find right = end of left subtree.
-    // Recompute by walking: left subtree spans until its skip target.
-    // Simplest: recurse using sizes — store via recursion.
-  }
-}
-
-// Simpler: rebuild skip indices by a second recursive pass mirroring build.
+// Rebuild skip indices by a second recursive pass mirroring the build.
 static int subtree_end(const BVH& b, int node) {
   if (b.nodes[node].count > 0) return node + 1;
   int left_end = subtree_end(b, node + 1);
