@@ -85,9 +85,14 @@ def _uniform(lane_u32, salt_u32, draw: int):
     return (h >> 8).astype(jnp.int32).astype(jnp.float32) * _INV24
 
 
-def build_sphere_table(scene: Scene) -> jax.Array:
-    """(Npad, 16) f32 parameter table (spheres on rows/sublanes), padded
-    with never-hit spheres.
+def build_sphere_table(scene: Scene) -> Tuple[jax.Array, jax.Array]:
+    """Sphere tables: ((Npad, 16) params, (NB, 8) block AABBs).
+
+    Spheres are Morton-sorted so 128-blocks are spatially compact and the
+    kernel can cull whole blocks per tile iteration (same machinery as
+    triangles; boxes cover the full motion sweep center0..center0+dc
+    with |r| half-extent).  Padding spheres are never hittable (r = 0,
+    far-away center).
 
     Pure jnp — traceable under the jitted kernel entry point (and
     differentiable, should the kernel ever grow a custom VJP)."""
@@ -95,12 +100,23 @@ def build_sphere_table(scene: Scene) -> jax.Array:
     mats = scene.materials
     n = sp.radius.shape[0]
     npad = -(-n // SPHERE_BLOCK) * SPHERE_BLOCK
-    mid = sp.material
     f32 = jnp.float32
+
+    r_abs = jnp.abs(sp.radius)[:, None]
+    smin = jnp.minimum(sp.center0, sp.center0 + sp.dcenter) - r_abs
+    smax = jnp.maximum(sp.center0, sp.center0 + sp.dcenter) + r_abs
+    cent = 0.5 * (smin + smax)
+    order = _morton_order(smin.min(axis=0), smax.max(axis=0), cent)
+    c0 = sp.center0[order]
+    dc = sp.dcenter[order]
+    rad = sp.radius[order]
+    mid = sp.material[order]
+    smin, smax = smin[order], smax[order]
+
     tbl = jnp.stack([
-        sp.center0[:, 0], sp.center0[:, 1], sp.center0[:, 2],
-        sp.dcenter[:, 0], sp.dcenter[:, 1], sp.dcenter[:, 2],
-        sp.radius,
+        c0[:, 0], c0[:, 1], c0[:, 2],
+        dc[:, 0], dc[:, 1], dc[:, 2],
+        rad,
         mats.albedo[mid, 0], mats.albedo[mid, 1], mats.albedo[mid, 2],
         mats.fuzz[mid], mats.ir[mid], mats.kind[mid].astype(f32),
         jnp.zeros((n,), f32), jnp.zeros((n,), f32), jnp.zeros((n,), f32),
@@ -108,7 +124,20 @@ def build_sphere_table(scene: Scene) -> jax.Array:
     # Padding spheres: r = 0 -> discriminant h^2 - a*|oc|^2 < 0 unless the
     # ray passes exactly through the origin; also force far-away center.
     pad = jnp.zeros((npad - n, 16), f32).at[:, _C0X].set(1.0e9)
-    return jnp.concatenate([tbl, pad], axis=0)
+    tbl = jnp.concatenate([tbl, pad], axis=0)
+
+    big = jnp.float32(1.0e30)
+    bmin = jnp.concatenate([smin, jnp.full((npad - n, 3), big)], axis=0)
+    bmax = jnp.concatenate([smax, jnp.full((npad - n, 3), -big)], axis=0)
+    nb = npad // SPHERE_BLOCK
+    blk_min = bmin.reshape(nb, SPHERE_BLOCK, 3).min(axis=1)
+    blk_max = bmax.reshape(nb, SPHERE_BLOCK, 3).max(axis=1)
+    pad_eps = 1e-4 + 1e-4 * jnp.abs(blk_max - blk_min)
+    boxes = jnp.concatenate(
+        [blk_min - pad_eps, blk_max + pad_eps, jnp.zeros((nb, 2), f32)],
+        axis=1,
+    ).astype(f32)  # (NB, 8)
+    return tbl, boxes
 
 
 def _morton_order(cmin: jax.Array, cmax: jax.Array, cent: jax.Array) -> jax.Array:
@@ -200,9 +229,9 @@ def build_tri_table(scene: Scene) -> Tuple[jax.Array, jax.Array, jax.Array]:
     return tbl, boxes, super_boxes
 
 
-def _kernel(cam_ref, meta_ref, tbl_ref, tri_ref, tri_box_ref, tri_sup_ref,
-            out_r, out_g, out_b, *, n_blocks, n_tri_blocks, n_super=0,
-            cull=True, ablate="full", fixed_iters=0):
+def _kernel(cam_ref, meta_ref, tbl_ref, sph_box_ref, tri_ref, tri_box_ref,
+            tri_sup_ref, out_r, out_g, out_b, *, n_blocks, n_tri_blocks,
+            n_super=0, cull=True, ablate="full", fixed_iters=0):
     # Global tile id: grid position + this shard's tile offset (meta[0,4])
     # — devices in a mesh each render a contiguous tile range.
     pid = pl.program_id(0) + meta_ref[0, 4]
@@ -317,9 +346,39 @@ def _kernel(cam_ref, meta_ref, tbl_ref, tri_ref, tri_box_ref, tri_sup_ref,
         def col(blk, p):
             return blk[:, p][None, :, None]  # (1, 128 spheres, 1)
 
+        inv_dx = 1.0 / dx
+        inv_dy = 1.0 / dy
+        inv_dz = 1.0 / dz
+
+        def _box_any_hit(box_ref, b, best_t):
+            """True when any live lane's ray enters block b's AABB."""
+            bx0, by0, bz0 = box_ref[b, 0], box_ref[b, 1], box_ref[b, 2]
+            bx1, by1, bz1 = box_ref[b, 3], box_ref[b, 4], box_ref[b, 5]
+            tx0 = (bx0 - ox) * inv_dx
+            tx1 = (bx1 - ox) * inv_dx
+            ty0 = (by0 - oy) * inv_dy
+            ty1 = (by1 - oy) * inv_dy
+            tz0 = (bz0 - oz) * inv_dz
+            tz1 = (bz1 - oz) * inv_dz
+            enter = jnp.maximum(
+                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                jnp.maximum(jnp.minimum(tz0, tz1), T_MIN),
+            )
+            exit_ = jnp.minimum(
+                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                jnp.minimum(jnp.maximum(tz0, tz1), best_t),
+            )
+            return jnp.any(jnp.logical_and(exit_ > enter, alive))
+
         # fori_loop (not a python loop) over sphere blocks: the unrolled
         # form blew Mosaic's compile time past 20 minutes at 4 blocks.
         def sweep_block(b, carry):
+            return jax.lax.cond(
+                _box_any_hit(sph_box_ref, b, carry[0]),
+                lambda c: _sphere_block_sweep(b, c), lambda c: c, carry,
+            )
+
+        def _sphere_block_sweep(b, carry):
             best_t, best_k = carry
             blk = tbl_ref[
                 pl.ds(pl.multiple_of(b * SPHERE_BLOCK, SPHERE_BLOCK),
@@ -707,10 +766,11 @@ def render_blocks_pallas(
     compiled executable.
     """
     if scene.n_spheres:
-        tbl = build_sphere_table(scene)
+        tbl, sph_boxes = build_sphere_table(scene)
         n_blocks = tbl.shape[0] // SPHERE_BLOCK
     else:
         tbl = jnp.zeros((SPHERE_BLOCK, 16), jnp.float32)
+        sph_boxes = jnp.zeros((1, 8), jnp.float32)
         n_blocks = 0
     if scene.n_triangles:
         tri, tri_boxes, tri_super = build_tri_table(scene)
@@ -758,6 +818,7 @@ def render_blocks_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # camera scalars
             pl.BlockSpec(memory_space=pltpu.SMEM),  # meta ints
             pl.BlockSpec(memory_space=pltpu.VMEM),  # sphere table
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # sphere block AABBs
             pl.BlockSpec(memory_space=pltpu.VMEM),  # triangle table
             pl.BlockSpec(memory_space=pltpu.SMEM),  # tri block AABBs
             pl.BlockSpec(memory_space=pltpu.SMEM),  # tri super-block AABBs
@@ -768,7 +829,7 @@ def render_blocks_pallas(
             pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0)),
         ],
         out_shape=out_shape,
-    )(cam_vec, meta, tbl, tri, tri_boxes, tri_super)
+    )(cam_vec, meta, tbl, sph_boxes, tri, tri_boxes, tri_super)
 
     return r, g, b
 

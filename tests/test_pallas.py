@@ -61,13 +61,20 @@ def test_deterministic_and_seed_sensitive():
 
 def test_sphere_table_layout():
     scene, _ = three_sphere_scene()
-    tbl = np.asarray(build_sphere_table(scene))
-    # (Npad spheres, 16 params) — spheres on the sublane axis.
+    tbl, boxes = build_sphere_table(scene)
+    tbl = np.asarray(tbl)
+    # (Npad spheres, 16 params) — spheres on the sublane axis, Morton order.
     assert tbl.shape == (128, 16)
     n = scene.n_spheres
-    np.testing.assert_allclose(tbl[:n, 6], np.asarray(scene.spheres.radius))
+    np.testing.assert_allclose(
+        np.sort(tbl[:n, 6]), np.sort(np.asarray(scene.spheres.radius))
+    )
     # Padding spheres live far away with r=0 (never hittable).
     assert (tbl[n:, 6] == 0).all() and (tbl[n:, 0] == 1e9).all()
+    # Block box covers every sphere incl. |r| extent and motion.
+    b = np.asarray(boxes)[0]
+    assert (tbl[:n, 0] - np.abs(tbl[:n, 6]) >= b[0] - 1e-3).all()
+    assert (tbl[:n, 0] + np.abs(tbl[:n, 6]) <= b[3] + 1e-3).all()
 
 
 def test_matches_jnp_triangles():
