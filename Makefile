@@ -1,0 +1,24 @@
+# Convenience targets mirroring the reference's make UX (reference
+# Makefile:16-24: run-release piped a PPM to /tmp; watch-* live-reloaded).
+.PHONY: test bench render render-mesh verify inventory floor
+
+test:
+	python -m pytest tests/ -q
+
+bench:
+	python bench.py
+
+render:  ## cover scene -> /tmp/cover.ppm (megakernel on TPU)
+	python -m rtow_tpu -w 1200 -s 128 --static-spheres -o /tmp/cover.ppm
+
+render-mesh:  ## suzanne -> /tmp/suzanne.ppm
+	python -m rtow_tpu -l /root/reference/suzanne.obj -w 400 -s 64 -o /tmp/suzanne.ppm
+
+verify:  ## golden parity vs the C++ reference algorithm
+	python tools/golden_compare.py
+
+inventory:  ## SURVEY §2 component coverage gate
+	python tools/inventory_check.py
+
+floor:  ## re-measure the CPU reference floor on this machine
+	python tools/measure_cpu_floor.py

@@ -81,6 +81,16 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
 
     if args.output == "-":
         write_ppm(sys.stdout, image)
+    elif args.output.lower().endswith(".png"):
+        # PNG out — the reference declared stb for this but never used it
+        # (conanfile.txt:3, SURVEY.md quirks ledger).
+        from .utils.ppm import tonemap
+
+        try:
+            from PIL import Image
+        except ImportError as e:  # pragma: no cover
+            raise SystemExit("PNG output needs Pillow; use .ppm") from e
+        Image.fromarray(tonemap(image).astype("uint8")).save(args.output)
     else:
         with open(args.output, "w") as f:
             write_ppm(f, image)

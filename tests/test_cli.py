@@ -40,3 +40,16 @@ def test_render_mesh_to_file(tmp_path):
     img = read_ppm(open(out))
     assert img.shape == (16, 24, 3)
     assert np.isfinite(decode_ppm(img)).all()
+
+
+def test_render_png_output(tmp_path):
+    out = tmp_path / "c.png"
+    rc = cli.main([
+        "-w", "24", "-s", "1", "-c", "2", "-n", "1", "--static-spheres",
+        "--backend", "jnp", "-o", str(out),
+    ])
+    assert rc == 0
+    from PIL import Image
+
+    img = np.asarray(Image.open(out))
+    assert img.shape == (16, 24, 3)
