@@ -20,7 +20,6 @@ scene parameters.
 """
 from __future__ import annotations
 
-import functools
 from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax

@@ -20,8 +20,6 @@ static ones, so there is no branch at trace time.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax
 import numpy as np
 

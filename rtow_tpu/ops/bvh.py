@@ -28,8 +28,7 @@ so hollow glass works under the BVH too (documented fix).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import NamedTuple, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -28,7 +28,6 @@ import jax.numpy as jnp
 from ..models.camera import Rays
 from ..models.materials import scatter, sky_color
 from ..models.scene import Scene
-from ..utils import rng
 from . import intersect
 
 

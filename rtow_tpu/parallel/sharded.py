@@ -31,9 +31,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..config import Config
-from ..models.camera import Camera, camera_rays, pixel_coords
+from ..models.camera import Camera
 from ..models.scene import Scene
-from ..ops import integrator
 from ..utils.dtypes import REAL
 from .mesh import SPP_AXIS, TILE_AXIS, make_mesh
 
