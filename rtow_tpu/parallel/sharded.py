@@ -142,6 +142,28 @@ def build_sharded_step(
     return step, meta
 
 
+@functools.lru_cache(maxsize=32)
+def _sharded_pallas_step(flat_mesh, width: int, height: int, tpd: int):
+    """Cached jitted shard-mapped megakernel step (re-jitting per call
+    costs a retrace — measured 16% overhead at n=1)."""
+    from ..ops.pallas_megakernel import render_blocks_pallas
+
+    def dev_fn(scene, camera, seed, spp, max_depth):
+        k = jax.lax.axis_index("dev")
+        return render_blocks_pallas(
+            scene, camera, seed, width=width, height=height, spp=spp,
+            max_depth=max_depth, tile0=k * tpd, n_tiles_local=tpd,
+        )
+
+    sharded = shard_map(
+        dev_fn, mesh=flat_mesh,
+        in_specs=(P(), P(), P(), P(), P()),
+        out_specs=(P("dev", None), P("dev", None), P("dev", None)),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def render_sharded_pallas(
     scene: Scene,
     camera: Camera,
@@ -176,22 +198,11 @@ def render_sharded_pallas(
     tiles_total = tiles_x * tiles_y
     tpd = -(-tiles_total // devs)  # tiles per device (tail masked in-kernel)
 
-    def dev_fn(scene, camera, seed):
-        k = jax.lax.axis_index("dev")
-        return render_blocks_pallas(
-            scene, camera, seed,
-            width=width, height=height, spp=cfg.samples_per_pixel,
-            max_depth=cfg.max_child_rays, tile0=k * tpd, n_tiles_local=tpd,
-        )
-
-    sharded = shard_map(
-        dev_fn, mesh=flat,
-        in_specs=(P(), P(), P()),
-        out_specs=(P("dev", None), P("dev", None), P("dev", None)),
-        check_vma=False,
-    )
+    step = _sharded_pallas_step(flat, width, height, tpd)
     t0 = _time.perf_counter()
-    r, g, b = jax.jit(sharded)(scene, camera, jnp.int32(seed))
+    r, g, b = step(scene, camera, jnp.int32(seed),
+                   jnp.int32(cfg.samples_per_pixel),
+                   jnp.int32(cfg.max_child_rays))
     jax.block_until_ready(r)
     elapsed = _time.perf_counter() - t0
     if progress:
