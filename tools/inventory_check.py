@@ -5,7 +5,10 @@ Every reference component row maps to a TPU-native module + symbols;
 exits nonzero if anything is missing. Run: python tools/inventory_check.py
 """
 import importlib
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 ROWS = [
     ("Vector math (vec3.h)", "rtow_tpu.ops.vec",
