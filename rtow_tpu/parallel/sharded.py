@@ -46,7 +46,7 @@ def _device_render_block(
     spp_local: int,
     spp: int,
     n_pixels: int,
-    chunk: int,
+    ppc: int,
     width: int,
     height: int,
     max_depth: int,
@@ -63,8 +63,6 @@ def _device_render_block(
     si = jax.lax.axis_index(SPP_AXIS)
     dev_key = jax.random.fold_in(jax.random.fold_in(key, ti), si)
 
-    # Pixels per chunk == lanes per chunk (persistent lane per pixel).
-    ppc = min(chunk, ppt)
     n_chunks = -(-ppt // ppc)
     # Exact spp: this shard owns samples [si*spp_local, ...) clipped to spp —
     # remainder shards trace fewer samples instead of dropping them
@@ -113,7 +111,14 @@ def build_sharded_step(
     spp_shards = mesh.shape[SPP_AXIS]
     ppt = -(-n_pixels // tile_shards)  # pixels per tile shard (padded)
     spp_local = -(-spp // spp_shards)  # samples per spp shard (masked)
-    chunk = min(cfg.rays_per_batch, ppt * spp_local)
+    # Pixels per chunk, bounding peak lanes by rays_per_batch: the
+    # progressive path runs one persistent lane per pixel; the flat BVH
+    # path expands each pixel into spp_local lanes, so its pixel budget
+    # shrinks by spp_local (mirrors render.py:163-166).
+    if nearest_hit is None:
+        ppc = min(cfg.rays_per_batch, ppt)
+    else:
+        ppc = min(max(cfg.rays_per_batch // spp_local, 1), ppt)
 
     block = functools.partial(
         _device_render_block,
@@ -121,7 +126,7 @@ def build_sharded_step(
         spp_local=spp_local,
         spp=spp,
         n_pixels=n_pixels,
-        chunk=chunk,
+        ppc=ppc,
         width=width,
         height=height,
         max_depth=cfg.max_child_rays,
@@ -206,12 +211,12 @@ def render_sharded_pallas(
     jax.block_until_ready(r)
     elapsed = _time.perf_counter() - t0
     if progress:
-        lanes = width * height * cfg.samples_per_pixel
-        print(
-            f"Done in {int(elapsed * 1000)}ms on {devs} devices "
-            f"({lanes / elapsed / 1e6:.2f} Mprimary-rays/s, pallas)",
-            file=sys.stderr,
-        )
+        from ..utils.profiling import RenderStats
+
+        stats = RenderStats(elapsed, width * height, cfg.samples_per_pixel,
+                            cfg.max_child_rays, backend="pallas",
+                            n_devices=devs)
+        print(stats.summary(), file=sys.stderr)
     # Devices may pad past tiles_total; crop block rows before unblocking.
     rows = tiles_total * TILE_ROWS
     img = unblock_image(r[:rows], g[:rows], b[:rows], width=width, height=height)
@@ -241,13 +246,14 @@ def render_sharded(
     fb.block_until_ready()
     elapsed = _time.perf_counter() - t0
     if progress:
-        lanes = meta["n_pixels"] * cfg.samples_per_pixel
-        print(
-            f"Done in {int(elapsed * 1000)}ms on "
-            f"{meta['tile_shards']}x{meta['spp_shards']} mesh "
-            f"({lanes / elapsed / 1e6:.2f} Mprimary-rays/s)",
-            file=sys.stderr,
+        from ..utils.profiling import RenderStats
+
+        stats = RenderStats(
+            elapsed, meta["n_pixels"], cfg.samples_per_pixel,
+            cfg.max_child_rays, backend="jnp",
+            n_devices=meta["tile_shards"] * meta["spp_shards"],
         )
+        print(stats.summary(), file=sys.stderr)
 
     width, height = cfg.image_width, cfg.image_height
     fb_np = np.asarray(fb, dtype=np.float64)[: meta["n_pixels"]]

@@ -74,12 +74,11 @@ def render_pallas(
     rad.block_until_ready()
     elapsed = _time.perf_counter() - t0
     if progress:
-        lanes = width * height * spp
-        print(
-            f"Done in {int(elapsed * 1000)}ms "
-            f"({lanes / elapsed / 1e6:.2f} Mprimary-rays/s, pallas)",
-            file=sys.stderr,
-        )
+        from .utils.profiling import RenderStats
+
+        stats = RenderStats(elapsed, width * height, spp, cfg.max_child_rays,
+                            backend="pallas")
+        print(stats.summary(), file=sys.stderr)
     return np.asarray(rad, dtype=np.float64).reshape(height, width, 3) / spp
 
 
@@ -109,6 +108,13 @@ def _render_auto(
     import jax
 
     if cfg.n_devices > 1 and len(jax.devices()) > 1:
+        if pallas_supported(scene, cfg):
+            # Parallel-by-default megakernel path (the reference fans out
+            # by default too, src/render.cpp:172-175): devices own
+            # contiguous image-tile ranges and run the fused kernel.
+            from .parallel.sharded import render_sharded_pallas
+
+            return render_sharded_pallas(scene, camera, cfg, progress=progress)
         from .parallel.sharded import render_sharded
 
         nearest = pick_nearest_hit(scene, cfg)

@@ -6,14 +6,12 @@ with the single-device renderer statistically, spp accounting must be
 exact (no silent floor-division loss, src/render.cpp:174,185), and any
 (tile, spp) mesh factorisation must produce the same image structure.
 """
-import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from rtow_tpu.config import Config
 from rtow_tpu.models.builders import three_sphere_scene
-from rtow_tpu.parallel.mesh import SPP_AXIS, TILE_AXIS, choose_split, make_mesh
+from rtow_tpu.parallel.mesh import choose_split, make_mesh
 from rtow_tpu.parallel.sharded import render_sharded
 from rtow_tpu.render import render
 
@@ -100,6 +98,28 @@ def test_sharded_pallas_interpret(scene_cam):
     assert img.shape == ref.shape
     assert np.isfinite(img).all()
     assert abs(img.mean() - ref.mean()) < 0.03
+
+
+def test_render_auto_multidevice_takes_pallas(scene_cam, monkeypatch):
+    """n_devices>1 with a pallas-supported scene must dispatch to the
+    sharded megakernel, not silently fall back to the jnp path
+    (parallel-by-default, reference src/render.cpp:172-175)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    import rtow_tpu.parallel.sharded as sharded_mod
+    from rtow_tpu.pipeline import render_auto
+
+    scene, cam = scene_cam
+    cfg = _cfg(samples_per_pixel=8, max_child_rays=3, backend="pallas")
+
+    def _boom(*a, **kw):
+        raise AssertionError("jnp sharded path taken for a pallas scene")
+
+    monkeypatch.setattr(sharded_mod, "render_sharded", _boom)
+    with pltpu.force_tpu_interpret_mode():
+        img = render_auto(scene, cam, cfg)
+    assert img.shape == (cfg.image_height, cfg.image_width, 3)
+    assert np.isfinite(img).all()
 
 
 def test_distributed_initialize_single_host_noop():
