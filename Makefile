@@ -1,9 +1,12 @@
 # Convenience targets mirroring the reference's make UX (reference
 # Makefile:16-24: run-release piped a PPM to /tmp; watch-* live-reloaded).
-.PHONY: test bench render render-mesh verify inventory floor
+.PHONY: test lint bench render render-mesh verify inventory floor
 
-test:
+test: lint
 	python -m pytest tests/ -q
+
+lint:  ## enforced lint gate (the reference enforces clang-tidy, .clang-tidy:2)
+	python tools/lint.py
 
 bench:
 	python bench.py

@@ -5,13 +5,20 @@ A from-scratch JAX/XLA/Pallas re-design of joaotavora/raytracing-one-weekend
 loop instead of recursion, mesh-sharded rendering via shard_map, and
 reverse-mode gradients w.r.t. scene geometry and materials.
 """
+import os as _os
+
 import jax as _jax
 
 # Persistent compilation cache: the megakernel + fused bounce loops take
 # minutes to compile (remote Mosaic/XLA compile on the TPU host); cache
-# them across processes.  No-op when already configured.
-if _jax.config.jax_compilation_cache_dir is None:
-    _jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+# them across processes.  Opt out with RTOW_NO_COMPILE_CACHE=1; no-op
+# when the embedder already configured a cache dir.
+if (_jax.config.jax_compilation_cache_dir is None
+        and not _os.environ.get("RTOW_NO_COMPILE_CACHE")):
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "jax"),
+    )
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
 from .config import Config

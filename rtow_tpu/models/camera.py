@@ -17,7 +17,6 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops import vec
 from ..utils import rng
 from ..utils.dtypes import REAL
 

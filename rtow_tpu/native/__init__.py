@@ -10,6 +10,7 @@ ABI, ctypes binding) and every entry point has a pure-Python fallback in
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -19,20 +20,35 @@ import numpy as np
 
 _HERE = os.path.dirname(__file__)
 _SRC = os.path.join(_HERE, "src", "rtow_native.cpp")
-_LIB = os.path.join(_HERE, "librtow_native.so")
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _load_failed = False
 
 
-def _compile() -> bool:
+def _lib_path() -> str:
+    """Per-source-content, per-host cache path for the compiled library.
+
+    Keyed on a hash of the source (not mtime — git checkouts reset
+    mtimes) and built with -march=native into the user cache dir, so a
+    binary can never be stale or carry another host's ISA."""
+    digest = hashlib.sha256(open(_SRC, "rb").read()).hexdigest()[:16]
+    cache = os.path.join(
+        os.path.expanduser("~"), ".cache", "rtow_tpu", "native"
+    )
+    return os.path.join(cache, f"librtow_native-{digest}.so")
+
+
+def _compile(lib_path: str) -> bool:
     try:
+        os.makedirs(os.path.dirname(lib_path), exist_ok=True)
+        tmp = lib_path + f".tmp{os.getpid()}"
         subprocess.run(
             ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-             _SRC, "-o", _LIB],
+             _SRC, "-o", tmp],
             check=True, capture_output=True, timeout=120,
         )
+        os.replace(tmp, lib_path)  # atomic under concurrent builds
         return True
     except Exception:
         return False
@@ -47,12 +63,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
     with _lock:
         if _lib is not None or _load_failed:
             return _lib
-        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
-            if not _compile():
+        lib_path = _lib_path()
+        if not os.path.exists(lib_path):
+            if not _compile(lib_path):
                 _load_failed = True
                 return None
         try:
-            lib = ctypes.CDLL(_LIB)
+            lib = ctypes.CDLL(lib_path)
         except OSError:
             _load_failed = True
             return None

@@ -145,12 +145,6 @@ int rtow_write_ppm(const double* mean, int64_t width, int64_t height,
 // stack — no recursion limits on million-primitive meshes).  Split rule:
 // largest centroid extent, median split (reference render.cpp:80-106 uses a
 // first-vs-last-bbox heuristic; SURVEY.md quirks ledger frees this).
-struct BuildItem {
-  int64_t lo, hi;      // range into the permutation array
-  int64_t parent_slot; // node index whose skip should be patched to my
-                       // right sibling (unused here; see below)
-};
-
 int rtow_build_bvh(const double* pmin, const double* pmax, int64_t n_prims,
                    int64_t leaf_size,
                    // outputs (malloc'd):
@@ -176,27 +170,11 @@ int rtow_build_bvh(const double* pmin, const double* pmax, int64_t n_prims,
   bmin.reserve(n_prims * 6);
   bmax.reserve(n_prims * 6);
 
-  // Iterative preorder: stack of (lo, hi, escape-slot-to-patch-later).
-  // We emulate the recursive emit() with an explicit stack holding ranges
-  // plus the escape target *after* the node is allocated; the second pass
-  // computing final skips mirrors ops/bvh.py.
-  struct Frame { int64_t lo, hi; };
-  std::vector<Frame> stack;
-  stack.push_back({0, n_prims});
-  // To reproduce preorder with an explicit stack we process ranges
-  // depth-first, left first: push right half, then left half.
-  // skip[] initially: for each emitted left-sibling node we record the
-  // preorder index of its right sibling; a second pass fixes the rest.
-  // We record tree structure via a children map instead.
+  // Iterative preorder build: a phase-machine stack emulates the
+  // recursion exactly (left subtree emitted before right), so node
+  // layout matches ops/bvh.py (left child = node+1; a second pass
+  // derives skip indices from the children links).
   std::vector<int64_t> left_child, right_child;  // -1 for leaves
-
-  // Emulate recursion preserving preorder exactly.
-  struct Task { int64_t lo, hi, slot, state; };
-  std::vector<Task> tasks;
-  tasks.push_back({0, n_prims, -1, 0});
-  std::vector<int64_t> node_of_task;  // node index allocated for a task
-
-  // Simpler correct approach: explicit recursion via stack machine.
   struct Rec { int64_t lo, hi; int64_t me; int phase; };
   std::vector<Rec> rec;
   rec.push_back({0, n_prims, -1, 0});

@@ -106,67 +106,6 @@ def trace(
     return final.radiance
 
 
-def trace_forward(
-    scene: Scene,
-    rays: Rays,
-    key: jax.Array,
-    max_depth: int,
-    nearest_hit: Optional[NearestHitFn] = None,
-    cull_backfaces: bool = True,
-) -> jax.Array:
-    """Forward-only trace with early termination -> per-lane radiance.
-
-    Identical semantics to :func:`trace`, but the bounce loop is a
-    ``lax.while_loop`` that stops as soon as every lane is dead — the
-    mean path length is ~5 bounces while ``max_depth`` is 20-50, so this
-    skips most of the fixed-depth work.  Not reverse-mode differentiable
-    (use :func:`trace` for gradients).
-    """
-    if nearest_hit is None:
-        nearest_hit = intersect.nearest_hit_bruteforce
-
-    dtype = rays.origin.dtype
-    lanes = rays.time.shape
-
-    init = WavefrontState(
-        origin=rays.origin,
-        direction=rays.direction,
-        time=rays.time,
-        throughput=jnp.ones((*lanes, 3), dtype=dtype),
-        radiance=jnp.zeros((*lanes, 3), dtype=dtype),
-        alive=jnp.ones(lanes, dtype=bool),
-    )
-
-    def cond(carry):
-        st, i = carry
-        return jnp.any(st.alive) & (i <= max_depth)
-
-    def body(carry):
-        st, i = carry
-        rec = nearest_hit(
-            scene, st.origin, st.direction, st.time, cull_backfaces=cull_backfaces
-        )
-        missed = st.alive & ~rec.hit
-        radiance = st.radiance + jnp.where(
-            missed[..., None], st.throughput * sky_color(st.direction), 0.0
-        )
-        can_scatter = st.alive & rec.hit & (i < max_depth)
-        sc = scatter(jax.random.fold_in(key, i), st.direction, rec)
-        origin = jnp.where(can_scatter[..., None], rec.point, st.origin)
-        direction = jnp.where(can_scatter[..., None], sc.direction, st.direction)
-        throughput = jnp.where(
-            can_scatter[..., None], st.throughput * sc.attenuation, st.throughput
-        )
-        return (
-            WavefrontState(origin, direction, st.time, throughput, radiance,
-                           can_scatter),
-            i + 1,
-        )
-
-    final, _ = jax.lax.while_loop(cond, body, (init, jnp.int32(0)))
-    return final.radiance
-
-
 def trace_progressive(
     scene: Scene,
     camera,

@@ -189,12 +189,10 @@ def render(
     fb.block_until_ready()
     elapsed = _time.perf_counter() - t_start
     if progress:
-        lanes = n_pixels * spp
-        print(
-            f"Done in {int(elapsed * 1000)}ms "
-            f"({lanes / elapsed / 1e6:.2f} Mprimary-rays/s)",
-            file=sys.stderr,
-        )
+        from .utils.profiling import RenderStats
+
+        stats = RenderStats(elapsed, n_pixels, spp, cfg.max_child_rays)
+        print(stats.summary(), file=sys.stderr)
 
     mean = np.asarray(fb, dtype=np.float64)[:n_pixels].reshape(height, width, 3) / spp
     return mean

@@ -17,7 +17,6 @@ from __future__ import annotations
 import contextlib
 import dataclasses
 import sys
-import time
 from typing import Iterator, Optional
 
 import numpy as np
@@ -25,10 +24,16 @@ import numpy as np
 
 @dataclasses.dataclass
 class RenderStats:
+    """Wall time + throughput for one render — printed by every
+    progress-enabled render path (the reference prints "Done in Nms",
+    src/render.cpp:188-190; we add the north-star Mrays/s)."""
+
     wall_s: float
     n_pixels: int
     spp: int
     max_depth: int
+    backend: str = "jnp"
+    n_devices: int = 1
 
     @property
     def primary_rays(self) -> int:
@@ -39,18 +44,13 @@ class RenderStats:
         return self.primary_rays / self.wall_s / 1e6
 
     def summary(self) -> str:
+        dev = f", {self.n_devices} devices" if self.n_devices > 1 else ""
         return (
             f"Done in {int(self.wall_s * 1000)}ms "
             f"({self.primary_mrays_per_s:.2f} Mprimary-rays/s, "
-            f"{self.n_pixels}px x {self.spp}spp, depth {self.max_depth})"
+            f"{self.n_pixels}px x {self.spp}spp, depth {self.max_depth}, "
+            f"{self.backend}{dev})"
         )
-
-
-@contextlib.contextmanager
-def timed(stats_out: dict, key: str = "wall_s") -> Iterator[None]:
-    t0 = time.perf_counter()
-    yield
-    stats_out[key] = time.perf_counter() - t0
 
 
 @contextlib.contextmanager

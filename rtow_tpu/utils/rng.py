@@ -17,31 +17,10 @@ quirks ledger).
 """
 from __future__ import annotations
 
-import enum
-
 import jax
 import jax.numpy as jnp
 
 from .dtypes import REAL
-
-
-class Stream(enum.IntEnum):
-    """Purpose tags folded into keys so independent draws never collide."""
-
-    PIXEL_JITTER = 0
-    LENS = 1
-    SHUTTER_TIME = 2
-    SCATTER_DIR = 3
-    SCATTER_CHOICE = 4
-    FUZZ = 5
-
-
-def stream_key(key: jax.Array, stream: Stream, *indices: int) -> jax.Array:
-    """Derive the key for one (purpose, counter...) draw site."""
-    key = jax.random.fold_in(key, int(stream))
-    for ix in indices:
-        key = jax.random.fold_in(key, ix)
-    return key
 
 
 def uniform(key, shape=(), lo=0.0, hi=1.0, dtype=REAL) -> jax.Array:

@@ -1,7 +1,4 @@
 """End-to-end CLI tests (CPU backend via conftest)."""
-import io
-import sys
-
 import numpy as np
 
 from rtow_tpu import cli

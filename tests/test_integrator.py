@@ -79,25 +79,3 @@ def test_deterministic_given_key():
     a = integrator.trace(scene, rays, jax.random.key(7), max_depth=8)
     b = integrator.trace(scene, rays, jax.random.key(7), max_depth=8)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-
-
-def test_trace_forward_matches_scan():
-    """Early-exit while_loop forward trace == fixed-depth scan trace
-    (identical RNG stream and semantics, only the loop differs)."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
-    from rtow_tpu.models.builders import three_sphere_scene
-    from rtow_tpu.models.camera import camera_rays, pixel_coords
-    from rtow_tpu.ops import integrator
-
-    scene, cam = three_sphere_scene(aspect_ratio=1.0)
-    key = jax.random.key(11)
-    pix = jnp.arange(256, dtype=jnp.int32)
-    s, t = pixel_coords(16, 16, key, pix)
-    rays = camera_rays(cam, key, s, t)
-    a = integrator.trace(scene, rays, key, 6)
-    b = integrator.trace_forward(scene, rays, key, 6)
-    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
-                               atol=1e-6)

@@ -4,9 +4,7 @@ The kernel must agree with the jnp renderer statistically (different
 RNG streams; tolerance calibrated to seed-to-seed noise) and reproduce
 exact reference semantics on deterministic sub-paths.
 """
-import jax
 import numpy as np
-import pytest
 from jax.experimental.pallas import tpu as pltpu
 
 from rtow_tpu.config import Config

@@ -25,9 +25,11 @@ def test_in_unit_disk():
 
 
 def test_determinism_and_stream_separation():
+    """fold_in-derived streams are deterministic and independent — the
+    race-free replacement for the reference's shared mt19937."""
     k = jax.random.key(42)
-    a = rng.uniform(rng.stream_key(k, rng.Stream.LENS, 3), (8,))
-    b = rng.uniform(rng.stream_key(k, rng.Stream.LENS, 3), (8,))
-    c = rng.uniform(rng.stream_key(k, rng.Stream.SHUTTER_TIME, 3), (8,))
+    a = rng.uniform(jax.random.fold_in(k, 3), (8,))
+    b = rng.uniform(jax.random.fold_in(k, 3), (8,))
+    c = rng.uniform(jax.random.fold_in(k, 4), (8,))
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert not np.allclose(np.asarray(a), np.asarray(c))

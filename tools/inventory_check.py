@@ -14,7 +14,7 @@ ROWS = [
     ("Vector math (vec3.h)", "rtow_tpu.ops.vec",
      ["dot", "cross", "normalize", "reflect", "refract", "length2", "lerp"]),
     ("RNG (random-utils.{h,cpp})", "rtow_tpu.utils.rng",
-     ["uniform", "unit_vectors", "in_unit_disk", "stream_key"]),
+     ["uniform", "unit_vectors", "in_unit_disk"]),
     ("Ray (common-model.h:17-31)", "rtow_tpu.models.camera", ["Rays"]),
     ("Hit record (common-model.h:40-57)", "rtow_tpu.models.materials", ["HitRecord"]),
     ("ScatterRecord (common-model.h:33-36)", "rtow_tpu.models.materials", ["ScatterResult"]),
@@ -34,7 +34,7 @@ ROWS = [
      ["build_bvh", "traverse", "make_nearest_hit", "FlatBVH"]),
     ("stupid_volume (render.cpp:37-50)", "rtow_tpu.utils.profiling", ["bvh_quality"]),
     ("Integrator ray_color (render.cpp:112-129)", "rtow_tpu.ops.integrator",
-     ["trace", "trace_forward", "trace_progressive"]),
+     ["trace", "trace_progressive"]),
     ("Renderer/scheduler (render.cpp:135-191)", "rtow_tpu.render",
      ["render", "chunk_radiance"]),
     ("Megakernel (north-star)", "rtow_tpu.ops.pallas_megakernel",
