@@ -229,6 +229,377 @@ def build_tri_table(scene: Scene) -> Tuple[jax.Array, jax.Array, jax.Array]:
     return tbl, boxes, super_boxes
 
 
+def _bounce_core(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
+                 ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb,
+                 alive, bounce, lane_u32, salt, max_depth, *,
+                 n_blocks, n_tri_blocks, n_super=0, cull=True, ablate="full"):
+    """One intersect+shade step for every live lane of a tile.
+
+    The shared heart of both megakernels (the persistent-wavefront
+    whole-frame kernel and the flat sorted-wavefront bounce kernel):
+    nearest-hit sweep over Morton sphere/triangle blocks with AABB
+    culling -> one-hot winner fetch -> masked material scatter -> sky
+    for missed lanes -> state advance.  Reference semantics are
+    ``ray_color`` (src/render.cpp:112-129): miss -> sky * throughput,
+    hit with exhausted budget -> black, scatter -> throughput *=
+    attenuation.
+
+    All state is (rows, LANES) f32 except ``alive`` (bool) and
+    ``bounce`` (int32).  Returns the advanced 14-tuple
+    (ox..dz, tpr..tpb, rr..rb, can, bounce) — ``tm`` is unchanged.
+    """
+    shape = ox.shape
+    zero = jnp.zeros(shape, jnp.float32)
+    # Pair tensors are (rows, spheres, lanes): sphere axis = 1 (sublanes).
+    k_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (shape[0], SPHERE_BLOCK, shape[1]), 1
+    )
+
+    # ---- nearest-hit sweep over sphere blocks ----------------------
+    # Pair layout (rows, spheres, lanes): lane state broadcasts on
+    # axis 1, sphere params on axis 2; all pair reductions run over
+    # the SUBLANE axis (axis 1) — lane-axis reductions need
+    # cross-lane shuffles and measured ~3x slower.
+    a = dx * dx + dy * dy + dz * dz
+    inv_a = 1.0 / a
+    o3x, o3y, o3z = ox[:, None, :], oy[:, None, :], oz[:, None, :]
+    d3x, d3y, d3z = dx[:, None, :], dy[:, None, :], dz[:, None, :]
+    tm3 = tm[:, None, :]
+    inva3 = inv_a[:, None, :]
+    a3 = a[:, None, :]
+
+    def col(blk, p):
+        return blk[:, p][None, :, None]  # (1, 128 spheres, 1)
+
+    inv_dx = 1.0 / dx
+    inv_dy = 1.0 / dy
+    inv_dz = 1.0 / dz
+
+    def _box_enter_exit(box_ref, b, best_t):
+        """Slab-test entry/exit for block b's AABB per lane."""
+        bx0, by0, bz0 = box_ref[b, 0], box_ref[b, 1], box_ref[b, 2]
+        bx1, by1, bz1 = box_ref[b, 3], box_ref[b, 4], box_ref[b, 5]
+        tx0 = (bx0 - ox) * inv_dx
+        tx1 = (bx1 - ox) * inv_dx
+        ty0 = (by0 - oy) * inv_dy
+        ty1 = (by1 - oy) * inv_dy
+        tz0 = (bz0 - oz) * inv_dz
+        tz1 = (bz1 - oz) * inv_dz
+        enter = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.maximum(jnp.minimum(tz0, tz1), T_MIN),
+        )
+        exit_ = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.minimum(jnp.maximum(tz0, tz1), best_t),
+        )
+        return enter, exit_
+
+    def _box_any_hit(box_ref, b, best_t):
+        """True when any live lane's ray enters block b's AABB."""
+        enter, exit_ = _box_enter_exit(box_ref, b, best_t)
+        return jnp.any(jnp.logical_and(exit_ > enter, alive))
+
+    def _fused_fetch(blk, bk, upd, params, first_col, n_params):
+        """Overwrite ``params`` with block-winner values where ``upd``.
+
+        The winner's parameters are fetched from the block *while it is
+        resident* via an exact one-hot multiply-reduce on the block-local
+        argmin — fetching here (instead of a second loop over every
+        block) means culled blocks pay nothing for the fetch either.
+        """
+        oh = (bk[:, None, :] == k_iota).astype(jnp.float32)
+        return tuple(
+            jnp.where(upd, jnp.sum(oh * col(blk, first_col + p), axis=1),
+                      params[p])
+            for p in range(n_params)
+        )
+
+    # fori_loop (not a python loop) over sphere blocks: the unrolled
+    # form blew Mosaic's compile time past 20 minutes at 4 blocks.
+    def sweep_block(b, carry):
+        return jax.lax.cond(
+            _box_any_hit(sph_box_ref, b, carry[0]),
+            lambda c: _sphere_block_sweep(b, c), lambda c: c, carry,
+        )
+
+    def _sphere_block_sweep(b, carry):
+        best_t, best_k = carry[0], carry[1]
+        blk = tbl_ref[
+            pl.ds(pl.multiple_of(b * SPHERE_BLOCK, SPHERE_BLOCK),
+                  SPHERE_BLOCK), :
+        ]  # (128 spheres, 16 params)
+        bt3 = best_t[:, None, :]
+        ocx = o3x - (col(blk, _C0X) + tm3 * col(blk, _DCX))
+        ocy = o3y - (col(blk, _C0Y) + tm3 * col(blk, _DCY))
+        ocz = o3z - (col(blk, _C0Z) + tm3 * col(blk, _DCZ))
+        r_ = col(blk, _R)
+        h = ocx * d3x + ocy * d3y + ocz * d3z
+        cc = ocx * ocx + ocy * ocy + ocz * ocz - r_ * r_
+        disc = h * h - a3 * cc
+        pos = disc > 0.0
+        sq = jnp.sqrt(jnp.where(pos, disc, 1.0))
+        near = (-h - sq) * inva3
+        far = (-h + sq) * inva3
+        near_ok = jnp.logical_and(near >= T_MIN, near <= bt3)
+        far_ok = jnp.logical_and(far >= T_MIN, far <= bt3)
+        t_pair = jnp.where(near_ok, near, far)
+        ok = jnp.logical_and(pos, jnp.logical_or(near_ok, far_ok))
+        t_pair = jnp.where(ok, t_pair, BIG)
+        bt = jnp.min(t_pair, axis=1)
+        bk = jnp.argmin(t_pair, axis=1).astype(jnp.int32)
+        upd = bt < best_t
+        best_t = jnp.where(upd, bt, best_t)
+        best_k = jnp.where(upd, bk + b * SPHERE_BLOCK, best_k)
+        params = _fused_fetch(blk, bk, upd, carry[2:], 0, _TBL_ROWS)
+        return (best_t, best_k) + params
+
+    best_t = jnp.full(shape, BIG, jnp.float32)
+    best_k = jnp.zeros(shape, jnp.int32)
+    sph_params = tuple([zero] * _TBL_ROWS)
+    if n_blocks:
+        carry = jax.lax.fori_loop(
+            0, n_blocks, sweep_block, (best_t, best_k) + sph_params
+        )
+        best_t, best_k = carry[0], carry[1]
+        sph_params = carry[2:]
+
+    sph_pad = n_blocks * SPHERE_BLOCK
+    tri_params = tuple([zero] * 12)
+    if n_tri_blocks:
+        # Block culling: triangles are Morton-sorted into spatially
+        # compact 128-blocks; slab-test each block AABB against the
+        # tile's live rays and cond-skip blocks nobody can hit.
+        # Moller-Trumbore in the reference's determinant form
+        # (src/common-model.cpp:104-125) over triangle blocks.
+        def tri_sweep(b, carry):
+            enter, exit_ = _box_enter_exit(tri_box_ref, b, carry[0])
+            box_hit = jnp.logical_and(exit_ > enter, alive)
+            return jax.lax.cond(
+                jnp.any(box_hit), lambda c: _tri_block_sweep(b, c),
+                lambda c: c, carry,
+            )
+
+        def _tri_block_sweep(b, carry):
+            best_t, best_k = carry[0], carry[1]
+            blk = tri_ref[
+                pl.ds(pl.multiple_of(b * SPHERE_BLOCK, SPHERE_BLOCK),
+                      SPHERE_BLOCK), :
+            ]
+            bt3 = best_t[:, None, :]
+            ax_, ay_, az_ = col(blk, 0), col(blk, 1), col(blk, 2)
+            e1x, e1y, e1z = col(blk, 3), col(blk, 4), col(blk, 5)
+            e2x, e2y, e2z = col(blk, 6), col(blk, 7), col(blk, 8)
+            nxb = e1y * e2z - e1z * e2y
+            nyb = e1z * e2x - e1x * e2z
+            nzb = e1x * e2y - e1y * e2x
+            det = -(d3x * nxb + d3y * nyb + d3z * nzb)
+            if cull:
+                det_ok = det >= np.float32(1e-6)
+            else:
+                det_ok = jnp.abs(det) >= np.float32(1e-6)
+            invdet = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0),
+                               0.0)
+            aox = o3x - ax_
+            aoy = o3y - ay_
+            aoz = o3z - az_
+            daox = aoy * d3z - aoz * d3y
+            daoy = aoz * d3x - aox * d3z
+            daoz = aox * d3y - aoy * d3x
+            u = (e2x * daox + e2y * daoy + e2z * daoz) * invdet
+            v = -(e1x * daox + e1y * daoy + e1z * daoz) * invdet
+            tt = (aox * nxb + aoy * nyb + aoz * nzb) * invdet
+            ok = jnp.logical_and(
+                jnp.logical_and(det_ok, tt >= T_MIN),
+                jnp.logical_and(tt <= bt3,
+                                jnp.logical_and(u >= 0.0,
+                                                jnp.logical_and(v >= 0.0,
+                                                                u + v <= 1.0))),
+            )
+            t_pair = jnp.where(ok, tt, BIG)
+            bt = jnp.min(t_pair, axis=1)
+            bk = jnp.argmin(t_pair, axis=1).astype(jnp.int32)
+            upd = bt < best_t
+            best_t = jnp.where(upd, bt, best_t)
+            best_k = jnp.where(upd, bk + sph_pad + b * SPHERE_BLOCK,
+                               best_k)
+            # e1(3), e2(3), albedo(3), fuzz, ir, kind live in cols 3..14.
+            params = _fused_fetch(blk, bk, upd, carry[2:], 3, 12)
+            return (best_t, best_k) + params
+
+        tri_carry = (best_t, best_k) + tri_params
+        if n_super:
+            # Two-level cull: only descend into super-blocks (16
+            # blocks each) whose AABB some live ray hits.
+            def super_sweep(sb, carry):
+                s_enter, s_exit = _box_enter_exit(tri_sup_ref, sb, carry[0])
+                s_hit = jnp.logical_and(s_exit > s_enter, alive)
+
+                def descend(c):
+                    return jax.lax.fori_loop(
+                        0, SUPER,
+                        lambda jb, c2: tri_sweep(sb * SUPER + jb, c2), c
+                    )
+
+                return jax.lax.cond(jnp.any(s_hit), descend, lambda c: c,
+                                    carry)
+
+            tri_carry = jax.lax.fori_loop(
+                0, n_super, super_sweep, tri_carry
+            )
+        else:
+            tri_carry = jax.lax.fori_loop(
+                0, n_tri_blocks, tri_sweep, tri_carry
+            )
+        best_t, best_k = tri_carry[0], tri_carry[1]
+        tri_params = tri_carry[2:]
+
+    hit = best_t < BIG
+    t_hit = jnp.where(hit, best_t, 1.0)
+
+    if ablate == "nofetch":
+        sph_params = tuple(zero + 0.3 for _ in range(_TBL_ROWS))
+    (c0x, c0y, c0z, dcx, dcy, dcz, r_, alr, alg, alb, fuzz, ir,
+     kind) = sph_params
+
+    if n_tri_blocks:
+        (te1x, te1y, te1z, te2x, te2y, te2z, talr, talg, talb, tfuzz,
+         tir, tkind) = tri_params
+        is_tri = best_k >= sph_pad
+        alr = jnp.where(is_tri, talr, alr)
+        alg = jnp.where(is_tri, talg, alg)
+        alb = jnp.where(is_tri, talb, alb)
+        fuzz = jnp.where(is_tri, tfuzz, fuzz)
+        ir = jnp.where(is_tri, tir, ir)
+        kind = jnp.where(is_tri, tkind, kind)
+
+    # ---- hit record -------------------------------------------------
+    px = ox + t_hit * dx
+    py = oy + t_hit * dy
+    pz = oz + t_hit * dz
+    r_abs = jnp.where(r_ == 0.0, 1.0, jnp.abs(r_))
+    nx = (px - (c0x + tm * dcx)) / r_abs
+    ny = (py - (c0y + tm * dcy)) / r_abs
+    nz = (pz - (c0z + tm * dcz)) / r_abs
+    dn = dx * nx + dy * ny + dz * nz
+    front = jnp.logical_xor(dn < 0.0, r_ < 0.0)
+    flip = jnp.where(front, 1.0, -1.0)
+    nx, ny, nz = nx * flip, ny * flip, nz * flip
+
+    if n_tri_blocks:
+        # Triangle normal: unit cross(e1, e2); reference reports
+        # triangles always front-facing (src/common-model.cpp:122).
+        tnx = te1y * te2z - te1z * te2y
+        tny = te1z * te2x - te1x * te2z
+        tnz = te1x * te2y - te1y * te2x
+        tl2 = tnx * tnx + tny * tny + tnz * tnz
+        tl_ok = tl2 > 0.0
+        tinv = jnp.where(tl_ok,
+                         jax.lax.rsqrt(jnp.where(tl_ok, tl2, 1.0)), 0.0)
+        tnx, tny, tnz = tnx * tinv, tny * tinv, tnz * tinv
+        if not cull:
+            tflip = jnp.where(dx * tnx + dy * tny + dz * tnz < 0.0,
+                              1.0, -1.0)
+            tnx, tny, tnz = tnx * tflip, tny * tflip, tnz * tflip
+        nx = jnp.where(is_tri, tnx, nx)
+        ny = jnp.where(is_tri, tny, ny)
+        nz = jnp.where(is_tri, tnz, nz)
+        front = jnp.logical_or(is_tri, front)
+
+    # ---- shared unit-vector draw (cylinder-map uniform sphere) -----
+    uz = 1.0 - 2.0 * _uniform(lane_u32, salt, 5)
+    uu = _uniform(lane_u32, salt, 6)
+    uxy = jnp.sqrt(jnp.maximum(1.0 - uz * uz, 0.0))
+    if ablate == "noregen":
+        uvx, uvy = uxy * uu, uxy * (1.0 - uu)
+    else:
+        uph = _TWO_PI * uu
+        uvx = uxy * jnp.cos(uph)
+        uvy = uxy * jnp.sin(uph)
+    uvz = uz
+
+    # Lambertian: n + unit (degenerate -> n).
+    lamx, lamy, lamz = nx + uvx, ny + uvy, nz + uvz
+    degen = lamx * lamx + lamy * lamy + lamz * lamz < 1e-12
+    lamx = jnp.where(degen, nx, lamx)
+    lamy = jnp.where(degen, ny, lamy)
+    lamz = jnp.where(degen, nz, lamz)
+
+    # Metal: reflect(raw d) + fuzz*unit (no horizon check — reference).
+    ddn2 = 2.0 * (dx * nx + dy * ny + dz * nz)
+    mrx = dx - ddn2 * nx + fuzz * uvx
+    mry = dy - ddn2 * ny + fuzz * uvy
+    mrz = dz - ddn2 * nz + fuzz * uvz
+
+    # Dielectric: Schlick + TIR stochastic choice, + fuzz extension.
+    dlen = jnp.sqrt(a)
+    inv_dlen = 1.0 / dlen
+    udx, udy, udz = dx * inv_dlen, dy * inv_dlen, dz * inv_dlen
+    cos_t = jnp.minimum(-(udx * nx + udy * ny + udz * nz), 1.0)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    ir_safe = jnp.where(ir > 0.0, ir, 1.0)
+    ratio = jnp.where(front, 1.0 / ir_safe, ir_safe)
+    cannot = ratio * sin_t > 1.0
+    r0 = (1.0 - ratio) / (1.0 + ratio)
+    r0 = r0 * r0
+    omc = 1.0 - cos_t
+    omc2 = omc * omc
+    refl_p = r0 + (1.0 - r0) * omc2 * omc2 * omc
+    choice = _uniform(lane_u32, salt, 7)
+    must_reflect = jnp.logical_or(cannot, refl_p > choice)
+    # refract (glm semantics, unit incident)
+    k_ = jnp.maximum(1.0 - ratio * ratio * (1.0 - cos_t * cos_t), 0.0)
+    sqk = jnp.sqrt(k_)
+    rfx = ratio * udx + (ratio * cos_t - sqk) * nx
+    rfy = ratio * udy + (ratio * cos_t - sqk) * ny
+    rfz = ratio * udz + (ratio * cos_t - sqk) * nz
+    # reflect (unit incident)
+    udn2 = 2.0 * (udx * nx + udy * ny + udz * nz)
+    rlx = udx - udn2 * nx
+    rly = udy - udn2 * ny
+    rlz = udz - udn2 * nz
+    dix = jnp.where(must_reflect, rlx, rfx) + fuzz * uvx
+    diy = jnp.where(must_reflect, rly, rfy) + fuzz * uvy
+    diz = jnp.where(must_reflect, rlz, rfz) + fuzz * uvz
+
+    is_metal = kind == np.float32(METAL)
+    is_diel = kind == np.float32(DIELECTRIC)
+    sdx = jnp.where(is_metal, mrx, jnp.where(is_diel, dix, lamx))
+    sdy = jnp.where(is_metal, mry, jnp.where(is_diel, diy, lamy))
+    sdz = jnp.where(is_metal, mrz, jnp.where(is_diel, diz, lamz))
+    atr = jnp.where(is_diel, 1.0, alr)
+    atg = jnp.where(is_diel, 1.0, alg)
+    atb = jnp.where(is_diel, 1.0, alb)
+
+    # ---- sky for missed live lanes ---------------------------------
+    missed = jnp.logical_and(alive, jnp.logical_not(hit))
+    inv_len = 1.0 / jnp.sqrt(a)
+    sky_t = 0.5 * (dy * inv_len + 1.0)
+    skyr = 1.0 - sky_t + sky_t * 0.5
+    skyg = 1.0 - sky_t + sky_t * 0.7
+    skyb = 1.0  # 1-t + t*1.0
+    rr = rr + jnp.where(missed, tpr * skyr, 0.0)
+    rg = rg + jnp.where(missed, tpg * skyg, 0.0)
+    rb = rb + jnp.where(missed, tpb * skyb, 0.0)
+
+    # ---- advance ----------------------------------------------------
+    can = jnp.logical_and(jnp.logical_and(alive, hit), bounce < max_depth)
+    if ablate == "noscatter":
+        can = jnp.zeros_like(can)  # hit lanes retire; scatter code DCEs
+    ox = jnp.where(can, px, ox)
+    oy = jnp.where(can, py, oy)
+    oz = jnp.where(can, pz, oz)
+    dx = jnp.where(can, sdx, dx)
+    dy = jnp.where(can, sdy, dy)
+    dz = jnp.where(can, sdz, dz)
+    tpr = jnp.where(can, tpr * atr, tpr)
+    tpg = jnp.where(can, tpg * atg, tpg)
+    tpb = jnp.where(can, tpb * atb, tpb)
+    bounce = bounce + can.astype(jnp.int32)
+    return (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, rr, rg, rb, can,
+            bounce)
+
+
 def _kernel(cam_ref, meta_ref, tbl_ref, sph_box_ref, tri_ref, tri_box_ref,
             tri_sup_ref, out_r, out_g, out_b, *, n_blocks, n_tri_blocks,
             n_super=0, cull=True, ablate="full", fixed_iters=0):
@@ -276,10 +647,6 @@ def _kernel(cam_ref, meta_ref, tbl_ref, sph_box_ref, tri_ref, tri_box_ref,
     fcol = pcol.astype(jnp.float32)
 
     zero = jnp.zeros(shape, jnp.float32)
-    # Pair tensors are (rows, spheres, lanes): sphere axis = 1 (sublanes).
-    k_iota = jax.lax.broadcasted_iota(
-        jnp.int32, (TILE_ROWS, SPHERE_BLOCK, LANES), 1
-    )
 
     def cond(c):
         # c[13] is the int32 alive mask (bool vectors fail Mosaic's
@@ -330,400 +697,14 @@ def _kernel(cam_ref, meta_ref, tbl_ref, sph_box_ref, tri_ref, tri_box_ref,
         started = started + need.astype(jnp.int32)
         alive = jnp.logical_or(alive, need)
 
-        # ---- nearest-hit sweep over sphere blocks ----------------------
-        # Pair layout (rows, spheres, lanes): lane state broadcasts on
-        # axis 1, sphere params on axis 2; all pair reductions run over
-        # the SUBLANE axis (axis 1) — lane-axis reductions need
-        # cross-lane shuffles and measured ~3x slower.
-        a = dx * dx + dy * dy + dz * dz
-        inv_a = 1.0 / a
-        o3x, o3y, o3z = ox[:, None, :], oy[:, None, :], oz[:, None, :]
-        d3x, d3y, d3z = dx[:, None, :], dy[:, None, :], dz[:, None, :]
-        tm3 = tm[:, None, :]
-        inva3 = inv_a[:, None, :]
-        a3 = a[:, None, :]
-
-        def col(blk, p):
-            return blk[:, p][None, :, None]  # (1, 128 spheres, 1)
-
-        inv_dx = 1.0 / dx
-        inv_dy = 1.0 / dy
-        inv_dz = 1.0 / dz
-
-        def _box_any_hit(box_ref, b, best_t):
-            """True when any live lane's ray enters block b's AABB."""
-            bx0, by0, bz0 = box_ref[b, 0], box_ref[b, 1], box_ref[b, 2]
-            bx1, by1, bz1 = box_ref[b, 3], box_ref[b, 4], box_ref[b, 5]
-            tx0 = (bx0 - ox) * inv_dx
-            tx1 = (bx1 - ox) * inv_dx
-            ty0 = (by0 - oy) * inv_dy
-            ty1 = (by1 - oy) * inv_dy
-            tz0 = (bz0 - oz) * inv_dz
-            tz1 = (bz1 - oz) * inv_dz
-            enter = jnp.maximum(
-                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-                jnp.maximum(jnp.minimum(tz0, tz1), T_MIN),
-            )
-            exit_ = jnp.minimum(
-                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-                jnp.minimum(jnp.maximum(tz0, tz1), best_t),
-            )
-            return jnp.any(jnp.logical_and(exit_ > enter, alive))
-
-        # fori_loop (not a python loop) over sphere blocks: the unrolled
-        # form blew Mosaic's compile time past 20 minutes at 4 blocks.
-        def sweep_block(b, carry):
-            return jax.lax.cond(
-                _box_any_hit(sph_box_ref, b, carry[0]),
-                lambda c: _sphere_block_sweep(b, c), lambda c: c, carry,
-            )
-
-        def _sphere_block_sweep(b, carry):
-            best_t, best_k = carry
-            blk = tbl_ref[
-                pl.ds(pl.multiple_of(b * SPHERE_BLOCK, SPHERE_BLOCK),
-                      SPHERE_BLOCK), :
-            ]  # (128 spheres, 16 params)
-            bt3 = best_t[:, None, :]
-            ocx = o3x - (col(blk, _C0X) + tm3 * col(blk, _DCX))
-            ocy = o3y - (col(blk, _C0Y) + tm3 * col(blk, _DCY))
-            ocz = o3z - (col(blk, _C0Z) + tm3 * col(blk, _DCZ))
-            r_ = col(blk, _R)
-            h = ocx * d3x + ocy * d3y + ocz * d3z
-            cc = ocx * ocx + ocy * ocy + ocz * ocz - r_ * r_
-            disc = h * h - a3 * cc
-            pos = disc > 0.0
-            sq = jnp.sqrt(jnp.where(pos, disc, 1.0))
-            near = (-h - sq) * inva3
-            far = (-h + sq) * inva3
-            near_ok = jnp.logical_and(near >= T_MIN, near <= bt3)
-            far_ok = jnp.logical_and(far >= T_MIN, far <= bt3)
-            t_pair = jnp.where(near_ok, near, far)
-            ok = jnp.logical_and(pos, jnp.logical_or(near_ok, far_ok))
-            t_pair = jnp.where(ok, t_pair, BIG)
-            bt = jnp.min(t_pair, axis=1)
-            bk = jnp.argmin(t_pair, axis=1).astype(jnp.int32)
-            upd = bt < best_t
-            best_t = jnp.where(upd, bt, best_t)
-            best_k = jnp.where(upd, bk + b * SPHERE_BLOCK, best_k)
-            return best_t, best_k
-
-        best_t = jnp.full(shape, BIG, jnp.float32)
-        best_k = jnp.zeros(shape, jnp.int32)
-        if n_blocks:
-            best_t, best_k = jax.lax.fori_loop(
-                0, n_blocks, sweep_block, (best_t, best_k)
-            )
-
-        sph_pad = n_blocks * SPHERE_BLOCK
-        if n_tri_blocks:
-            # Block culling: triangles are Morton-sorted into spatially
-            # compact 128-blocks; slab-test each block AABB against the
-            # tile's live rays and cond-skip blocks nobody can hit.
-            inv_dx = 1.0 / dx
-            inv_dy = 1.0 / dy
-            inv_dz = 1.0 / dz
-
-            # Moller-Trumbore in the reference's determinant form
-            # (src/common-model.cpp:104-125) over triangle blocks.
-            def tri_sweep(b, carry):
-                best_t, best_k = carry
-                bx0, by0, bz0 = (tri_box_ref[b, 0], tri_box_ref[b, 1],
-                                 tri_box_ref[b, 2])
-                bx1, by1, bz1 = (tri_box_ref[b, 3], tri_box_ref[b, 4],
-                                 tri_box_ref[b, 5])
-                tx0 = (bx0 - ox) * inv_dx
-                tx1 = (bx1 - ox) * inv_dx
-                ty0 = (by0 - oy) * inv_dy
-                ty1 = (by1 - oy) * inv_dy
-                tz0 = (bz0 - oz) * inv_dz
-                tz1 = (bz1 - oz) * inv_dz
-                enter = jnp.maximum(
-                    jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-                    jnp.maximum(jnp.minimum(tz0, tz1), T_MIN),
-                )
-                exit_ = jnp.minimum(
-                    jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-                    jnp.minimum(jnp.maximum(tz0, tz1), best_t),
-                )
-                box_hit = jnp.logical_and(exit_ > enter, alive)
-
-                def sweep_it(carry):
-                    best_t, best_k = carry
-                    return _tri_block_sweep(b, best_t, best_k)
-
-                return jax.lax.cond(
-                    jnp.any(box_hit), sweep_it, lambda c: c, (best_t, best_k)
-                )
-
-            def _tri_block_sweep(b, best_t, best_k):
-                blk = tri_ref[
-                    pl.ds(pl.multiple_of(b * SPHERE_BLOCK, SPHERE_BLOCK),
-                          SPHERE_BLOCK), :
-                ]
-                bt3 = best_t[:, None, :]
-                ax_, ay_, az_ = col(blk, 0), col(blk, 1), col(blk, 2)
-                e1x, e1y, e1z = col(blk, 3), col(blk, 4), col(blk, 5)
-                e2x, e2y, e2z = col(blk, 6), col(blk, 7), col(blk, 8)
-                nxb = e1y * e2z - e1z * e2y
-                nyb = e1z * e2x - e1x * e2z
-                nzb = e1x * e2y - e1y * e2x
-                det = -(d3x * nxb + d3y * nyb + d3z * nzb)
-                if cull:
-                    det_ok = det >= np.float32(1e-6)
-                else:
-                    det_ok = jnp.abs(det) >= np.float32(1e-6)
-                invdet = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0),
-                                   0.0)
-                aox = o3x - ax_
-                aoy = o3y - ay_
-                aoz = o3z - az_
-                daox = aoy * d3z - aoz * d3y
-                daoy = aoz * d3x - aox * d3z
-                daoz = aox * d3y - aoy * d3x
-                u = (e2x * daox + e2y * daoy + e2z * daoz) * invdet
-                v = -(e1x * daox + e1y * daoy + e1z * daoz) * invdet
-                tt = (aox * nxb + aoy * nyb + aoz * nzb) * invdet
-                ok = jnp.logical_and(
-                    jnp.logical_and(det_ok, tt >= T_MIN),
-                    jnp.logical_and(tt <= bt3,
-                                    jnp.logical_and(u >= 0.0,
-                                                    jnp.logical_and(v >= 0.0,
-                                                                    u + v <= 1.0))),
-                )
-                t_pair = jnp.where(ok, tt, BIG)
-                bt = jnp.min(t_pair, axis=1)
-                bk = jnp.argmin(t_pair, axis=1).astype(jnp.int32)
-                upd = bt < best_t
-                best_t = jnp.where(upd, bt, best_t)
-                best_k = jnp.where(upd, bk + sph_pad + b * SPHERE_BLOCK,
-                                   best_k)
-                return best_t, best_k
-
-            if n_super:
-                # Two-level cull: only descend into super-blocks (16
-                # blocks each) whose AABB some live ray hits.
-                def super_sweep(sb, carry):
-                    best_t, best_k = carry
-                    sx0, sy0, sz0 = (tri_sup_ref[sb, 0], tri_sup_ref[sb, 1],
-                                     tri_sup_ref[sb, 2])
-                    sx1, sy1, sz1 = (tri_sup_ref[sb, 3], tri_sup_ref[sb, 4],
-                                     tri_sup_ref[sb, 5])
-                    ux0 = (sx0 - ox) * inv_dx
-                    ux1 = (sx1 - ox) * inv_dx
-                    uy0 = (sy0 - oy) * inv_dy
-                    uy1 = (sy1 - oy) * inv_dy
-                    uz0 = (sz0 - oz) * inv_dz
-                    uz1 = (sz1 - oz) * inv_dz
-                    s_enter = jnp.maximum(
-                        jnp.maximum(jnp.minimum(ux0, ux1),
-                                    jnp.minimum(uy0, uy1)),
-                        jnp.maximum(jnp.minimum(uz0, uz1), T_MIN),
-                    )
-                    s_exit = jnp.minimum(
-                        jnp.minimum(jnp.maximum(ux0, ux1),
-                                    jnp.maximum(uy0, uy1)),
-                        jnp.minimum(jnp.maximum(uz0, uz1), best_t),
-                    )
-                    s_hit = jnp.logical_and(s_exit > s_enter, alive)
-
-                    def descend(c):
-                        return jax.lax.fori_loop(
-                            0, SUPER,
-                            lambda jb, c2: tri_sweep(sb * SUPER + jb, c2), c
-                        )
-
-                    return jax.lax.cond(
-                        jnp.any(s_hit), descend, lambda c: c,
-                        (best_t, best_k),
-                    )
-
-                best_t, best_k = jax.lax.fori_loop(
-                    0, n_super, super_sweep, (best_t, best_k)
-                )
-            else:
-                best_t, best_k = jax.lax.fori_loop(
-                    0, n_tri_blocks, tri_sweep, (best_t, best_k)
-                )
-
-        hit = best_t < BIG
-        t_hit = jnp.where(hit, best_t, 1.0)
-
-        # ---- winner parameter fetch (exact one-hot multiply-reduce) ----
-        bk3 = best_k[:, None, :]
-
-        def fetch_block(b, params):
-            blk = tbl_ref[
-                pl.ds(pl.multiple_of(b * SPHERE_BLOCK, SPHERE_BLOCK),
-                      SPHERE_BLOCK), :
-            ]
-            oh = (bk3 - b * SPHERE_BLOCK == k_iota).astype(jnp.float32)
-            return tuple(
-                params[p] + jnp.sum(oh * col(blk, p), axis=1)
-                for p in range(_TBL_ROWS)
-            )
-
-        if ablate == "nofetch":
-            params = tuple(zero + 0.3 for _ in range(_TBL_ROWS))
-        elif n_blocks:
-            params = jax.lax.fori_loop(
-                0, n_blocks, fetch_block, tuple([zero] * _TBL_ROWS)
-            )
-        else:
-            params = tuple([zero] * _TBL_ROWS)
-        (c0x, c0y, c0z, dcx, dcy, dcz, r_, alr, alg, alb, fuzz, ir,
-         kind) = params
-
-        if n_tri_blocks:
-            def tri_fetch(b, tp):
-                blk = tri_ref[
-                    pl.ds(pl.multiple_of(b * SPHERE_BLOCK, SPHERE_BLOCK),
-                          SPHERE_BLOCK), :
-                ]
-                oh = (bk3 - sph_pad - b * SPHERE_BLOCK == k_iota).astype(
-                    jnp.float32
-                )
-                return tuple(
-                    tp[i] + jnp.sum(oh * col(blk, 3 + i), axis=1)
-                    for i in range(12)  # e1(3), e2(3), albedo(3), fuzz, ir, kind
-                )
-
-            tp = jax.lax.fori_loop(
-                0, n_tri_blocks, tri_fetch, tuple([zero] * 12)
-            )
-            (te1x, te1y, te1z, te2x, te2y, te2z, talr, talg, talb, tfuzz,
-             tir, tkind) = tp
-            is_tri = best_k >= sph_pad
-            alr = jnp.where(is_tri, talr, alr)
-            alg = jnp.where(is_tri, talg, alg)
-            alb = jnp.where(is_tri, talb, alb)
-            fuzz = jnp.where(is_tri, tfuzz, fuzz)
-            ir = jnp.where(is_tri, tir, ir)
-            kind = jnp.where(is_tri, tkind, kind)
-
-        # ---- hit record -------------------------------------------------
-        px = ox + t_hit * dx
-        py = oy + t_hit * dy
-        pz = oz + t_hit * dz
-        r_abs = jnp.where(r_ == 0.0, 1.0, jnp.abs(r_))
-        nx = (px - (c0x + tm * dcx)) / r_abs
-        ny = (py - (c0y + tm * dcy)) / r_abs
-        nz = (pz - (c0z + tm * dcz)) / r_abs
-        dn = dx * nx + dy * ny + dz * nz
-        front = jnp.logical_xor(dn < 0.0, r_ < 0.0)
-        flip = jnp.where(front, 1.0, -1.0)
-        nx, ny, nz = nx * flip, ny * flip, nz * flip
-
-        if n_tri_blocks:
-            # Triangle normal: unit cross(e1, e2); reference reports
-            # triangles always front-facing (src/common-model.cpp:122).
-            tnx = te1y * te2z - te1z * te2y
-            tny = te1z * te2x - te1x * te2z
-            tnz = te1x * te2y - te1y * te2x
-            tl2 = tnx * tnx + tny * tny + tnz * tnz
-            tl_ok = tl2 > 0.0
-            tinv = jnp.where(tl_ok,
-                             jax.lax.rsqrt(jnp.where(tl_ok, tl2, 1.0)), 0.0)
-            tnx, tny, tnz = tnx * tinv, tny * tinv, tnz * tinv
-            if not cull:
-                tflip = jnp.where(dx * tnx + dy * tny + dz * tnz < 0.0,
-                                  1.0, -1.0)
-                tnx, tny, tnz = tnx * tflip, tny * tflip, tnz * tflip
-            nx = jnp.where(is_tri, tnx, nx)
-            ny = jnp.where(is_tri, tny, ny)
-            nz = jnp.where(is_tri, tnz, nz)
-            front = jnp.logical_or(is_tri, front)
-
-        # ---- shared unit-vector draw (cylinder-map uniform sphere) -----
-        uz = 1.0 - 2.0 * _uniform(lane_u32, salt, 5)
-        uu = _uniform(lane_u32, salt, 6)
-        uxy = jnp.sqrt(jnp.maximum(1.0 - uz * uz, 0.0))
-        if ablate == "noregen":
-            uvx, uvy = uxy * uu, uxy * (1.0 - uu)
-        else:
-            uph = _TWO_PI * uu
-            uvx = uxy * jnp.cos(uph)
-            uvy = uxy * jnp.sin(uph)
-        uvz = uz
-
-        # Lambertian: n + unit (degenerate -> n).
-        lamx, lamy, lamz = nx + uvx, ny + uvy, nz + uvz
-        degen = lamx * lamx + lamy * lamy + lamz * lamz < 1e-12
-        lamx = jnp.where(degen, nx, lamx)
-        lamy = jnp.where(degen, ny, lamy)
-        lamz = jnp.where(degen, nz, lamz)
-
-        # Metal: reflect(raw d) + fuzz*unit (no horizon check — reference).
-        ddn2 = 2.0 * (dx * nx + dy * ny + dz * nz)
-        mrx = dx - ddn2 * nx + fuzz * uvx
-        mry = dy - ddn2 * ny + fuzz * uvy
-        mrz = dz - ddn2 * nz + fuzz * uvz
-
-        # Dielectric: Schlick + TIR stochastic choice, + fuzz extension.
-        dlen = jnp.sqrt(a)
-        inv_dlen = 1.0 / dlen
-        udx, udy, udz = dx * inv_dlen, dy * inv_dlen, dz * inv_dlen
-        cos_t = jnp.minimum(-(udx * nx + udy * ny + udz * nz), 1.0)
-        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
-        ir_safe = jnp.where(ir > 0.0, ir, 1.0)
-        ratio = jnp.where(front, 1.0 / ir_safe, ir_safe)
-        cannot = ratio * sin_t > 1.0
-        r0 = (1.0 - ratio) / (1.0 + ratio)
-        r0 = r0 * r0
-        omc = 1.0 - cos_t
-        omc2 = omc * omc
-        refl_p = r0 + (1.0 - r0) * omc2 * omc2 * omc
-        choice = _uniform(lane_u32, salt, 7)
-        must_reflect = jnp.logical_or(cannot, refl_p > choice)
-        # refract (glm semantics, unit incident)
-        k_ = jnp.maximum(1.0 - ratio * ratio * (1.0 - cos_t * cos_t), 0.0)
-        sqk = jnp.sqrt(k_)
-        rfx = ratio * udx + (ratio * cos_t - sqk) * nx
-        rfy = ratio * udy + (ratio * cos_t - sqk) * ny
-        rfz = ratio * udz + (ratio * cos_t - sqk) * nz
-        # reflect (unit incident)
-        udn2 = 2.0 * (udx * nx + udy * ny + udz * nz)
-        rlx = udx - udn2 * nx
-        rly = udy - udn2 * ny
-        rlz = udz - udn2 * nz
-        dix = jnp.where(must_reflect, rlx, rfx) + fuzz * uvx
-        diy = jnp.where(must_reflect, rly, rfy) + fuzz * uvy
-        diz = jnp.where(must_reflect, rlz, rfz) + fuzz * uvz
-
-        is_metal = kind == np.float32(METAL)
-        is_diel = kind == np.float32(DIELECTRIC)
-        sdx = jnp.where(is_metal, mrx, jnp.where(is_diel, dix, lamx))
-        sdy = jnp.where(is_metal, mry, jnp.where(is_diel, diy, lamy))
-        sdz = jnp.where(is_metal, mrz, jnp.where(is_diel, diz, lamz))
-        atr = jnp.where(is_diel, 1.0, alr)
-        atg = jnp.where(is_diel, 1.0, alg)
-        atb = jnp.where(is_diel, 1.0, alb)
-
-        # ---- sky for missed live lanes ---------------------------------
-        missed = jnp.logical_and(alive, jnp.logical_not(hit))
-        inv_len = 1.0 / jnp.sqrt(a)
-        sky_t = 0.5 * (dy * inv_len + 1.0)
-        skyr = 1.0 - sky_t + sky_t * 0.5
-        skyg = 1.0 - sky_t + sky_t * 0.7
-        skyb = 1.0  # 1-t + t*1.0
-        rr = rr + jnp.where(missed, tpr * skyr, 0.0)
-        rg = rg + jnp.where(missed, tpg * skyg, 0.0)
-        rb = rb + jnp.where(missed, tpb * skyb, 0.0)
-
-        # ---- advance ----------------------------------------------------
-        can = jnp.logical_and(jnp.logical_and(alive, hit), bounce < max_depth)
-        if ablate == "noscatter":
-            can = jnp.zeros_like(can)  # hit lanes retire; scatter code DCEs
-        ox = jnp.where(can, px, ox)
-        oy = jnp.where(can, py, oy)
-        oz = jnp.where(can, pz, oz)
-        dx = jnp.where(can, sdx, dx)
-        dy = jnp.where(can, sdy, dy)
-        dz = jnp.where(can, sdz, dz)
-        tpr = jnp.where(can, tpr * atr, tpr)
-        tpg = jnp.where(can, tpg * atg, tpg)
-        tpb = jnp.where(can, tpb * atb, tpb)
-        bounce = bounce + can.astype(jnp.int32)
+        (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, rr, rg, rb, can,
+         bounce) = _bounce_core(
+            tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
+            ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb,
+            alive, bounce, lane_u32, salt, max_depth,
+            n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, n_super=n_super,
+            cull=cull, ablate=ablate,
+        )
         return (ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb,
                 can.astype(jnp.int32), bounce, started, it + 1)
 
@@ -740,6 +721,112 @@ def _kernel(cam_ref, meta_ref, tbl_ref, sph_box_ref, tri_ref, tri_box_ref,
     out_r[...] = final[10]
     out_g[...] = final[11]
     out_b[...] = final[12]
+
+
+def _flat_bounce_kernel(
+    meta_ref, tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
+    ox_i, oy_i, oz_i, dx_i, dy_i, dz_i, tm_i, tpr_i, tpg_i, tpb_i,
+    rr_i, rg_i, rb_i, alive_i, bounce_i, lid_i,
+    ox_o, oy_o, oz_o, dx_o, dy_o, dz_o, tm_o, tpr_o, tpg_o, tpb_o,
+    rr_o, rg_o, rb_o, alive_o, bounce_o, lid_o, *,
+    n_blocks, n_tri_blocks, n_super=0, cull=True,
+):
+    """One bounce over a tile of pre-generated (sorted) rays.
+
+    The grid-parallel building block of the sorted-wavefront mesh path
+    (ops/wavefront_sorted.py): ray state lives in HBM between bounces
+    so XLA can re-sort lanes by spatial key; each program advances one
+    1024-lane tile via :func:`_bounce_core`.  Tiles whose lanes are all
+    dead (sorting compacts dead lanes to the tail) skip the sweep
+    entirely — the cond falls through to a pure copy.
+    """
+    it = meta_ref[0, 0]
+    seed = meta_ref[0, 1]
+    max_depth = meta_ref[0, 2]
+
+    lid = lid_i[...]
+    alive_in = alive_i[...]
+    state = (ox_i[...], oy_i[...], oz_i[...], dx_i[...], dy_i[...],
+             dz_i[...], tpr_i[...], tpg_i[...], tpb_i[...],
+             rr_i[...], rg_i[...], rb_i[...], alive_in, bounce_i[...])
+    tm = tm_i[...]
+
+    lane_u32 = _mix(lid.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
+    salt = _mix((seed + it * jnp.int32(40503)).astype(jnp.uint32))
+
+    def run(st):
+        (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, rr, rg, rb, al, bo) = st
+        out = _bounce_core(
+            tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
+            ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb,
+            al > 0, bo, lane_u32, salt, max_depth,
+            n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, n_super=n_super,
+            cull=cull,
+        )
+        (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, rr, rg, rb, can, bo) = out
+        return (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, rr, rg, rb,
+                can.astype(jnp.int32), bo)
+
+    final = jax.lax.cond(jnp.any(alive_in > 0), run, lambda st: st, state)
+
+    (ox_o[...], oy_o[...], oz_o[...], dx_o[...], dy_o[...], dz_o[...],
+     tpr_o[...], tpg_o[...], tpb_o[...], rr_o[...], rg_o[...], rb_o[...],
+     alive_o[...], bounce_o[...]) = final
+    tm_o[...] = tm
+    lid_o[...] = lid
+
+
+def bounce_step_pallas(
+    state: Tuple[jax.Array, ...],
+    it: jax.Array,
+    seed: jax.Array,
+    max_depth: jax.Array,
+    tables: Tuple[jax.Array, ...],
+    *,
+    n_blocks: int,
+    n_tri_blocks: int,
+    n_super: int = 0,
+    cull: bool = True,
+):
+    """Advance L flat lanes one bounce through the megakernel core.
+
+    ``state`` is the 16-tuple of (L,) arrays
+    (ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb,
+    alive:i32, bounce:i32, lane_id:i32); L must be a multiple of TILE.
+    ``tables`` = (sphere_tbl, sphere_boxes, tri_tbl, tri_boxes,
+    tri_super) from build_sphere_table/build_tri_table.
+    """
+    L = state[0].shape[0]
+    assert L % TILE == 0, f"lanes {L} not a multiple of tile {TILE}"
+    n_tiles = L // TILE
+    tbl, sph_boxes, tri, tri_boxes, tri_super = tables
+
+    meta = jnp.stack([
+        jnp.asarray(it, jnp.int32), jnp.asarray(seed, jnp.int32),
+        jnp.asarray(max_depth, jnp.int32),
+    ])[None, :]
+
+    blocked = [s.reshape(n_tiles * TILE_ROWS, LANES) for s in state]
+    lane_spec = pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0))
+    kernel = functools.partial(
+        _flat_bounce_kernel, n_blocks=n_blocks, n_tri_blocks=n_tri_blocks,
+        n_super=n_super, cull=cull,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # meta ints
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # sphere table
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # sphere block AABBs
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # triangle table
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # tri block AABBs
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # tri super AABBs
+        ] + [lane_spec] * 16,
+        out_specs=[lane_spec] * 16,
+        out_shape=[jax.ShapeDtypeStruct(b.shape, b.dtype) for b in blocked],
+    )(meta, tbl, sph_boxes, tri, tri_boxes, tri_super, *blocked)
+    return tuple(o.reshape(L) for o in out)
 
 
 def render_blocks_pallas(

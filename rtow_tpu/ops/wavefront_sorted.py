@@ -1,0 +1,283 @@
+"""Sorted-wavefront mesh renderer — the TPU-native large-mesh path.
+
+The reference scales meshes with a recursive BVH walked independently
+per ray (reference src/render.cpp:22-110).  Per-lane pointer-chasing is
+the worst possible TPU program (divergent control flow, serialized
+gathers), and uniform per-tile block culling collapses once rays
+diverge after the first diffuse bounce: every tile touches most of the
+scene (round-1: 65k-triangle mesh at 0.26 Mrays/s, 8x below the CPU
+floor).
+
+The TPU answer is to *restore* coherence instead of chasing pointers:
+
+1.  Ray state lives in flat (L,) arrays in HBM — one lane per
+    (pixel, sample) path, bounce-synchronous.
+2.  Before every bounce, lanes are reordered by a spatial sort key
+    (origin Morton code + direction octant; dead lanes sort to the
+    end) with ONE multi-operand ``lax.sort`` — XLA's sort moves all
+    17 state arrays along with the key, so there is no gather.
+3.  The megakernel bounce core (ops/pallas_megakernel._bounce_core)
+    then advances 1024-lane tiles of *spatially coherent* rays: the
+    per-tile Morton-block AABB cull now skips almost every block, and
+    all-dead tail tiles exit without touching the scene.
+4.  After the loop, one final sort by lane id restores pixel-major
+    order and the per-pixel radiance reduces with a reshape — no
+    scatter (TPU scatter-add measured ~25x slower than contiguous
+    accumulation).
+
+Sample accounting is exact, and every lane's RNG stream is
+counter-based on its immutable lane id, so the image is independent of
+the sort schedule (deterministic for a fixed seed).
+"""
+from __future__ import annotations
+
+import functools
+import sys
+import time as _time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..models.camera import Camera, camera_rays, pixel_coords
+from ..models.scene import Scene
+from .pallas_megakernel import (
+    SPHERE_BLOCK,
+    SUPER,
+    TILE,
+    bounce_step_pallas,
+    build_sphere_table,
+    build_tri_table,
+)
+
+DEAD_KEY = np.int32(0x7FFFFFFF)
+
+#: Meshes larger than this take the sorted-wavefront path; smaller ones
+#: stay on the persistent megakernel whose whole-frame VMEM residency
+#: wins while the block count is small.
+WAVEFRONT_MIN_TRIS = 16384
+
+
+def _spread3(x: jax.Array) -> jax.Array:
+    """Interleave the low 10 bits of ``x`` with two zero bits each."""
+    x = (x | (x << 16)) & jnp.uint32(0x030000FF)
+    x = (x | (x << 8)) & jnp.uint32(0x0300F00F)
+    x = (x | (x << 4)) & jnp.uint32(0x030C30C3)
+    x = (x | (x << 2)) & jnp.uint32(0x09249249)
+    return x
+
+
+def sort_keys(
+    ox, oy, oz, dx, dy, dz, alive, bmin: jax.Array, inv_ext: jax.Array
+) -> jax.Array:
+    """Spatial coherence key per lane -> (L,) int32, dead lanes last.
+
+    Layout (MSB..LSB): 21-bit Morton code of the ray origin quantized to
+    the scene bounds (7 bits/axis), then the 3-bit direction octant.
+    Origin dominates: block culling is driven by where rays *start*;
+    the octant splits opposing rays that would otherwise widen a tile's
+    frustum to the whole scene.
+    """
+    qx = jnp.clip((ox - bmin[0]) * inv_ext[0] * 127.0, 0.0, 127.0)
+    qy = jnp.clip((oy - bmin[1]) * inv_ext[1] * 127.0, 0.0, 127.0)
+    qz = jnp.clip((oz - bmin[2]) * inv_ext[2] * 127.0, 0.0, 127.0)
+    code = (
+        _spread3(qx.astype(jnp.uint32))
+        | (_spread3(qy.astype(jnp.uint32)) << 1)
+        | (_spread3(qz.astype(jnp.uint32)) << 2)
+    )
+    octant = (
+        (dx > 0).astype(jnp.uint32)
+        | ((dy > 0).astype(jnp.uint32) << 1)
+        | ((dz > 0).astype(jnp.uint32) << 2)
+    )
+    key = ((code << 3) | octant).astype(jnp.int32)
+    return jnp.where(alive > 0, key, DEAD_KEY)
+
+
+def _scene_tables(scene: Scene):
+    """Megakernel tables + static block counts + scene bounds."""
+    if scene.n_spheres:
+        tbl, sph_boxes = build_sphere_table(scene)
+        n_blocks = tbl.shape[0] // SPHERE_BLOCK
+    else:
+        tbl = jnp.zeros((SPHERE_BLOCK, 16), jnp.float32)
+        sph_boxes = jnp.zeros((1, 8), jnp.float32)
+        n_blocks = 0
+    if scene.n_triangles:
+        tri, tri_boxes, tri_super = build_tri_table(scene)
+        n_tri_blocks = tri.shape[0] // SPHERE_BLOCK
+        n_super = n_tri_blocks // SUPER if tri_super.shape[0] > 1 else 0
+    else:
+        tri = jnp.zeros((SPHERE_BLOCK, 16), jnp.float32)
+        tri_boxes = jnp.zeros((1, 8), jnp.float32)
+        tri_super = jnp.zeros((1, 8), jnp.float32)
+        n_tri_blocks = 0
+        n_super = 0
+    tables = (tbl, sph_boxes, tri, tri_boxes, tri_super)
+
+    # Scene bounds for Morton quantization (valid block boxes only).
+    def bounds(boxes, n):
+        if not n:
+            return None
+        return boxes[:n, 0:3].min(axis=0), boxes[:n, 3:6].max(axis=0)
+
+    parts = [b for b in (bounds(sph_boxes, n_blocks),
+                         bounds(tri_boxes, n_tri_blocks)) if b is not None]
+    bmin = functools.reduce(jnp.minimum, [p[0] for p in parts])
+    bmax = functools.reduce(jnp.maximum, [p[1] for p in parts])
+    inv_ext = 1.0 / jnp.maximum(bmax - bmin, 1e-6)
+    return tables, (n_blocks, n_tri_blocks, n_super), bmin, inv_ext
+
+
+def trace_wavefront_sorted(
+    scene: Scene,
+    camera: Camera,
+    key: jax.Array,
+    pixel_ids: jax.Array,
+    seed,
+    *,
+    spp: int,
+    max_depth: int,
+    width: int,
+    height: int,
+    cull_backfaces: bool = True,
+    tables=None,
+    counts=None,
+    bmin=None,
+    inv_ext=None,
+) -> jax.Array:
+    """Radiance sums for a chunk of pixels -> (P, 3).
+
+    ``key`` drives camera-ray generation (threefry); in-kernel scatter
+    draws use the counter-based hash RNG on (lane id, bounce).  Lanes
+    beyond ``spp * P`` padding are dead from the start.
+    """
+    if tables is None:
+        tables, counts, bmin, inv_ext = _scene_tables(scene)
+    n_blocks, n_tri_blocks, n_super = counts
+
+    P = pixel_ids.shape[0]
+    L_raw = P * spp
+    L = -(-L_raw // TILE) * TILE
+    f32 = jnp.float32
+
+    lane_pix = jnp.repeat(pixel_ids, spp, total_repeat_length=L_raw)
+    k_pix, k_cam = jax.random.split(key)
+    s, t = pixel_coords(width, height, k_pix, lane_pix,
+                        dtype=camera.origin.dtype)
+    rays = camera_rays(camera, k_cam, s, t)
+
+    def pad(x, fill=0.0):
+        return jnp.concatenate(
+            [x.astype(f32), jnp.full((L - L_raw,), fill, f32)]
+        )
+
+    lane_id = jnp.arange(L, dtype=jnp.int32)
+    alive0 = (lane_id < L_raw).astype(jnp.int32)
+    zero = jnp.zeros((L,), f32)
+    state = (
+        pad(rays.origin[:, 0]), pad(rays.origin[:, 1]), pad(rays.origin[:, 2]),
+        pad(rays.direction[:, 0]), pad(rays.direction[:, 1]),
+        pad(rays.direction[:, 2], fill=1.0),
+        pad(rays.time),
+        zero + 1.0, zero + 1.0, zero + 1.0,  # throughput
+        zero, zero, zero,  # radiance
+        alive0,
+        jnp.zeros((L,), jnp.int32),  # bounce
+        lane_id,
+    )
+
+    def cond(carry):
+        st, it = carry
+        return jnp.any(st[13] > 0)
+
+    def body(carry):
+        st, it = carry
+        keys = sort_keys(st[0], st[1], st[2], st[3], st[4], st[5], st[13],
+                         bmin, inv_ext)
+        st = jax.lax.sort((keys,) + st, dimension=0, num_keys=1)[1:]
+        st = bounce_step_pallas(
+            st, it, seed, max_depth, tables,
+            n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, n_super=n_super,
+            cull=cull_backfaces,
+        )
+        return st, it + 1
+
+    final, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
+
+    # Restore pixel-major order: one sort by immutable lane id, then the
+    # per-pixel sum is a contiguous reshape (no scatter).
+    _, rr, rg, rb = jax.lax.sort(
+        (final[15], final[10], final[11], final[12]), dimension=0, num_keys=1
+    )
+    rad = jnp.stack([rr[:L_raw], rg[:L_raw], rb[:L_raw]], axis=-1)
+    return rad.reshape(P, spp, 3).sum(axis=1)
+
+
+@functools.lru_cache(maxsize=16)
+def _frame_fn(width: int, height: int, spp: int, max_depth: int,
+              ppc: int, n_chunks: int, counts, cull: bool):
+    """Cached jitted whole-frame renderer (re-jit per call costs seconds)."""
+
+    n_pixels = width * height
+
+    def frame(tables, bmin, inv_ext, camera, key, seed):
+        def chunk_body(c, fb):
+            pix0 = c * ppc
+            pixel_ids = pix0 + jnp.arange(ppc, dtype=jnp.int32)
+            pix_safe = jnp.minimum(pixel_ids, n_pixels - 1)
+            sums = trace_wavefront_sorted(
+                None, camera, jax.random.fold_in(key, c), pix_safe,
+                seed + c * 7919,
+                spp=spp, max_depth=max_depth, width=width, height=height,
+                cull_backfaces=cull, tables=tables, counts=counts,
+                bmin=bmin, inv_ext=inv_ext,
+            )
+            sums = jnp.where((pixel_ids < n_pixels)[:, None], sums, 0.0)
+            return jax.lax.dynamic_update_slice(fb, sums, (pix0, 0))
+
+        fb0 = jnp.zeros((ppc * n_chunks, 3), jnp.float32)
+        return jax.lax.fori_loop(0, n_chunks, chunk_body, fb0)
+
+    return jax.jit(frame)
+
+
+def render_wavefront(
+    scene: Scene,
+    camera: Camera,
+    cfg: Config,
+    key=None,
+    progress: bool = False,
+    cull_backfaces: bool = True,
+) -> np.ndarray:
+    """Whole-frame mean-radiance render (H, W, 3) via the sorted path."""
+    width, height = cfg.image_width, cfg.image_height
+    spp = cfg.samples_per_pixel
+    n_pixels = width * height
+    if key is None:
+        key = jax.random.key(cfg.seed)
+
+    # Lanes per chunk bounded by rays_per_batch; whole pixels per chunk.
+    ppc = min(max(cfg.rays_per_batch // spp, 1), n_pixels)
+    ppc = max(ppc, -(-TILE // spp))  # at least one tile of lanes
+    n_chunks = -(-n_pixels // ppc)
+
+    tables, counts, bmin, inv_ext = _scene_tables(scene)
+    frame = _frame_fn(width, height, spp, cfg.max_child_rays, ppc, n_chunks,
+                      counts, cull_backfaces)
+
+    t0 = _time.perf_counter()
+    fb = frame(tables, bmin, inv_ext, camera, key, jnp.int32(cfg.seed))
+    fb.block_until_ready()
+    elapsed = _time.perf_counter() - t0
+    if progress:
+        from ..utils.profiling import RenderStats
+
+        stats = RenderStats(elapsed, n_pixels, spp, cfg.max_child_rays,
+                            backend="pallas-sorted")
+        print(stats.summary(), file=sys.stderr)
+
+    fb_np = np.asarray(fb, dtype=np.float64)[:n_pixels]
+    return fb_np.reshape(height, width, 3) / spp

@@ -36,13 +36,30 @@ def pick_nearest_hit(scene: Scene, cfg: Config):
 
 
 def pallas_supported(scene: Scene, cfg: Config) -> bool:
-    """The fused megakernel covers spheres + brute-force triangle blocks
-    with Morton block culling (up to ~65k triangles); larger meshes
-    route through the jnp integrator + BVH.
-    "auto" selects the kernel whenever the default device is a real TPU."""
+    """The persistent megakernel covers sphere scenes and small meshes
+    whose whole block table is VMEM-resident; larger meshes take the
+    sorted-wavefront megakernel path (wavefront_supported).
+    "auto" selects a kernel whenever the default device is a real TPU."""
     import jax
 
-    if scene.n_primitives == 0 or scene.n_triangles > 65536:
+    from .ops.wavefront_sorted import WAVEFRONT_MIN_TRIS
+
+    if scene.n_primitives == 0 or scene.n_triangles > WAVEFRONT_MIN_TRIS:
+        return False
+    if cfg.backend == "pallas":
+        return True
+    return cfg.backend == "auto" and jax.devices()[0].platform == "tpu"
+
+
+def wavefront_supported(scene: Scene, cfg: Config) -> bool:
+    """Large meshes route through the sorted-wavefront megakernel:
+    bounce-synchronous lanes re-sorted by spatial key between bounces,
+    so the per-tile block cull keeps working after rays diverge."""
+    import jax
+
+    from .ops.wavefront_sorted import WAVEFRONT_MIN_TRIS
+
+    if scene.n_triangles <= WAVEFRONT_MIN_TRIS:
         return False
     if cfg.backend == "pallas":
         return True
@@ -120,6 +137,10 @@ def _render_auto(
         nearest = pick_nearest_hit(scene, cfg)
         return render_sharded(scene, camera, cfg, key=key, nearest_hit=nearest,
                               progress=progress)
+    if wavefront_supported(scene, cfg):
+        from .ops.wavefront_sorted import render_wavefront
+
+        return render_wavefront(scene, camera, cfg, key=key, progress=progress)
     if pallas_supported(scene, cfg):
         return render_pallas(scene, camera, cfg, progress=progress)
     nearest = pick_nearest_hit(scene, cfg)

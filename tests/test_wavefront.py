@@ -1,0 +1,136 @@
+"""Sorted-wavefront mesh path tests (interpret mode — no TPU required).
+
+The sorted path must agree with the jnp renderer statistically, be
+deterministic for a fixed seed regardless of the (internal) sort
+schedule, and be the dispatch target for large meshes.
+"""
+import sys
+
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from rtow_tpu.config import Config
+from rtow_tpu.models.camera import make_camera
+from rtow_tpu.models.scene import SceneBuilder
+from rtow_tpu.ops.wavefront_sorted import (
+    WAVEFRONT_MIN_TRIS, render_wavefront, sort_keys,
+)
+from rtow_tpu.render import render
+
+sys.path.insert(0, "/root/repo/tools")
+
+
+@pytest.fixture(scope="module")
+def knot_scene():
+    from make_mesh import make_knot
+
+    verts, faces = make_knot(16, 12)  # 384 triangles -> 3 blocks
+    b = SceneBuilder()
+    m = b.add_lambertian((0.6, 0.5, 0.4))
+    b.add_mesh(verts[faces], m)
+    scene = b.build()
+    cam = make_camera(lookfrom=(0.0, 0.0, 3.0), lookat=(0.0, 0.0, 0.0),
+                      fov_degrees=45.0, aspect_ratio=1.0, aperture=0.0,
+                      focus_dist=3.0)
+    return scene, cam
+
+
+def test_matches_jnp(knot_scene):
+    scene, cam = knot_scene
+    W = H = 24
+    cfg = Config(image_width=W, aspect_ratio=1.0, samples_per_pixel=24,
+                 max_child_rays=3, backend="jnp")
+    with pltpu.force_tpu_interpret_mode():
+        img_w = render_wavefront(scene, cam, cfg)
+    img_j = render(scene, cam, cfg)
+    assert img_w.shape == img_j.shape
+    assert abs(img_w.mean() - img_j.mean()) < 0.02
+    assert np.abs(img_w - img_j).mean() < 0.04
+
+
+def test_mixed_sphere_triangle(knot_scene):
+    """Spheres + mesh through the sorted path (ground + knot)."""
+    from make_mesh import make_knot
+
+    verts, faces = make_knot(16, 12)
+    b = SceneBuilder()
+    m = b.add_lambertian((0.6, 0.5, 0.4))
+    gray = b.add_lambertian((0.5, 0.5, 0.5))
+    b.add_mesh(verts[faces], m)
+    b.add_sphere((0.0, -101.0, 0.0), 100.0, gray)
+    scene = b.build()
+    cam = knot_scene[1]
+    W = H = 24
+    cfg = Config(image_width=W, aspect_ratio=1.0, samples_per_pixel=16,
+                 max_child_rays=3, backend="jnp")
+    with pltpu.force_tpu_interpret_mode():
+        img_w = render_wavefront(scene, cam, cfg)
+    img_j = render(scene, cam, cfg)
+    assert abs(img_w.mean() - img_j.mean()) < 0.03
+    assert np.abs(img_w - img_j).mean() < 0.05
+
+
+def test_deterministic_and_seed_sensitive(knot_scene):
+    scene, cam = knot_scene
+    cfg1 = Config(image_width=16, aspect_ratio=1.0, samples_per_pixel=4,
+                  max_child_rays=3, seed=1)
+    cfg2 = Config(image_width=16, aspect_ratio=1.0, samples_per_pixel=4,
+                  max_child_rays=3, seed=2)
+    with pltpu.force_tpu_interpret_mode():
+        a = render_wavefront(scene, cam, cfg1)
+        b = render_wavefront(scene, cam, cfg1)
+        c = render_wavefront(scene, cam, cfg2)
+    np.testing.assert_array_equal(a, b)
+    assert np.abs(a - c).max() > 0.0
+
+
+def test_chunked_matches_unchunked(knot_scene):
+    """rays_per_batch smaller than the frame -> multiple chunks, same
+    image statistics (exact per-chunk keys differ)."""
+    scene, cam = knot_scene
+    base = dict(image_width=24, aspect_ratio=1.0, samples_per_pixel=8,
+                max_child_rays=3)
+    with pltpu.force_tpu_interpret_mode():
+        img1 = render_wavefront(scene, cam, Config(**base))
+        img2 = render_wavefront(
+            scene, cam, Config(**base, rays_per_batch=1024)
+        )
+    assert abs(img1.mean() - img2.mean()) < 0.03
+
+
+def test_dispatch_prefers_wavefront_for_large_meshes():
+    """pipeline routing: > WAVEFRONT_MIN_TRIS goes to the sorted path."""
+    from rtow_tpu.pipeline import pallas_supported, wavefront_supported
+
+    class FakeScene:
+        n_triangles = WAVEFRONT_MIN_TRIS + 1
+        n_spheres = 0
+        n_primitives = WAVEFRONT_MIN_TRIS + 1
+
+    class SmallScene:
+        n_triangles = 968
+        n_spheres = 1
+        n_primitives = 969
+
+    cfg = Config(backend="pallas")
+    assert wavefront_supported(FakeScene(), cfg)
+    assert not pallas_supported(FakeScene(), cfg)
+    assert pallas_supported(SmallScene(), cfg)
+    assert not wavefront_supported(SmallScene(), cfg)
+
+
+def test_sort_keys_dead_lanes_last():
+    import jax.numpy as jnp
+
+    from rtow_tpu.ops.wavefront_sorted import DEAD_KEY
+
+    n = 8
+    ox = oy = oz = jnp.linspace(0.0, 1.0, n)
+    dx = dy = dz = jnp.ones(n)
+    alive = jnp.array([1, 0, 1, 0, 1, 1, 0, 1], jnp.int32)
+    keys = sort_keys(ox, oy, oz, dx, dy, dz, alive,
+                     jnp.zeros(3), jnp.ones(3))
+    keys = np.asarray(keys)
+    assert (keys[alive == 0] == DEAD_KEY).all()
+    assert (keys[alive == 1] < DEAD_KEY).all()
