@@ -2,7 +2,7 @@
 """Benchmark harness: cover-scene throughput on the current JAX backend.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
 Workload: the book-cover ball field (reference src/main.cpp:23-83) at the
 north-star frame size 1200x675, depth 50 (BASELINE.json).  Throughput is
@@ -10,21 +10,43 @@ reported in primary Mrays/s (= pixel-samples per second; each primary ray
 carries its full transport through the bounce loop, so this is directly
 comparable across implementations on the same workload).
 
-``vs_baseline`` compares against the measured CPU floor of the reference
-implementation stored in baseline_measured.json (written by
-tools/measure_cpu_floor.py); 0.0 if no floor has been recorded yet.
+``value`` is the MEDIAN of ``RTOW_BENCH_REPEATS`` timed runs at the
+default spp (run-to-run variance on the tunneled TPU measured ±15% in
+round 1 — a single sample is not interpretable); ``min``/``max`` bound
+the spread.  The true north-star config (spp=500) is additionally run
+once and reported as ``northstar_mrays`` unless RTOW_BENCH_NORTHSTAR=0.
+
+``vs_baseline`` compares the median against the measured CPU floor of
+the reference implementation stored in baseline_measured.json (written
+by tools/measure_cpu_floor.py); 0.0 if no floor has been recorded yet.
 
 Env overrides: RTOW_BENCH_SPP, RTOW_BENCH_WIDTH, RTOW_BENCH_DEPTH,
-RTOW_BENCH_BACKEND (jnp|pallas).
+RTOW_BENCH_BACKEND (jnp|pallas), RTOW_BENCH_REPEATS, RTOW_BENCH_NORTHSTAR.
 """
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 import jax
+
+
+def _render_once(scene, camera, cfg):
+    """One timed whole-frame render on the best backend -> seconds."""
+    from rtow_tpu.pipeline import pallas_supported, pick_nearest_hit, render_pallas
+    from rtow_tpu.render import render
+
+    if pallas_supported(scene, cfg):
+        t0 = time.perf_counter()
+        img = render_pallas(scene, camera, cfg)
+        return time.perf_counter() - t0, img
+    nearest = pick_nearest_hit(scene, cfg)
+    t0 = time.perf_counter()
+    img = render(scene, camera, cfg, nearest_hit=nearest)
+    return time.perf_counter() - t0, img
 
 
 def main() -> int:
@@ -32,45 +54,49 @@ def main() -> int:
     width = int(os.environ.get("RTOW_BENCH_WIDTH", "1200"))
     depth = int(os.environ.get("RTOW_BENCH_DEPTH", "50"))
     backend = os.environ.get("RTOW_BENCH_BACKEND", "auto")
+    repeats = int(os.environ.get("RTOW_BENCH_REPEATS", "3"))
+    northstar = os.environ.get("RTOW_BENCH_NORTHSTAR", "1") != "0"
 
     from rtow_tpu.config import Config
     from rtow_tpu.models.builders import cover_scene
-    from rtow_tpu.pipeline import pallas_supported, pick_nearest_hit, render_pallas
-    from rtow_tpu.render import render
 
-    cfg = Config(
-        image_width=width,
-        aspect_ratio=16.0 / 9.0,
-        samples_per_pixel=spp,
-        max_child_rays=depth,
-        backend=backend,
-    )
+    def cfg_for(n_spp):
+        return Config(
+            image_width=width, aspect_ratio=16.0 / 9.0, samples_per_pixel=n_spp,
+            max_child_rays=depth, backend=backend,
+        )
+
+    cfg = cfg_for(spp)
     scene, camera = cover_scene(cfg)
-
     print(
         f"bench: cover scene {cfg.image_width}x{cfg.image_height} spp={spp} "
-        f"depth={depth} backend={backend} on {jax.devices()[0].platform}",
+        f"depth={depth} backend={backend} on {jax.devices()[0].platform}, "
+        f"{repeats} repeats",
         file=sys.stderr,
     )
 
-    if pallas_supported(scene, cfg):
-        render_pallas(scene, camera, cfg, seed=1)  # warm-up/compile
-        t0 = time.perf_counter()
-        img = render_pallas(scene, camera, cfg)
-        elapsed = time.perf_counter() - t0
-    else:
-        nearest = pick_nearest_hit(scene, cfg)
-        warm_cfg = Config(
-            image_width=width, aspect_ratio=16.0 / 9.0, samples_per_pixel=1,
-            max_child_rays=depth, rays_per_batch=cfg.rays_per_batch,
-        )
-        render(scene, camera, warm_cfg, nearest_hit=nearest)
-        t0 = time.perf_counter()
-        img = render(scene, camera, cfg, nearest_hit=nearest)
-        elapsed = time.perf_counter() - t0
-
+    _render_once(scene, camera, cfg)  # warm-up/compile
     lanes = cfg.image_width * cfg.image_height * spp
-    mrays = lanes / elapsed / 1e6
+    samples = []
+    img = None
+    for i in range(repeats):
+        elapsed, img = _render_once(scene, camera, cfg)
+        samples.append(lanes / elapsed / 1e6)
+        print(f"bench: run {i + 1}/{repeats}: {elapsed:.2f}s "
+              f"= {samples[-1]:.2f} Mrays/s", file=sys.stderr)
+    med = statistics.median(samples)
+    print(f"bench: mean radiance {float(img.mean()):.4f}", file=sys.stderr)
+
+    ns_mrays = None
+    if northstar:
+        ns_cfg = cfg_for(500)
+        _render_once(scene, camera, ns_cfg)  # compile (new spp is dynamic;
+        # shapes identical — warm anyway for queue effects)
+        ns_elapsed, _ = _render_once(scene, camera, ns_cfg)
+        ns_lanes = cfg.image_width * cfg.image_height * 500
+        ns_mrays = ns_lanes / ns_elapsed / 1e6
+        print(f"bench: north-star 500spp: {ns_elapsed:.2f}s "
+              f"= {ns_mrays:.2f} Mrays/s", file=sys.stderr)
 
     floor = 0.0
     floor_path = os.path.join(os.path.dirname(__file__), "baseline_measured.json")
@@ -78,21 +104,22 @@ def main() -> int:
         with open(floor_path) as f:
             floor = float(json.load(f).get("cpu_floor_mrays_per_s", 0.0))
 
-    vs = mrays / floor if floor > 0 else 0.0
-    print(
-        f"bench: {elapsed:.2f}s, mean radiance {float(img.mean()):.4f}",
-        file=sys.stderr,
-    )
-    print(
-        json.dumps(
-            {
-                "metric": "cover_scene_primary_rays",
-                "value": round(mrays, 3),
-                "unit": "Mrays/s",
-                "vs_baseline": round(vs, 3),
-            }
+    out = {
+        "metric": "cover_scene_primary_rays",
+        "value": round(med, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(med / floor, 3) if floor > 0 else 0.0,
+        "repeats": repeats,
+        "min": round(min(samples), 3),
+        "max": round(max(samples), 3),
+        "spp": spp,
+    }
+    if ns_mrays is not None:
+        out["northstar_mrays"] = round(ns_mrays, 3)
+        out["northstar_vs_baseline"] = (
+            round(ns_mrays / floor, 3) if floor > 0 else 0.0
         )
-    )
+    print(json.dumps(out))
     return 0
 
 

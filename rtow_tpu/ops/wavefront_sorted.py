@@ -218,7 +218,8 @@ def trace_wavefront_sorted(
 
 @functools.lru_cache(maxsize=16)
 def _frame_fn(width: int, height: int, spp: int, max_depth: int,
-              ppc: int, n_chunks: int, counts, cull: bool):
+              ppc: int, n_chunks: int, counts, cull: bool,
+              progress: bool = False):
     """Cached jitted whole-frame renderer (re-jit per call costs seconds)."""
 
     n_pixels = width * height
@@ -236,6 +237,13 @@ def _frame_fn(width: int, height: int, spp: int, max_depth: int,
                 bmin=bmin, inv_ext=inv_ext,
             )
             sums = jnp.where((pixel_ids < n_pixels)[:, None], sums, 0.0)
+            if progress and n_chunks > 1:
+                from ..render import _scanline_tick
+
+                jax.debug.callback(
+                    functools.partial(_scanline_tick, ppc=ppc, width=width,
+                                      height=height), c, ordered=False,
+                )
             return jax.lax.dynamic_update_slice(fb, sums, (pix0, 0))
 
         fb0 = jnp.zeros((ppc * n_chunks, 3), jnp.float32)
@@ -266,7 +274,7 @@ def render_wavefront(
 
     tables, counts, bmin, inv_ext = _scene_tables(scene)
     frame = _frame_fn(width, height, spp, cfg.max_child_rays, ppc, n_chunks,
-                      counts, cull_backfaces)
+                      counts, cull_backfaces, progress)
 
     t0 = _time.perf_counter()
     fb = frame(tables, bmin, inv_ext, camera, key, jnp.int32(cfg.seed))

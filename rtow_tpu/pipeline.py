@@ -7,6 +7,7 @@ policy.
 """
 from __future__ import annotations
 
+import functools
 import sys
 import time as _time
 from typing import Optional
@@ -66,6 +67,22 @@ def wavefront_supported(scene: Scene, cfg: Config) -> bool:
     return cfg.backend == "auto" and jax.devices()[0].platform == "tpu"
 
 
+@functools.lru_cache(maxsize=8)
+def _banded_pallas_fn(width: int, height: int, band_tiles: int):
+    """Jitted tile-band megakernel call (one compile serves every band)."""
+    import jax
+
+    from .ops.pallas_megakernel import render_blocks_pallas
+
+    def fn(scene, camera, seed, spp, max_depth, tile0):
+        return render_blocks_pallas(
+            scene, camera, seed, width=width, height=height, spp=spp,
+            max_depth=max_depth, tile0=tile0, n_tiles_local=band_tiles,
+        )
+
+    return jax.jit(fn)
+
+
 def render_pallas(
     scene: Scene,
     camera: Camera,
@@ -73,22 +90,57 @@ def render_pallas(
     seed: Optional[int] = None,
     progress: bool = False,
 ) -> np.ndarray:
-    """Whole-frame render through the Pallas megakernel."""
-    import jax
+    """Whole-frame render through the Pallas megakernel.
 
-    from .ops.pallas_megakernel import render_spheres_pallas
+    With ``progress`` the frame is issued as ~10 sequential tile bands
+    with a carriage-return ticker between them (the reference's
+    scanlines-remaining ticker, src/render.cpp:154); the extra
+    dispatches cost ~30ms each through the tunnel — a few percent of a
+    full-frame render."""
+    import jax
+    import jax.numpy as jnp
+
+    from .ops.pallas_megakernel import (
+        LANES, TILE_ROWS, render_spheres_pallas, unblock_image,
+    )
 
     width, height = cfg.image_width, cfg.image_height
     spp = cfg.samples_per_pixel
     if seed is None:
         seed = cfg.seed
 
+    tiles_x = -(-width // LANES)
+    tiles_y = -(-height // TILE_ROWS)
+    tiles_total = tiles_x * tiles_y
     t0 = _time.perf_counter()
-    rad = render_spheres_pallas(
-        scene, camera, seed,
-        width=width, height=height, spp=spp, max_depth=cfg.max_child_rays,
-    )
-    rad.block_until_ready()
+    if progress and tiles_total >= 20:
+        n_bands = 10
+        band_tiles = -(-tiles_total // n_bands)
+        fn = _banded_pallas_fn(width, height, band_tiles)
+        parts = []
+        for band in range(n_bands):
+            out = fn(scene, camera, jnp.int32(seed), jnp.int32(spp),
+                     jnp.int32(cfg.max_child_rays),
+                     jnp.int32(band * band_tiles))
+            jax.block_until_ready(out)
+            parts.append(out)
+            rows_done = min((band + 1) * band_tiles * TILE_ROWS // tiles_x,
+                            height)
+            print(f"\rScanlines remaining: {height - rows_done}   ",
+                  end="" if rows_done < height else "\n",
+                  file=sys.stderr, flush=True)
+        rows = tiles_total * TILE_ROWS
+        r = jnp.concatenate([p[0] for p in parts])[:rows]
+        g = jnp.concatenate([p[1] for p in parts])[:rows]
+        b = jnp.concatenate([p[2] for p in parts])[:rows]
+        rad = unblock_image(r, g, b, width=width, height=height)
+    else:
+        rad = render_spheres_pallas(
+            scene, camera, seed,
+            width=width, height=height, spp=spp,
+            max_depth=cfg.max_child_rays,
+        )
+        rad.block_until_ready()
     elapsed = _time.perf_counter() - t0
     if progress:
         from .utils.profiling import RenderStats

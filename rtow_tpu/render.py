@@ -107,6 +107,15 @@ def _chunk_radiance_flat(
     return radiance.reshape(pixel_ids.shape[0], spp_max, 3).sum(axis=1)
 
 
+def _scanline_tick(c, *, ppc, width, height):
+    """Carriage-return progress ticker — the reference prints
+    "Scanlines remaining: N" per row (src/render.cpp:154); we print per
+    chunk (the scheduler's unit of work) from inside the jitted loop."""
+    done_rows = min((int(c) + 1) * ppc // width, height)
+    print(f"\rScanlines remaining: {height - done_rows}   ",
+          end="" if done_rows < height else "\n", file=sys.stderr, flush=True)
+
+
 def _frame(
     scene: Scene,
     camera: Camera,
@@ -121,6 +130,7 @@ def _frame(
     max_depth: int,
     nearest_hit: Optional[Callable],
     cull_backfaces: bool,
+    progress: bool = False,
 ) -> jax.Array:
     """Whole-frame render: fori_loop over pixel-chunks -> (ppc*n_chunks, 3)."""
 
@@ -134,6 +144,11 @@ def _frame(
             spp_cap=spp, width=width, height=height, max_depth=max_depth,
             nearest_hit=nearest_hit, cull_backfaces=cull_backfaces,
         )
+        if progress and n_chunks > 1:
+            jax.debug.callback(
+                functools.partial(_scanline_tick, ppc=ppc, width=width,
+                                  height=height), c, ordered=False,
+            )
         return jax.lax.dynamic_update_slice(fb, sums, (pix0, 0))
 
     fb0 = jnp.zeros((ppc * n_chunks, 3), dtype=REAL)
@@ -181,6 +196,7 @@ def render(
             max_depth=cfg.max_child_rays,
             nearest_hit=nearest_hit,
             cull_backfaces=cull_backfaces,
+            progress=progress,
         )
     )
 
