@@ -1,0 +1,369 @@
+"""Megakernel gradients: Pallas forward + Pallas backward per bounce.
+
+The north star couples "verified pixel gradients" with "speed-of-light
+Mrays/s per chip" (BASELINE.md).  Round 1 delivered them separately:
+the Pallas megakernel for speed, the jnp ``lax.scan`` path for
+``jax.grad`` (~25x slower).  This module closes the gap with a
+per-bounce ``jax.custom_vjp`` whose BOTH sides are Pallas kernels:
+
+* forward — the flat bounce kernel (`pallas_megakernel._bounce_core`)
+  over (pixel x sample) lanes; an XLA ``lax.scan`` chains bounces and
+  its reverse pass supplies each step's input state (the tape).
+* backward — a kernel that REPLAYS the bounce from the saved input
+  state: the RNG is counter-based on (lane id, iteration), so the
+  sweep, draws and all discrete decisions reproduce exactly (common
+  random numbers by construction), then calls ``jax.vjp`` on
+  ``_shade_pure`` *inside the kernel* — the shade math is elementwise,
+  so its transpose is elementwise and Mosaic-compiles like any other
+  kernel.  d(out)/d(sphere params) is exact because ``_shade_pure``
+  re-derives the intersection t from the winner's parameters.
+* parameter gradients — each program accumulates its lanes' cotangents
+  into per-block rows of a (Npad, 16) gradient table via the same
+  one-hot trick as the winner fetch (no scatter); XLA sums the
+  per-program partials.  The chain scene -> sphere table is plain jnp
+  (build_sphere_table), so ``jax.grad`` w.r.t. the Scene pytree flows
+  end-to-end.
+
+Scope: sphere scenes (the flagship cover workload).  Triangle scenes
+fall back to the jnp path (diff.py) for gradients.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.camera import camera_rays, pixel_coords
+from ..models.scene import Scene
+from .pallas_megakernel import (
+    LANES,
+    SPHERE_BLOCK,
+    TILE,
+    TILE_ROWS,
+    _TBL_ROWS,
+    _draw_scatter,
+    _mix,
+    _shade_pure,
+    _sweep_all,
+    build_sphere_table,
+)
+
+#: continuous state arrays carried between bounces (cot-bearing).
+N_CONT = 13  # ox oy oz dx dy dz tm tpr tpg tpb rr rg rb
+
+
+def _lane_u32(lid):
+    return _mix(lid.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
+
+
+def _salt(seed, it):
+    return _mix((seed + it * jnp.int32(40503)).astype(jnp.uint32))
+
+
+def _grad_fwd_kernel(meta_ref, tbl_ref, box_ref, *refs, n_blocks):
+    """Forward bounce for the gradient path (sphere scenes).
+
+    refs = 16 inputs (13 cont f32 + alive i32 + bounce i32 + lid i32)
+    then 16 outputs.
+    """
+    ins, outs = refs[:16], refs[16:]
+    it = meta_ref[0, 0]
+    seed = meta_ref[0, 1]
+    max_depth = meta_ref[0, 2]
+    vals = [r[...] for r in ins]
+    state = tuple(vals[:N_CONT])
+    alive_i, bounce, lid = vals[13], vals[14], vals[15]
+    alive = alive_i > 0
+    lane = _lane_u32(lid)
+    salt = _salt(seed, it)
+
+    (ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb) = state
+    best_t, best_k, sph_params, tri_params = _sweep_all(
+        tbl_ref, box_ref, None, None, None,
+        ox, oy, oz, dx, dy, dz, tm, alive,
+        n_blocks=n_blocks, n_tri_blocks=0,
+    )
+    draws = _draw_scatter(lane, salt)
+    out = _shade_pure(state, sph_params, tri_params, draws, best_t, best_k,
+                      alive, bounce, max_depth,
+                      n_blocks=n_blocks, n_tri_blocks=0)
+    (nox, noy, noz, ndx, ndy, ndz, ntpr, ntpg, ntpb, nrr, nrg, nrb, can,
+     nbounce) = out
+    new_vals = [nox, noy, noz, ndx, ndy, ndz, tm, ntpr, ntpg, ntpb,
+                nrr, nrg, nrb, can.astype(jnp.int32), nbounce, lid]
+    for o, v in zip(outs, new_vals):
+        o[...] = v
+
+
+def _grad_bwd_kernel(meta_ref, tbl_ref, box_ref, *refs, n_blocks):
+    """Backward bounce: replay forward, vjp the shade, one-hot the
+    parameter cotangents into this program's gradient-table slice.
+
+    refs = 16 saved inputs + 13 output cotangents (cont only), then
+    13 input cotangents + 1 per-program (Npad, 16) table gradient.
+    """
+    ins = refs[:16]
+    cot_out = refs[16:16 + N_CONT]
+    cot_in = refs[16 + N_CONT:16 + 2 * N_CONT]
+    gtbl = refs[16 + 2 * N_CONT]
+
+    it = meta_ref[0, 0]
+    seed = meta_ref[0, 1]
+    max_depth = meta_ref[0, 2]
+    vals = [r[...] for r in ins]
+    state = tuple(vals[:N_CONT])
+    alive_i, bounce, lid = vals[13], vals[14], vals[15]
+    alive = alive_i > 0
+    lane = _lane_u32(lid)
+    salt = _salt(seed, it)
+
+    (ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb) = state
+    # Replay the discrete half exactly (counter RNG + same sweep).
+    best_t, best_k, sph_params, tri_params = _sweep_all(
+        tbl_ref, box_ref, None, None, None,
+        ox, oy, oz, dx, dy, dz, tm, alive,
+        n_blocks=n_blocks, n_tri_blocks=0,
+    )
+    draws = _draw_scatter(lane, salt)
+
+    def shade(state_cont, params):
+        out = _shade_pure(state_cont, params, tri_params, draws, best_t,
+                          best_k, alive, bounce, max_depth,
+                          n_blocks=n_blocks, n_tri_blocks=0)
+        return tuple(out[:12])  # cont outputs (tm passes through)
+
+    _, vjp_fn = jax.vjp(shade, state, sph_params)
+    # Output cotangents in shade's output order: ox..dz, tpr..b, rr..b
+    # (cot_out is the full 13-cont ordering incl. tm at index 6).
+    ct = tuple(r[...] for r in cot_out)
+    g_out = (ct[0], ct[1], ct[2], ct[3], ct[4], ct[5],
+             ct[7], ct[8], ct[9], ct[10], ct[11], ct[12])
+    g_state, g_params = vjp_fn(g_out)
+    # tm is an identity passthrough output plus a shade input; add the
+    # downstream tm cotangent to shade's contribution.
+    g_state = list(g_state)
+    g_state[6] = g_state[6] + ct[6]
+    for o, v in zip(cot_in, g_state):
+        o[...] = v
+
+    # ---- parameter cotangents -> per-block table gradient -----------
+    # Layout (1, 16 params, Npad spheres): spheres on the LANE axis so
+    # each block's (128,) contribution writes lane-contiguously.
+    shape = ox.shape
+    k_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (shape[0], SPHERE_BLOCK, shape[1]), 1
+    )
+    bk3 = best_k[:, None, :]
+    hit3 = (best_t < np.float32(3.0e38))[:, None, :]
+
+    gtbl[...] = jnp.zeros(gtbl.shape, jnp.float32)
+
+    def accum_block(b, _):
+        oh = jnp.where(hit3, (bk3 - b * SPHERE_BLOCK == k_iota)
+                       .astype(jnp.float32), 0.0)
+        for p in range(_TBL_ROWS):
+            # (rows, 128 spheres, lanes): rows reduce (sublane, cheap)
+            # then lanes -> (128,) per-sphere contribution.
+            contrib = jnp.sum(
+                jnp.sum(oh * g_params[p][:, None, :], axis=0), axis=1
+            )
+            sl = pl.ds(pl.multiple_of(b * SPHERE_BLOCK, SPHERE_BLOCK),
+                       SPHERE_BLOCK)
+            gtbl[0, p, sl] += contrib
+        return 0
+
+    jax.lax.fori_loop(0, n_blocks, accum_block, 0)
+
+
+def _lane_spec():
+    return pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0))
+
+
+def _blocked(arrs, n_tiles):
+    return [a.reshape(n_tiles * TILE_ROWS, LANES) for a in arrs]
+
+
+def _meta(it, seed, max_depth):
+    return jnp.stack([
+        jnp.asarray(it, jnp.int32), jnp.asarray(seed, jnp.int32),
+        jnp.asarray(max_depth, jnp.int32),
+    ])[None, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def bounce_grad(cont, ints, tbl, boxes, scalars, n_blocks):
+    """One differentiable bounce: (cont 13-tuple, ints 3-tuple) advance.
+
+    ``scalars`` = (it, seed, max_depth) int32 scalars; ``tbl`` is the
+    (Npad, 16) sphere table (differentiable), ``boxes`` the block AABBs
+    (cull decisions only — piecewise-constant, no cotangent).
+    """
+    out, _ = _bounce_fwd_impl(cont, ints, tbl, boxes, scalars, n_blocks)
+    return out
+
+
+def _bounce_fwd_impl(cont, ints, tbl, boxes, scalars, n_blocks):
+    L = cont[0].shape[0]
+    n_tiles = L // TILE
+    it, seed, max_depth = scalars
+    state = _blocked(list(cont) + list(ints), n_tiles)
+    spec = _lane_spec()
+    out = pl.pallas_call(
+        functools.partial(_grad_fwd_kernel, n_blocks=n_blocks),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ] + [spec] * 16,
+        out_specs=[spec] * 16,
+        out_shape=[jax.ShapeDtypeStruct(b.shape, b.dtype) for b in state],
+    )(_meta(it, seed, max_depth), tbl, boxes, *state)
+    flat = tuple(o.reshape(L) for o in out)
+    return (flat[:N_CONT], flat[N_CONT:]), None
+
+
+def _bounce_grad_fwd(cont, ints, tbl, boxes, scalars, n_blocks):
+    out, _ = _bounce_fwd_impl(cont, ints, tbl, boxes, scalars, n_blocks)
+    return out, (cont, ints, tbl, boxes, scalars)
+
+
+def _bounce_grad_bwd(n_blocks, res, cot):
+    cont, ints, tbl, boxes, scalars = res
+    cot_cont, _cot_ints = cot
+    it, seed, max_depth = scalars
+    L = cont[0].shape[0]
+    n_tiles = L // TILE
+    state = _blocked(list(cont) + list(ints), n_tiles)
+    cots = _blocked(list(cot_cont), n_tiles)
+    spec = _lane_spec()
+    npad = tbl.shape[0]
+    out_shapes = (
+        [jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, LANES), jnp.float32)]
+        * N_CONT
+        + [jax.ShapeDtypeStruct((n_tiles, 16, npad), jnp.float32)]
+    )
+    out = pl.pallas_call(
+        functools.partial(_grad_bwd_kernel, n_blocks=n_blocks),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ] + [spec] * 16 + [spec] * N_CONT,
+        out_specs=[spec] * N_CONT
+        + [pl.BlockSpec((1, 16, npad), lambda i: (i, 0, 0))],
+        out_shape=out_shapes,
+    )(_meta(it, seed, max_depth), tbl, boxes, *state, *cots)
+    g_cont = tuple(o.reshape(L) for o in out[:N_CONT])
+    g_tbl = jnp.sum(out[N_CONT], axis=0).T  # (16, npad) -> (npad, 16)
+    f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
+    g_ints = tuple(f0(x) for x in ints)
+    g_boxes = jnp.zeros_like(boxes)  # cull decisions: piecewise-constant
+    g_scalars = tuple(f0(s) for s in scalars)
+    return g_cont, g_ints, g_tbl, g_boxes, g_scalars
+
+
+bounce_grad.defvjp(_bounce_grad_fwd, _bounce_grad_bwd)
+
+
+def render_pixels_kernel(
+    scene: Scene,
+    camera,
+    key: jax.Array,
+    pixel_ids: jax.Array,
+    *,
+    width: int,
+    height: int,
+    spp: int,
+    max_depth: int,
+    seed: int = 0,
+    jitter: bool = True,
+) -> jax.Array:
+    """Differentiable mean radiance of the given pixels -> (P, 3).
+
+    The kernel-speed counterpart of ``diff.render_pixels``: forward and
+    backward both run as Pallas bounce kernels chained by ``lax.scan``
+    (the scan's saved carries are the tape; each backward step replays
+    its forward from the carry — O(depth) recompute, O(depth) memory).
+    Sphere scenes only; gradients flow into every Scene leaf that
+    build_sphere_table touches (centers, radii, albedo, fuzz, ir).
+    ``jitter=False`` pins rays to pixel centers (FD gates).
+    """
+    assert scene.n_triangles == 0, "kernel grad path is sphere-only"
+    tbl, boxes = build_sphere_table(scene)
+    n_blocks = tbl.shape[0] // SPHERE_BLOCK
+
+    P = pixel_ids.shape[0]
+    L_raw = P * spp
+    L = -(-L_raw // TILE) * TILE
+    f32 = jnp.float32
+
+    lane_pix = jnp.repeat(pixel_ids, spp, total_repeat_length=L_raw)
+    k_pix, k_cam = jax.random.split(key)
+    s, t = pixel_coords(width, height, k_pix, lane_pix,
+                        dtype=camera.origin.dtype)
+    if not jitter:
+        row = lane_pix // width
+        col = lane_pix % width
+        s = (col.astype(s.dtype) + 0.5) / (width - 1)
+        t = ((height - 1 - row).astype(t.dtype) + 0.5) / (height - 1)
+    rays = camera_rays(camera, k_cam, s, t)
+
+    def pad(x, fill=0.0):
+        return jnp.concatenate(
+            [x.astype(f32), jnp.full((L - L_raw,), fill, f32)]
+        )
+
+    lane_id = jnp.arange(L, dtype=jnp.int32)
+    zero = jnp.zeros((L,), f32)
+    cont = (
+        pad(rays.origin[:, 0]), pad(rays.origin[:, 1]), pad(rays.origin[:, 2]),
+        pad(rays.direction[:, 0]), pad(rays.direction[:, 1]),
+        pad(rays.direction[:, 2], fill=1.0),
+        pad(rays.time),
+        zero + 1.0, zero + 1.0, zero + 1.0,
+        zero, zero, zero,
+    )
+    ints = (
+        (lane_id < L_raw).astype(jnp.int32),
+        jnp.zeros((L,), jnp.int32),
+        lane_id,
+    )
+
+    def step(carry, it):
+        cont, ints = carry
+        out = bounce_grad(cont, ints, tbl, boxes,
+                          (it, jnp.int32(seed), jnp.int32(max_depth)),
+                          n_blocks)
+        return out, None
+
+    (cont, ints), _ = jax.lax.scan(
+        step, (cont, ints), jnp.arange(max_depth + 1, dtype=jnp.int32)
+    )
+    rad = jnp.stack([cont[10][:L_raw], cont[11][:L_raw], cont[12][:L_raw]],
+                    axis=-1)
+    return rad.reshape(P, spp, 3).mean(axis=1)
+
+
+def loss_and_grad_kernel(
+    scene: Scene,
+    camera,
+    key: jax.Array,
+    target: jax.Array,
+    pixel_ids: jax.Array,
+    **render_kw,
+) -> Tuple[jax.Array, Scene]:
+    """(loss, dloss/dscene) with kernel-speed forward AND backward."""
+
+    def mse(scene):
+        img = render_pixels_kernel(scene, camera, key, pixel_ids,
+                                   **render_kw)
+        return jnp.mean((img - target) ** 2)
+
+    return jax.value_and_grad(mse, allow_int=True)(scene)

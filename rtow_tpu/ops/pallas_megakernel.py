@@ -229,37 +229,30 @@ def build_tri_table(scene: Scene) -> Tuple[jax.Array, jax.Array, jax.Array]:
     return tbl, boxes, super_boxes
 
 
-def _bounce_core(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
-                 ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb,
-                 alive, bounce, lane_u32, salt, max_depth, *,
-                 n_blocks, n_tri_blocks, n_super=0, cull=True, ablate="full"):
-    """One intersect+shade step for every live lane of a tile.
+def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
+               ox, oy, oz, dx, dy, dz, tm, alive, *,
+               n_blocks, n_tri_blocks, n_super=0, cull=True):
+    """Nearest-hit sweep over Morton blocks with AABB culling and fused
+    one-hot winner fetch.
 
-    The shared heart of both megakernels (the persistent-wavefront
-    whole-frame kernel and the flat sorted-wavefront bounce kernel):
-    nearest-hit sweep over Morton sphere/triangle blocks with AABB
-    culling -> one-hot winner fetch -> masked material scatter -> sky
-    for missed lanes -> state advance.  Reference semantics are
-    ``ray_color`` (src/render.cpp:112-129): miss -> sky * throughput,
-    hit with exhausted budget -> black, scatter -> throughput *=
-    attenuation.
-
-    All state is (rows, LANES) f32 except ``alive`` (bool) and
-    ``bounce`` (int32).  Returns the advanced 14-tuple
-    (ox..dz, tpr..tpb, rr..rb, can, bounce) — ``tm`` is unchanged.
+    The discrete half of a bounce: returns
+    (best_t, best_k, sph_params 13-tuple, tri_params 15-tuple) — the
+    winner's table rows, fetched while each block is resident so culled
+    blocks pay nothing.  Differentiable quantities (hit point, normal,
+    scatter) are re-derived from the fetched parameters in
+    :func:`_shade_pure`, which is what makes the backward kernel exact:
+    d(output)/d(params) flows through the re-derived intersection t,
+    not through the argmin.
     """
     shape = ox.shape
     zero = jnp.zeros(shape, jnp.float32)
-    # Pair tensors are (rows, spheres, lanes): sphere axis = 1 (sublanes).
+    # Pair tensors are (rows, spheres, lanes): sphere axis = 1 (sublanes);
+    # all pair reductions run over SUBLANES (lane-axis reductions need
+    # cross-lane shuffles, measured ~3x slower).
     k_iota = jax.lax.broadcasted_iota(
         jnp.int32, (shape[0], SPHERE_BLOCK, shape[1]), 1
     )
 
-    # ---- nearest-hit sweep over sphere blocks ----------------------
-    # Pair layout (rows, spheres, lanes): lane state broadcasts on
-    # axis 1, sphere params on axis 2; all pair reductions run over
-    # the SUBLANE axis (axis 1) — lane-axis reductions need
-    # cross-lane shuffles and measured ~3x slower.
     a = dx * dx + dy * dy + dz * dz
     inv_a = 1.0 / a
     o3x, o3y, o3z = ox[:, None, :], oy[:, None, :], oz[:, None, :]
@@ -301,13 +294,7 @@ def _bounce_core(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
         return jnp.any(jnp.logical_and(exit_ > enter, alive))
 
     def _fused_fetch(blk, bk, upd, params, first_col, n_params):
-        """Overwrite ``params`` with block-winner values where ``upd``.
-
-        The winner's parameters are fetched from the block *while it is
-        resident* via an exact one-hot multiply-reduce on the block-local
-        argmin — fetching here (instead of a second loop over every
-        block) means culled blocks pay nothing for the fetch either.
-        """
+        """Overwrite ``params`` with block-winner values where ``upd``."""
         oh = (bk[:, None, :] == k_iota).astype(jnp.float32)
         return tuple(
             jnp.where(upd, jnp.sum(oh * col(blk, first_col + p), axis=1),
@@ -365,7 +352,7 @@ def _bounce_core(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
         sph_params = carry[2:]
 
     sph_pad = n_blocks * SPHERE_BLOCK
-    tri_params = tuple([zero] * 12)
+    tri_params = tuple([zero] * 15)
     if n_tri_blocks:
         # Block culling: triangles are Morton-sorted into spatially
         # compact 128-blocks; slab-test each block AABB against the
@@ -423,8 +410,8 @@ def _bounce_core(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
             best_t = jnp.where(upd, bt, best_t)
             best_k = jnp.where(upd, bk + sph_pad + b * SPHERE_BLOCK,
                                best_k)
-            # e1(3), e2(3), albedo(3), fuzz, ir, kind live in cols 3..14.
-            params = _fused_fetch(blk, bk, upd, carry[2:], 3, 12)
+            # Full row: v0(3), e1(3), e2(3), albedo(3), fuzz, ir, kind.
+            params = _fused_fetch(blk, bk, upd, carry[2:], 0, 15)
             return (best_t, best_k) + params
 
         tri_carry = (best_t, best_k) + tri_params
@@ -454,18 +441,66 @@ def _bounce_core(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
         best_t, best_k = tri_carry[0], tri_carry[1]
         tri_params = tri_carry[2:]
 
-    hit = best_t < BIG
-    t_hit = jnp.where(hit, best_t, 1.0)
+    return best_t, best_k, sph_params, tri_params
 
-    if ablate == "nofetch":
-        sph_params = tuple(zero + 0.3 for _ in range(_TBL_ROWS))
+
+def _shade_pure(state, sph_params, tri_params, draws,
+                best_t, best_k, alive, bounce, max_depth, *,
+                n_blocks, n_tri_blocks, cull=True, ablate="full"):
+    """The differentiable half of a bounce: winner params -> new state.
+
+    ``state`` = 13-tuple (ox..dz, tm, tpr..tpb, rr..rb); ``sph_params``
+    the winner's 13 sphere-table values; ``tri_params`` the winner's 15
+    triangle-table values; ``draws`` = (uvx, uvy, uvz, choice) RNG
+    values.  The intersection t is RE-DERIVED here from the winner's
+    parameters (root selection pinned to the sweep's best_t), so
+    ``jax.vjp`` of this function gives the exact geometry gradient —
+    d(hit point)/d(center, radius, vertex) flows through the quadratic /
+    Moller-Trumbore root, while argmin winner choice and material
+    branches stay piecewise-constant (standard inverse rendering
+    practice; same convention as the jnp path, diff.py).
+
+    Discrete comparisons are computed inside; jax.vjp naturally assigns
+    them zero cotangent.  Reference semantics: ray_color
+    (src/render.cpp:112-129).
+    """
+    (ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb) = state
     (c0x, c0y, c0z, dcx, dcy, dcz, r_, alr, alg, alb, fuzz, ir,
      kind) = sph_params
+    uvx, uvy, uvz, choice = draws
+    hit = best_t < BIG
+    a = dx * dx + dy * dy + dz * dz
+
+    # ---- re-derive sphere t from winner params ----------------------
+    ocx = ox - (c0x + tm * dcx)
+    ocy = oy - (c0y + tm * dcy)
+    ocz = oz - (c0z + tm * dcz)
+    h = ocx * dx + ocy * dy + ocz * dz
+    cc = ocx * ocx + ocy * ocy + ocz * ocz - r_ * r_
+    disc = h * h - a * cc
+    sq = jnp.sqrt(jnp.where(disc > 0.0, disc, 1.0))
+    inv_a = 1.0 / a
+    near = (-h - sq) * inv_a
+    far = (-h + sq) * inv_a
+    root_is_near = jnp.abs(near - best_t) <= jnp.abs(far - best_t)
+    t_sph = jnp.where(root_is_near, near, far)
+    t_hit = jnp.where(hit, t_sph, 1.0)
 
     if n_tri_blocks:
-        (te1x, te1y, te1z, te2x, te2y, te2z, talr, talg, talb, tfuzz,
-         tir, tkind) = tri_params
-        is_tri = best_k >= sph_pad
+        (tv0x, tv0y, tv0z, te1x, te1y, te1z, te2x, te2y, te2z,
+         talr, talg, talb, tfuzz, tir, tkind) = tri_params
+        is_tri = best_k >= n_blocks * SPHERE_BLOCK
+        # Re-derive triangle t: (ao . n) / det (determinant form).
+        tnxb = te1y * te2z - te1z * te2y
+        tnyb = te1z * te2x - te1x * te2z
+        tnzb = te1x * te2y - te1y * te2x
+        tdet = -(dx * tnxb + dy * tnyb + dz * tnzb)
+        tdet_safe = jnp.where(jnp.abs(tdet) > 1e-12, tdet, 1.0)
+        aox = ox - tv0x
+        aoy = oy - tv0y
+        aoz = oz - tv0z
+        t_tri = (aox * tnxb + aoy * tnyb + aoz * tnzb) / tdet_safe
+        t_hit = jnp.where(hit & is_tri, t_tri, t_hit)
         alr = jnp.where(is_tri, talr, alr)
         alg = jnp.where(is_tri, talg, alg)
         alb = jnp.where(is_tri, talb, alb)
@@ -489,14 +524,11 @@ def _bounce_core(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
     if n_tri_blocks:
         # Triangle normal: unit cross(e1, e2); reference reports
         # triangles always front-facing (src/common-model.cpp:122).
-        tnx = te1y * te2z - te1z * te2y
-        tny = te1z * te2x - te1x * te2z
-        tnz = te1x * te2y - te1y * te2x
-        tl2 = tnx * tnx + tny * tny + tnz * tnz
+        tl2 = tnxb * tnxb + tnyb * tnyb + tnzb * tnzb
         tl_ok = tl2 > 0.0
         tinv = jnp.where(tl_ok,
                          jax.lax.rsqrt(jnp.where(tl_ok, tl2, 1.0)), 0.0)
-        tnx, tny, tnz = tnx * tinv, tny * tinv, tnz * tinv
+        tnx, tny, tnz = tnxb * tinv, tnyb * tinv, tnzb * tinv
         if not cull:
             tflip = jnp.where(dx * tnx + dy * tny + dz * tnz < 0.0,
                               1.0, -1.0)
@@ -505,18 +537,6 @@ def _bounce_core(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
         ny = jnp.where(is_tri, tny, ny)
         nz = jnp.where(is_tri, tnz, nz)
         front = jnp.logical_or(is_tri, front)
-
-    # ---- shared unit-vector draw (cylinder-map uniform sphere) -----
-    uz = 1.0 - 2.0 * _uniform(lane_u32, salt, 5)
-    uu = _uniform(lane_u32, salt, 6)
-    uxy = jnp.sqrt(jnp.maximum(1.0 - uz * uz, 0.0))
-    if ablate == "noregen":
-        uvx, uvy = uxy * uu, uxy * (1.0 - uu)
-    else:
-        uph = _TWO_PI * uu
-        uvx = uxy * jnp.cos(uph)
-        uvy = uxy * jnp.sin(uph)
-    uvz = uz
 
     # Lambertian: n + unit (degenerate -> n).
     lamx, lamy, lamz = nx + uvx, ny + uvy, nz + uvz
@@ -536,7 +556,10 @@ def _bounce_core(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
     inv_dlen = 1.0 / dlen
     udx, udy, udz = dx * inv_dlen, dy * inv_dlen, dz * inv_dlen
     cos_t = jnp.minimum(-(udx * nx + udy * ny + udz * nz), 1.0)
-    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    # Epsilon floor (not a where-guard): sin_t's VALUE feeds the TIR
+    # test, and sqrt'(0)=inf would NaN-poison reverse mode at normal
+    # incidence even though the comparison carries no cotangent.
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 1e-12))
     ir_safe = jnp.where(ir > 0.0, ir, 1.0)
     ratio = jnp.where(front, 1.0 / ir_safe, ir_safe)
     cannot = ratio * sin_t > 1.0
@@ -545,11 +568,15 @@ def _bounce_core(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
     omc = 1.0 - cos_t
     omc2 = omc * omc
     refl_p = r0 + (1.0 - r0) * omc2 * omc2 * omc
-    choice = _uniform(lane_u32, salt, 7)
     must_reflect = jnp.logical_or(cannot, refl_p > choice)
-    # refract (glm semantics, unit incident)
-    k_ = jnp.maximum(1.0 - ratio * ratio * (1.0 - cos_t * cos_t), 0.0)
-    sqk = jnp.sqrt(k_)
+    # refract (glm semantics, unit incident).  Double-where guard: under
+    # TIR k_raw <= 0 and sqrt's derivative is inf; the refract branch is
+    # discarded by must_reflect's where, but inf * 0 = NaN in reverse
+    # mode unless the sqrt argument itself is guarded.
+    k_raw = 1.0 - ratio * ratio * (1.0 - cos_t * cos_t)
+    k_ok = k_raw > 0.0
+    sqk = jnp.sqrt(jnp.where(k_ok, k_raw, 1.0))
+    sqk = jnp.where(k_ok, sqk, 0.0)
     rfx = ratio * udx + (ratio * cos_t - sqk) * nx
     rfy = ratio * udy + (ratio * cos_t - sqk) * ny
     rfz = ratio * udz + (ratio * cos_t - sqk) * nz
@@ -598,6 +625,59 @@ def _bounce_core(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
     bounce = bounce + can.astype(jnp.int32)
     return (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, rr, rg, rb, can,
             bounce)
+
+
+def _draw_scatter(lane_u32, salt, ablate="full"):
+    """The bounce's RNG draws (unit vector + dielectric choice).
+
+    Counter-based and stateless: the backward kernel replays the exact
+    same values from (lane id, iteration) — common random numbers by
+    construction."""
+    uz = 1.0 - 2.0 * _uniform(lane_u32, salt, 5)
+    uu = _uniform(lane_u32, salt, 6)
+    uxy = jnp.sqrt(jnp.maximum(1.0 - uz * uz, 0.0))
+    if ablate == "noregen":
+        uvx, uvy = uxy * uu, uxy * (1.0 - uu)
+    else:
+        uph = _TWO_PI * uu
+        uvx = uxy * jnp.cos(uph)
+        uvy = uxy * jnp.sin(uph)
+    choice = _uniform(lane_u32, salt, 7)
+    return uvx, uvy, uz, choice
+
+
+def _bounce_core(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
+                 ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb,
+                 alive, bounce, lane_u32, salt, max_depth, *,
+                 n_blocks, n_tri_blocks, n_super=0, cull=True, ablate="full"):
+    """One intersect+shade step for every live lane of a tile.
+
+    The shared heart of the megakernels (persistent whole-frame,
+    flat sorted-wavefront, and the gradient kernels): _sweep_all
+    (discrete nearest hit + winner fetch) followed by _shade_pure
+    (differentiable shade/advance).  Reference semantics are
+    ``ray_color`` (src/render.cpp:112-129).
+
+    All state is (rows, LANES) f32 except ``alive`` (bool) and
+    ``bounce`` (int32).  Returns the advanced 14-tuple
+    (ox..dz, tpr..tpb, rr..rb, can, bounce) — ``tm`` is unchanged.
+    """
+    best_t, best_k, sph_params, tri_params = _sweep_all(
+        tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
+        ox, oy, oz, dx, dy, dz, tm, alive,
+        n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, n_super=n_super,
+        cull=cull,
+    )
+    if ablate == "nofetch":
+        zero = jnp.zeros(ox.shape, jnp.float32)
+        sph_params = tuple(zero + 0.3 for _ in range(_TBL_ROWS))
+    draws = _draw_scatter(lane_u32, salt, ablate)
+    return _shade_pure(
+        (ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb),
+        sph_params, tri_params, draws, best_t, best_k, alive, bounce,
+        max_depth, n_blocks=n_blocks, n_tri_blocks=n_tri_blocks,
+        cull=cull, ablate=ablate,
+    )
 
 
 def _kernel(cam_ref, meta_ref, tbl_ref, sph_box_ref, tri_ref, tri_box_ref,

@@ -1,0 +1,145 @@
+"""Megakernel gradient tests (interpret mode — no TPU required).
+
+The kernel-speed gradient path (ops/pallas_grad.py) must pass the same
+north-star FD gates as the jnp path (tests/test_diff.py): reverse-mode
+gradients of a pixel loss through the Pallas forward+backward bounce
+kernels vs central finite differences with common random numbers (the
+counter-based RNG makes both FD evaluations replay identical draws).
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from rtow_tpu.models.camera import make_camera
+from rtow_tpu.models.scene import SceneBuilder
+from rtow_tpu.ops.pallas_grad import (
+    loss_and_grad_kernel, render_pixels_kernel,
+)
+
+W = H = 12
+SPP = 32  # averages away single-sample visibility flips in the FD curve
+DEPTH = 2
+KEY = jax.random.key(7)
+SEED = 11
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cam = make_camera(
+        lookfrom=(0.0, 0.0, 0.0), lookat=(0.0, 0.0, -1.0), fov_degrees=60.0,
+        aspect_ratio=1.0, aperture=0.0, focus_dist=1.0, t0=0.0, t1=0.0,
+    )
+    b = SceneBuilder()
+    red = b.add_lambertian((0.7, 0.3, 0.3))
+    ground = b.add_lambertian((0.5, 0.5, 0.5))
+    # Two-object scene: every FD flip source is a sphere/ground or
+    # sphere/sky boundary; central pixels + 32 spp keep the loss smooth
+    # over +-eps (the estimator is piecewise-smooth by construction).
+    b.add_sphere((0.0, 0.0, -1.0), 0.5, red)
+    b.add_sphere((0.0, -100.5, -1.0), 100.0, ground)
+    scene = b.build()
+    # Central pixels — squarely on the red sphere, away from silhouettes.
+    rows, cols = np.meshgrid(range(4, 8), range(4, 8), indexing="ij")
+    pix = jnp.asarray((rows * W + cols).ravel(), dtype=jnp.int32)
+    target = jnp.zeros((pix.shape[0], 3))
+    return scene, cam, pix, target
+
+
+def _loss(scene, cam, pix, target):
+    img = render_pixels_kernel(scene, cam, KEY, pix, width=W, height=H,
+                               spp=SPP, max_depth=DEPTH, seed=SEED,
+                               jitter=False)
+    return jnp.mean((img - target) ** 2)
+
+
+def _replace_sphere(scene, **kw):
+    return dataclasses.replace(
+        scene, spheres=dataclasses.replace(scene.spheres, **kw))
+
+
+def _replace_mat(scene, **kw):
+    return dataclasses.replace(
+        scene, materials=dataclasses.replace(scene.materials, **kw))
+
+
+def test_forward_matches_flat_path(setup):
+    """The grad-path forward must be a faithful renderer: statistical
+    agreement with the jnp oracle on the same scene."""
+    from rtow_tpu.config import Config
+    from rtow_tpu.render import render
+
+    scene, cam, _, _ = setup
+    pix = jnp.arange(W * H, dtype=jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        img_k = np.asarray(
+            render_pixels_kernel(scene, cam, KEY, pix, width=W, height=H,
+                                 spp=32, max_depth=4, seed=SEED)
+        ).reshape(H, W, 3)
+    cfg = Config(image_width=W, aspect_ratio=1.0, samples_per_pixel=32,
+                 max_child_rays=4, backend="jnp")
+    img_j = render(scene, cam, cfg)
+    assert abs(img_k.mean() - img_j.mean()) < 0.03
+    assert np.abs(img_k - img_j).mean() < 0.05
+
+
+@pytest.mark.parametrize(
+    "name,eps,tol",
+    # eps inside the locally-smooth window: at +-1e-2 a discrete
+    # visibility flip can cross the FD stencil (the loss is
+    # piecewise-smooth; AD gives the correct branch slope).
+    [("center_x", 2e-3, 0.08), ("radius", 2e-3, 0.08),
+     ("albedo_r", 1e-2, 0.05)],
+)
+def test_kernel_grad_matches_fd(setup, name, eps, tol):
+    scene, cam, pix, target = setup
+    with pltpu.force_tpu_interpret_mode():
+        loss, grads = loss_and_grad_kernel(
+            scene, cam, KEY, target, pix,
+            width=W, height=H, spp=SPP, max_depth=DEPTH, seed=SEED,
+            jitter=False,
+        )
+    assert np.isfinite(float(loss))
+
+    if name == "center_x":
+        ad = float(grads.spheres.center0[0, 0])
+
+        def f(v):
+            c = scene.spheres.center0.at[0, 0].add(v)
+            return _replace_sphere(scene, center0=c)
+    elif name == "radius":
+        ad = float(grads.spheres.radius[0])
+
+        def f(v):
+            r = scene.spheres.radius.at[0].add(v)
+            return _replace_sphere(scene, radius=r)
+    else:
+        ad = float(grads.materials.albedo[0, 0])
+
+        def f(v):
+            a = scene.materials.albedo.at[0, 0].add(v)
+            return _replace_mat(scene, albedo=a)
+
+    def loss_at(v):
+        with pltpu.force_tpu_interpret_mode():
+            return float(_loss(f(v), cam, pix, target))
+
+    fd = (loss_at(eps) - loss_at(-eps)) / (2 * eps)
+    assert fd != 0.0 or ad == pytest.approx(0.0, abs=1e-4)
+    denom = max(abs(fd), abs(ad), 1e-6)
+    assert abs(ad - fd) / denom < tol, f"{name}: AD {ad} vs FD {fd}"
+
+
+def test_kernel_grads_finite_everywhere(setup):
+    scene, cam, pix, target = setup
+    with pltpu.force_tpu_interpret_mode():
+        _, grads = loss_and_grad_kernel(
+            scene, cam, KEY, target, pix,
+            width=W, height=H, spp=SPP, max_depth=DEPTH, seed=SEED,
+        )
+    for leaf in jax.tree_util.tree_leaves(grads):
+        if hasattr(leaf, "dtype") and leaf.dtype != jax.dtypes.float0:
+            assert np.isfinite(np.asarray(leaf)).all()
