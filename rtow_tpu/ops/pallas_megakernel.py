@@ -231,7 +231,9 @@ def build_tri_table(scene: Scene) -> Tuple[jax.Array, jax.Array, jax.Array]:
 
 def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
                ox, oy, oz, dx, dy, dz, tm, alive, *,
-               n_blocks, n_tri_blocks, n_super=0, cull=True):
+               n_blocks, n_tri_blocks, n_super=0, cull=True,
+               tri_hbm=False, tri_scr=None, box_scr=None, sem_tri=None,
+               sem_box=None):
     """Nearest-hit sweep over Morton blocks with AABB culling and fused
     one-hot winner fetch.
 
@@ -243,6 +245,13 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
     :func:`_shade_pure`, which is what makes the backward kernel exact:
     d(output)/d(params) flows through the re-derived intersection t,
     not through the argmin.
+
+    ``tri_hbm``: large meshes keep the triangle table and block AABBs in
+    HBM (a VMEM-resident (Mpad, 16) table pays 8x for lane-dim tile
+    padding — 360k triangles would need 176MB of the 128MB VMEM);
+    descended super-blocks DMA their 16 block AABBs into an SMEM scratch
+    and each surviving block DMAs its (128, 16) rows into a VMEM scratch
+    right before the sweep.  Requires ``n_super > 0``.
     """
     shape = ox.shape
     zero = jnp.zeros(shape, jnp.float32)
@@ -362,17 +371,38 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
         def tri_sweep(b, carry):
             enter, exit_ = _box_enter_exit(tri_box_ref, b, carry[0])
             box_hit = jnp.logical_and(exit_ > enter, alive)
-            return jax.lax.cond(
-                jnp.any(box_hit), lambda c: _tri_block_sweep(b, c),
-                lambda c: c, carry,
-            )
 
-        def _tri_block_sweep(b, carry):
+            def sweep_it(c):
+                blk = tri_ref[
+                    pl.ds(pl.multiple_of(b * SPHERE_BLOCK, SPHERE_BLOCK),
+                          SPHERE_BLOCK), :
+                ]
+                return _tri_block_sweep(b, c, blk)
+
+            return jax.lax.cond(jnp.any(box_hit), sweep_it, lambda c: c,
+                                carry)
+
+        def tri_sweep_hbm(sb, jb, carry):
+            # Block AABB scalars come from the SMEM scratch the enclosing
+            # super-block descent DMA'd (box_scr row jb).
+            enter, exit_ = _box_enter_exit(box_scr, jb, carry[0])
+            box_hit = jnp.logical_and(exit_ > enter, alive)
+
+            def sweep_it(c):
+                b = sb * SUPER + jb
+                cp = pltpu.make_async_copy(
+                    tri_ref.at[pl.ds(b * SPHERE_BLOCK, SPHERE_BLOCK), :],
+                    tri_scr, sem_tri,
+                )
+                cp.start()
+                cp.wait()
+                return _tri_block_sweep(b, c, tri_scr[...])
+
+            return jax.lax.cond(jnp.any(box_hit), sweep_it, lambda c: c,
+                                carry)
+
+        def _tri_block_sweep(b, carry, blk):
             best_t, best_k = carry[0], carry[1]
-            blk = tri_ref[
-                pl.ds(pl.multiple_of(b * SPHERE_BLOCK, SPHERE_BLOCK),
-                      SPHERE_BLOCK), :
-            ]
             bt3 = best_t[:, None, :]
             ax_, ay_, az_ = col(blk, 0), col(blk, 1), col(blk, 2)
             e1x, e1y, e1z = col(blk, 3), col(blk, 4), col(blk, 5)
@@ -415,7 +445,35 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
             return (best_t, best_k) + params
 
         tri_carry = (best_t, best_k) + tri_params
-        if n_super:
+        if tri_hbm:
+            assert n_super > 0, "HBM triangle mode needs super-blocks"
+
+            # Two-level cull with HBM-resident tables: a descended
+            # super DMAs its 16 block AABBs into SMEM, then each
+            # surviving block DMAs its rows into the VMEM scratch.
+            def super_sweep_hbm(sb, carry):
+                s_enter, s_exit = _box_enter_exit(tri_sup_ref, sb, carry[0])
+                s_hit = jnp.logical_and(s_exit > s_enter, alive)
+
+                def descend(c):
+                    cp = pltpu.make_async_copy(
+                        tri_box_ref.at[pl.ds(sb * SUPER, SUPER), :],
+                        box_scr, sem_box,
+                    )
+                    cp.start()
+                    cp.wait()
+                    return jax.lax.fori_loop(
+                        0, SUPER,
+                        lambda jb, c2: tri_sweep_hbm(sb, jb, c2), c
+                    )
+
+                return jax.lax.cond(jnp.any(s_hit), descend, lambda c: c,
+                                    carry)
+
+            tri_carry = jax.lax.fori_loop(
+                0, n_super, super_sweep_hbm, tri_carry
+            )
+        elif n_super:
             # Two-level cull: only descend into super-blocks (16
             # blocks each) whose AABB some live ray hits.
             def super_sweep(sb, carry):
@@ -649,7 +707,9 @@ def _draw_scatter(lane_u32, salt, ablate="full"):
 def _bounce_core(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
                  ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb,
                  alive, bounce, lane_u32, salt, max_depth, *,
-                 n_blocks, n_tri_blocks, n_super=0, cull=True, ablate="full"):
+                 n_blocks, n_tri_blocks, n_super=0, cull=True, ablate="full",
+                 tri_hbm=False, tri_scr=None, box_scr=None, sem_tri=None,
+                 sem_box=None):
     """One intersect+shade step for every live lane of a tile.
 
     The shared heart of the megakernels (persistent whole-frame,
@@ -666,7 +726,8 @@ def _bounce_core(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
         tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
         ox, oy, oz, dx, dy, dz, tm, alive,
         n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, n_super=n_super,
-        cull=cull,
+        cull=cull, tri_hbm=tri_hbm, tri_scr=tri_scr, box_scr=box_scr,
+        sem_tri=sem_tri, sem_box=sem_box,
     )
     if ablate == "nofetch":
         zero = jnp.zeros(ox.shape, jnp.float32)
@@ -808,8 +869,9 @@ def _flat_bounce_kernel(
     ox_i, oy_i, oz_i, dx_i, dy_i, dz_i, tm_i, tpr_i, tpg_i, tpb_i,
     rr_i, rg_i, rb_i, alive_i, bounce_i, lid_i,
     ox_o, oy_o, oz_o, dx_o, dy_o, dz_o, tm_o, tpr_o, tpg_o, tpb_o,
-    rr_o, rg_o, rb_o, alive_o, bounce_o, lid_o, *,
-    n_blocks, n_tri_blocks, n_super=0, cull=True,
+    rr_o, rg_o, rb_o, alive_o, bounce_o, lid_o,
+    tri_scr=None, box_scr=None, sem_tri=None, sem_box=None, *,
+    n_blocks, n_tri_blocks, n_super=0, cull=True, tri_hbm=False,
 ):
     """One bounce over a tile of pre-generated (sorted) rays.
 
@@ -841,7 +903,8 @@ def _flat_bounce_kernel(
             ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb,
             al > 0, bo, lane_u32, salt, max_depth,
             n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, n_super=n_super,
-            cull=cull,
+            cull=cull, tri_hbm=tri_hbm, tri_scr=tri_scr, box_scr=box_scr,
+            sem_tri=sem_tri, sem_box=sem_box,
         )
         (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, rr, rg, rb, can, bo) = out
         return (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, rr, rg, rb,
@@ -888,23 +951,50 @@ def bounce_step_pallas(
 
     blocked = [s.reshape(n_tiles * TILE_ROWS, LANES) for s in state]
     lane_spec = pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0))
+    # A VMEM-resident (Mpad, 16) triangle table pays 8x for lane-dim
+    # tile padding (16 -> 128); beyond ~128k triangles (64MB padded of
+    # the 128MB physical VMEM) the table stays in HBM and descended
+    # blocks are DMA'd into scratch instead.
+    tri_hbm = (n_tri_blocks * SPHERE_BLOCK * 512 > 64 * 1024 * 1024
+               or (_os.environ.get("RTOW_TRI_HBM") == "1" and n_super > 0))
     kernel = functools.partial(
         _flat_bounce_kernel, n_blocks=n_blocks, n_tri_blocks=n_tri_blocks,
-        n_super=n_super, cull=cull,
+        n_super=n_super, cull=cull, tri_hbm=tri_hbm,
     )
+    if tri_hbm:
+        tri_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        tri_box_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        scratch_shapes = [
+            pltpu.VMEM((SPHERE_BLOCK, 16), jnp.float32),
+            pltpu.SMEM((SUPER, 8), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ]
+        vmem_limit = 64 * 1024 * 1024
+    else:
+        tri_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        tri_box_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        scratch_shapes = []
+        # The tri-table input window counts against physical VMEM with
+        # its 8x tile padding; the scoped limit guards temporaries.
+        vmem_limit = 32 * 1024 * 1024
     out = pl.pallas_call(
         kernel,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit
+        ),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # meta ints
             pl.BlockSpec(memory_space=pltpu.VMEM),  # sphere table
             pl.BlockSpec(memory_space=pltpu.SMEM),  # sphere block AABBs
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # triangle table
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # tri block AABBs
+            tri_spec,                               # triangle table
+            tri_box_spec,                           # tri block AABBs
             pl.BlockSpec(memory_space=pltpu.SMEM),  # tri super AABBs
         ] + [lane_spec] * 16,
         out_specs=[lane_spec] * 16,
         out_shape=[jax.ShapeDtypeStruct(b.shape, b.dtype) for b in blocked],
+        scratch_shapes=scratch_shapes,
     )(meta, tbl, sph_boxes, tri, tri_boxes, tri_super, *blocked)
     return tuple(o.reshape(L) for o in out)
 

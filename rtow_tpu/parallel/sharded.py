@@ -224,6 +224,99 @@ def render_sharded_pallas(
     return fb.reshape(height, width, 3) / cfg.samples_per_pixel
 
 
+@functools.lru_cache(maxsize=16)
+def _sharded_wavefront_step(flat_mesh, width: int, height: int, spp: int,
+                            max_depth: int, ppd: int, ppc: int,
+                            n_chunks_local: int, counts, cull: bool):
+    """Cached jitted shard-mapped sorted-wavefront step: each device owns
+    a contiguous pixel range and runs its own sort+bounce chunk loop."""
+    from ..ops.wavefront_sorted import trace_wavefront_sorted
+
+    n_pixels = width * height
+
+    def dev_fn(tables, bmin, inv_ext, camera, key, seed):
+        d = jax.lax.axis_index("dev")
+        dev_key = jax.random.fold_in(key, d)
+
+        def chunk_body(c, fb):
+            pix0 = d * ppd + c * ppc
+            pixel_ids = pix0 + jnp.arange(ppc, dtype=jnp.int32)
+            pix_safe = jnp.minimum(pixel_ids, n_pixels - 1)
+            sums = trace_wavefront_sorted(
+                None, camera, jax.random.fold_in(dev_key, c), pix_safe,
+                seed + (d * 131071 + c) * 7919,
+                spp=spp, max_depth=max_depth, width=width, height=height,
+                cull_backfaces=cull, tables=tables, counts=counts,
+                bmin=bmin, inv_ext=inv_ext,
+            )
+            sums = jnp.where((pixel_ids < n_pixels)[:, None], sums, 0.0)
+            return jax.lax.dynamic_update_slice(fb, sums, (c * ppc, 0))
+
+        fb0 = jnp.zeros((ppc * n_chunks_local, 3), jnp.float32)
+        return jax.lax.fori_loop(0, n_chunks_local, chunk_body, fb0)[:ppd]
+
+    sharded = shard_map(
+        dev_fn, mesh=flat_mesh,
+        in_specs=(P(), P(), P(), P(), P(), P()),
+        out_specs=P("dev", None),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def render_sharded_wavefront(
+    scene: Scene,
+    camera: Camera,
+    cfg: Config,
+    key=None,
+    mesh: Optional[Mesh] = None,
+    progress: bool = False,
+    cull_backfaces: bool = True,
+) -> np.ndarray:
+    """Mesh-sharded sorted-wavefront render for large meshes.
+
+    Pixel-domain decomposition over a flat device axis (the scene tables
+    are replicated — they are small next to HBM); each device sorts and
+    bounces its own lanes, so the only cross-device communication is the
+    implicit all-gather of the output sharding — same layout as
+    :func:`render_sharded_pallas`."""
+    from ..ops.wavefront_sorted import TILE, _scene_tables
+
+    if mesh is None:
+        mesh = make_mesh(cfg.n_devices, cfg.samples_per_pixel)
+    if key is None:
+        key = jax.random.key(cfg.seed)
+    devs = int(np.prod(list(mesh.shape.values())))
+    flat = Mesh(np.asarray(mesh.devices).reshape(-1), ("dev",))
+
+    width, height = cfg.image_width, cfg.image_height
+    spp = cfg.samples_per_pixel
+    n_pixels = width * height
+    ppd = -(-n_pixels // devs)  # pixels per device (tail masked)
+    ppc = min(max(cfg.rays_per_batch // spp, 1), ppd)
+    ppc = max(ppc, -(-TILE // spp))
+    n_chunks_local = -(-ppd // ppc)
+
+    tables, counts, bmin, inv_ext = _scene_tables(scene)
+    step = _sharded_wavefront_step(
+        flat, width, height, spp, cfg.max_child_rays, ppd, ppc,
+        n_chunks_local, counts, cull_backfaces,
+    )
+    t0 = _time.perf_counter()
+    fb = step(tables, bmin, inv_ext, camera, key, jnp.int32(cfg.seed))
+    fb.block_until_ready()
+    elapsed = _time.perf_counter() - t0
+    if progress:
+        from ..utils.profiling import RenderStats
+
+        stats = RenderStats(elapsed, n_pixels, spp, cfg.max_child_rays,
+                            backend="pallas-sorted", n_devices=devs)
+        print(stats.summary(), file=sys.stderr)
+
+    fb_np = np.asarray(fb, dtype=np.float64)[:n_pixels]
+    return fb_np.reshape(height, width, 3) / spp
+
+
 def render_sharded(
     scene: Scene,
     camera: Camera,

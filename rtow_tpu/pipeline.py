@@ -184,6 +184,11 @@ def _render_auto(
             from .parallel.sharded import render_sharded_pallas
 
             return render_sharded_pallas(scene, camera, cfg, progress=progress)
+        if wavefront_supported(scene, cfg):
+            from .parallel.sharded import render_sharded_wavefront
+
+            return render_sharded_wavefront(scene, camera, cfg, key=key,
+                                            progress=progress)
         from .parallel.sharded import render_sharded
 
         nearest = pick_nearest_hit(scene, cfg)

@@ -133,6 +133,31 @@ def test_kernel_grad_matches_fd(setup, name, eps, tol):
     assert abs(ad - fd) / denom < tol, f"{name}: AD {ad} vs FD {fd}"
 
 
+def test_sharded_kernel_train_step(setup):
+    """Full sharded training step with the kernel renderer: forward ->
+    MSE -> kernel backward -> psum over both mesh axes -> SGD update,
+    on the 8-virtual-device mesh (interpret mode)."""
+    from rtow_tpu.diff import build_train_step
+    from rtow_tpu.parallel.mesh import make_mesh
+
+    scene, cam, _, _ = setup
+    width, height, spp = 8, 4, 16
+    mesh = make_mesh(8, spp, tile_shards=4, spp_shards=2)
+    step = build_train_step(
+        mesh, cam, width=width, height=height, spp=spp, max_depth=2,
+        lr=1e-2, renderer=render_pixels_kernel,
+    )
+    target = jnp.zeros((width * height, 3), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        new_scene, loss = step(scene, jax.random.key(0), target)
+    assert np.isfinite(float(loss))
+    moved = np.abs(
+        np.asarray(new_scene.materials.albedo)
+        - np.asarray(scene.materials.albedo)
+    ).max()
+    assert moved > 0.0, "SGD update did not move material parameters"
+
+
 def test_kernel_grads_finite_everywhere(setup):
     scene, cam, pix, target = setup
     with pltpu.force_tpu_interpret_mode():

@@ -99,6 +99,49 @@ def test_chunked_matches_unchunked(knot_scene):
     assert abs(img1.mean() - img2.mean()) < 0.03
 
 
+def test_sharded_wavefront_matches_single(knot_scene):
+    """2-virtual-device sharded wavefront vs single-device (interpret
+    mode is ~Nx serial over shard_map programs — 2 devices keeps this
+    test tractable; the mesh layout logic is device-count agnostic)."""
+    from rtow_tpu.parallel.mesh import make_mesh
+    from rtow_tpu.parallel.sharded import render_sharded_wavefront
+
+    scene, cam = knot_scene
+    cfg = Config(image_width=16, aspect_ratio=1.0, samples_per_pixel=8,
+                 max_child_rays=2, n_devices=2)
+    with pltpu.force_tpu_interpret_mode():
+        img_sh = render_sharded_wavefront(
+            scene, cam, cfg, mesh=make_mesh(2, 8, tile_shards=2,
+                                            spp_shards=1))
+        img_1 = render_wavefront(scene, cam, cfg)
+    assert img_sh.shape == img_1.shape
+    assert abs(img_sh.mean() - img_1.mean()) < 0.04
+    assert np.abs(img_sh - img_1).mean() < 0.08
+
+
+def test_hbm_dma_mode_matches_jnp(monkeypatch):
+    """Forced HBM triangle mode (table in HBM, descended blocks DMA'd
+    into scratch — the >128k-triangle path) vs the jnp oracle."""
+    from make_mesh import make_knot
+
+    monkeypatch.setenv("RTOW_TRI_HBM", "1")
+    verts, faces = make_knot(32, 64)  # 4096 tris = 32 blocks = 2 supers
+    b = SceneBuilder()
+    m = b.add_lambertian((0.6, 0.5, 0.4))
+    b.add_mesh(verts[faces], m)
+    scene = b.build()
+    cam = make_camera(lookfrom=(0.0, 0.0, 3.0), lookat=(0.0, 0.0, 0.0),
+                      fov_degrees=45.0, aspect_ratio=1.0, aperture=0.0,
+                      focus_dist=3.0)
+    cfg = Config(image_width=16, aspect_ratio=1.0, samples_per_pixel=8,
+                 max_child_rays=2, backend="jnp")
+    with pltpu.force_tpu_interpret_mode():
+        img_h = render_wavefront(scene, cam, cfg)
+    img_j = render(scene, cam, cfg)
+    assert abs(img_h.mean() - img_j.mean()) < 0.03
+    assert np.abs(img_h - img_j).mean() < 0.06
+
+
 def test_dispatch_prefers_wavefront_for_large_meshes():
     """pipeline routing: > WAVEFRONT_MIN_TRIS goes to the sorted path."""
     from rtow_tpu.pipeline import pallas_supported, wavefront_supported
