@@ -226,14 +226,39 @@ def build_tri_table(scene: Scene) -> Tuple[jax.Array, jax.Array, jax.Array]:
         ).astype(f32)
     else:
         super_boxes = jnp.zeros((1, 8), f32)  # flat path sentinel
-    return tbl, boxes, super_boxes
+        return tbl, boxes, super_boxes, jnp.zeros((1, 8), f32)
+
+    # Third level for big meshes: hyper-blocks of 16 supers (32k tris)
+    # cut the uniform per-iteration scalar sweep from n_super tests to
+    # n_hyper.  Supers pad to a HYPER multiple with inverted boxes
+    # (never descended).
+    if nsb >= 2 * SUPER:
+        nsb_pad = -(-nsb // SUPER) * SUPER
+        pad_lo = jnp.tile(
+            jnp.asarray([[big, big, big, -big, -big, -big, 0.0, 0.0]], f32),
+            (nsb_pad - nsb, 1),
+        )
+        super_boxes = jnp.concatenate([super_boxes, pad_lo], axis=0)
+        nhb = nsb_pad // SUPER
+        hyp_lo = jnp.concatenate(
+            [sup_min, jnp.full((nsb_pad - nsb, 3), big)], axis=0
+        ).reshape(nhb, SUPER, 3).min(axis=1)
+        hyp_hi = jnp.concatenate(
+            [sup_max, jnp.full((nsb_pad - nsb, 3), -big)], axis=0
+        ).reshape(nhb, SUPER, 3).max(axis=1)
+        hyper_boxes = jnp.concatenate(
+            [hyp_lo, hyp_hi, jnp.zeros((nhb, 2), f32)], axis=1
+        ).astype(f32)
+    else:
+        hyper_boxes = jnp.zeros((1, 8), f32)
+    return tbl, boxes, super_boxes, hyper_boxes
 
 
 def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
                ox, oy, oz, dx, dy, dz, tm, alive, *,
                n_blocks, n_tri_blocks, n_super=0, cull=True,
                tri_hbm=False, tri_scr=None, box_scr=None, sem_tri=None,
-               sem_box=None):
+               sem_box=None, tri_hyp_ref=None, n_hyper=0):
     """Nearest-hit sweep over Morton blocks with AABB culling and fused
     one-hot winner fetch.
 
@@ -277,10 +302,16 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
     inv_dy = 1.0 / dy
     inv_dz = 1.0 / dz
 
-    def _box_enter_exit(box_ref, b, best_t):
-        """Slab-test entry/exit for block b's AABB per lane."""
-        bx0, by0, bz0 = box_ref[b, 0], box_ref[b, 1], box_ref[b, 2]
-        bx1, by1, bz1 = box_ref[b, 3], box_ref[b, 4], box_ref[b, 5]
+    def _box_enter_exit(box_ref, b, best_t, col0=0):
+        """Slab-test entry/exit for block b's AABB per lane.
+
+        ``col0`` offsets into packed rows (the HBM mode packs a super's
+        16 block AABBs as one (1, 128) row so the DMA slice stays
+        tile-aligned)."""
+        bx0, by0, bz0 = (box_ref[b, col0 + 0], box_ref[b, col0 + 1],
+                         box_ref[b, col0 + 2])
+        bx1, by1, bz1 = (box_ref[b, col0 + 3], box_ref[b, col0 + 4],
+                         box_ref[b, col0 + 5])
         tx0 = (bx0 - ox) * inv_dx
         tx1 = (bx1 - ox) * inv_dx
         ty0 = (by0 - oy) * inv_dy
@@ -384,8 +415,9 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
 
         def tri_sweep_hbm(sb, jb, carry):
             # Block AABB scalars come from the SMEM scratch the enclosing
-            # super-block descent DMA'd (box_scr row jb).
-            enter, exit_ = _box_enter_exit(box_scr, jb, carry[0])
+            # super-block descent DMA'd (one packed (1, SUPER*8) row).
+            enter, exit_ = _box_enter_exit(box_scr, 0, carry[0],
+                                           col0=jb * 8)
             box_hit = jnp.logical_and(exit_ > enter, alive)
 
             def sweep_it(c):
@@ -456,9 +488,10 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
                 s_hit = jnp.logical_and(s_exit > s_enter, alive)
 
                 def descend(c):
+                    # tri_box_ref is packed (NSB, SUPER*8): one full-lane
+                    # row per super — the DMA slice is tile-aligned.
                     cp = pltpu.make_async_copy(
-                        tri_box_ref.at[pl.ds(sb * SUPER, SUPER), :],
-                        box_scr, sem_box,
+                        tri_box_ref.at[pl.ds(sb, 1), :], box_scr, sem_box,
                     )
                     cp.start()
                     cp.wait()
@@ -470,9 +503,29 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
                 return jax.lax.cond(jnp.any(s_hit), descend, lambda c: c,
                                     carry)
 
-            tri_carry = jax.lax.fori_loop(
-                0, n_super, super_sweep_hbm, tri_carry
-            )
+            if n_hyper:
+                def hyper_sweep_hbm(hb, carry):
+                    h_enter, h_exit = _box_enter_exit(tri_hyp_ref, hb,
+                                                      carry[0])
+                    h_hit = jnp.logical_and(h_exit > h_enter, alive)
+
+                    def descend_h(c):
+                        return jax.lax.fori_loop(
+                            0, SUPER,
+                            lambda js, c2: super_sweep_hbm(
+                                hb * SUPER + js, c2), c
+                        )
+
+                    return jax.lax.cond(jnp.any(h_hit), descend_h,
+                                        lambda c: c, carry)
+
+                tri_carry = jax.lax.fori_loop(
+                    0, n_hyper, hyper_sweep_hbm, tri_carry
+                )
+            else:
+                tri_carry = jax.lax.fori_loop(
+                    0, n_super, super_sweep_hbm, tri_carry
+                )
         elif n_super:
             # Two-level cull: only descend into super-blocks (16
             # blocks each) whose AABB some live ray hits.
@@ -489,9 +542,29 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
                 return jax.lax.cond(jnp.any(s_hit), descend, lambda c: c,
                                     carry)
 
-            tri_carry = jax.lax.fori_loop(
-                0, n_super, super_sweep, tri_carry
-            )
+            if n_hyper:
+                def hyper_sweep(hb, carry):
+                    h_enter, h_exit = _box_enter_exit(tri_hyp_ref, hb,
+                                                      carry[0])
+                    h_hit = jnp.logical_and(h_exit > h_enter, alive)
+
+                    def descend_h(c):
+                        return jax.lax.fori_loop(
+                            0, SUPER,
+                            lambda js, c2: super_sweep(hb * SUPER + js, c2),
+                            c
+                        )
+
+                    return jax.lax.cond(jnp.any(h_hit), descend_h,
+                                        lambda c: c, carry)
+
+                tri_carry = jax.lax.fori_loop(
+                    0, n_hyper, hyper_sweep, tri_carry
+                )
+            else:
+                tri_carry = jax.lax.fori_loop(
+                    0, n_super, super_sweep, tri_carry
+                )
         else:
             tri_carry = jax.lax.fori_loop(
                 0, n_tri_blocks, tri_sweep, tri_carry
@@ -709,7 +782,7 @@ def _bounce_core(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
                  alive, bounce, lane_u32, salt, max_depth, *,
                  n_blocks, n_tri_blocks, n_super=0, cull=True, ablate="full",
                  tri_hbm=False, tri_scr=None, box_scr=None, sem_tri=None,
-                 sem_box=None):
+                 sem_box=None, tri_hyp_ref=None, n_hyper=0):
     """One intersect+shade step for every live lane of a tile.
 
     The shared heart of the megakernels (persistent whole-frame,
@@ -727,7 +800,8 @@ def _bounce_core(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
         ox, oy, oz, dx, dy, dz, tm, alive,
         n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, n_super=n_super,
         cull=cull, tri_hbm=tri_hbm, tri_scr=tri_scr, box_scr=box_scr,
-        sem_tri=sem_tri, sem_box=sem_box,
+        sem_tri=sem_tri, sem_box=sem_box, tri_hyp_ref=tri_hyp_ref,
+        n_hyper=n_hyper,
     )
     if ablate == "nofetch":
         zero = jnp.zeros(ox.shape, jnp.float32)
@@ -866,12 +940,14 @@ def _kernel(cam_ref, meta_ref, tbl_ref, sph_box_ref, tri_ref, tri_box_ref,
 
 def _flat_bounce_kernel(
     meta_ref, tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
+    tri_hyp_ref,
     ox_i, oy_i, oz_i, dx_i, dy_i, dz_i, tm_i, tpr_i, tpg_i, tpb_i,
     rr_i, rg_i, rb_i, alive_i, bounce_i, lid_i,
     ox_o, oy_o, oz_o, dx_o, dy_o, dz_o, tm_o, tpr_o, tpg_o, tpb_o,
     rr_o, rg_o, rb_o, alive_o, bounce_o, lid_o,
     tri_scr=None, box_scr=None, sem_tri=None, sem_box=None, *,
     n_blocks, n_tri_blocks, n_super=0, cull=True, tri_hbm=False,
+    n_hyper=0,
 ):
     """One bounce over a tile of pre-generated (sorted) rays.
 
@@ -904,7 +980,8 @@ def _flat_bounce_kernel(
             al > 0, bo, lane_u32, salt, max_depth,
             n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, n_super=n_super,
             cull=cull, tri_hbm=tri_hbm, tri_scr=tri_scr, box_scr=box_scr,
-            sem_tri=sem_tri, sem_box=sem_box,
+            sem_tri=sem_tri, sem_box=sem_box, tri_hyp_ref=tri_hyp_ref,
+            n_hyper=n_hyper,
         )
         (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, rr, rg, rb, can, bo) = out
         return (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, rr, rg, rb,
@@ -942,7 +1019,8 @@ def bounce_step_pallas(
     L = state[0].shape[0]
     assert L % TILE == 0, f"lanes {L} not a multiple of tile {TILE}"
     n_tiles = L // TILE
-    tbl, sph_boxes, tri, tri_boxes, tri_super = tables
+    tbl, sph_boxes, tri, tri_boxes, tri_super, tri_hyper = tables
+    n_hyper = tri_hyper.shape[0] if tri_hyper.shape[0] > 1 else 0
 
     meta = jnp.stack([
         jnp.asarray(it, jnp.int32), jnp.asarray(seed, jnp.int32),
@@ -959,14 +1037,21 @@ def bounce_step_pallas(
                or (_os.environ.get("RTOW_TRI_HBM") == "1" and n_super > 0))
     kernel = functools.partial(
         _flat_bounce_kernel, n_blocks=n_blocks, n_tri_blocks=n_tri_blocks,
-        n_super=n_super, cull=cull, tri_hbm=tri_hbm,
+        n_super=n_super, cull=cull, tri_hbm=tri_hbm, n_hyper=n_hyper,
     )
     if tri_hbm:
+        # Pack each super's 16 block AABBs into one (1, SUPER*8) row so
+        # the per-descend DMA slice is tile-aligned, and pad the table's
+        # param dim 16 -> 128 so per-block DMA slices are lane-aligned
+        # (Mosaic requires 128-multiples; 8x HBM padding is noise next
+        # to 16GB, and a 64KB block DMA is ~80ns of HBM bandwidth).
+        tri_boxes = tri_boxes[: n_super * SUPER].reshape(n_super, SUPER * 8)
+        tri = jnp.pad(tri, ((0, 0), (0, LANES - tri.shape[1])))
         tri_spec = pl.BlockSpec(memory_space=pltpu.ANY)
         tri_box_spec = pl.BlockSpec(memory_space=pltpu.ANY)
         scratch_shapes = [
-            pltpu.VMEM((SPHERE_BLOCK, 16), jnp.float32),
-            pltpu.SMEM((SUPER, 8), jnp.float32),
+            pltpu.VMEM((SPHERE_BLOCK, LANES), jnp.float32),
+            pltpu.SMEM((1, SUPER * 8), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ]
@@ -991,11 +1076,13 @@ def bounce_step_pallas(
             tri_spec,                               # triangle table
             tri_box_spec,                           # tri block AABBs
             pl.BlockSpec(memory_space=pltpu.SMEM),  # tri super AABBs
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # tri hyper AABBs
         ] + [lane_spec] * 16,
         out_specs=[lane_spec] * 16,
         out_shape=[jax.ShapeDtypeStruct(b.shape, b.dtype) for b in blocked],
         scratch_shapes=scratch_shapes,
-    )(meta, tbl, sph_boxes, tri, tri_boxes, tri_super, *blocked)
+    )(meta, tbl, sph_boxes, tri, tri_boxes, tri_super, tri_hyper,
+      *blocked)
     return tuple(o.reshape(L) for o in out)
 
 
@@ -1030,7 +1117,9 @@ def render_blocks_pallas(
         sph_boxes = jnp.zeros((1, 8), jnp.float32)
         n_blocks = 0
     if scene.n_triangles:
-        tri, tri_boxes, tri_super = build_tri_table(scene)
+        # Persistent kernel dispatch ceiling is small meshes — the
+        # hyper table is only consumed by the flat bounce kernel.
+        tri, tri_boxes, tri_super, _ = build_tri_table(scene)
         n_tri_blocks = tri.shape[0] // SPHERE_BLOCK
         n_super = (n_tri_blocks // SUPER
                    if tri_super.shape[0] > 1 else 0)

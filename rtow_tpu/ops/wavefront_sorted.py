@@ -106,16 +106,17 @@ def _scene_tables(scene: Scene):
         sph_boxes = jnp.zeros((1, 8), jnp.float32)
         n_blocks = 0
     if scene.n_triangles:
-        tri, tri_boxes, tri_super = build_tri_table(scene)
+        tri, tri_boxes, tri_super, tri_hyper = build_tri_table(scene)
         n_tri_blocks = tri.shape[0] // SPHERE_BLOCK
         n_super = n_tri_blocks // SUPER if tri_super.shape[0] > 1 else 0
     else:
         tri = jnp.zeros((SPHERE_BLOCK, 16), jnp.float32)
         tri_boxes = jnp.zeros((1, 8), jnp.float32)
         tri_super = jnp.zeros((1, 8), jnp.float32)
+        tri_hyper = jnp.zeros((1, 8), jnp.float32)
         n_tri_blocks = 0
         n_super = 0
-    tables = (tbl, sph_boxes, tri, tri_boxes, tri_super)
+    tables = (tbl, sph_boxes, tri, tri_boxes, tri_super, tri_hyper)
 
     # Scene bounds for Morton quantization (valid block boxes only).
     def bounds(boxes, n):
