@@ -52,6 +52,10 @@ TILE_ROWS = int(_os.environ.get("RTOW_TILE_ROWS", "8"))
 LANES = 128
 TILE = TILE_ROWS * LANES
 SPHERE_BLOCK = 128
+#: Triangles per Morton block (env-tunable for experiments).  128
+#: measured best on the knot meshes: smaller blocks buy tighter AABBs
+#: but pay more per-block cond/reduce machinery (32 was ~20% slower).
+TRI_BLOCK = int(_os.environ.get("RTOW_TRI_BLOCK", "128"))
 
 # Sphere-table rows.
 _C0X, _C0Y, _C0Z, _DCX, _DCY, _DCZ, _R, _ALR, _ALG, _ALB, _FUZZ, _IR, _KIND = range(13)
@@ -173,11 +177,11 @@ def build_tri_table(scene: Scene) -> Tuple[jax.Array, jax.Array, jax.Array]:
     tr = scene.triangles
     mats = scene.materials
     m = tr.material.shape[0]
-    mpad = -(-m // SPHERE_BLOCK) * SPHERE_BLOCK
+    mpad = -(-m // TRI_BLOCK) * TRI_BLOCK
     # Pad to whole super-blocks when the mesh is big enough to use the
     # two-level cull (kernel only descends into hit super-blocks).
-    if mpad // SPHERE_BLOCK >= 2 * SUPER:
-        mpad = -(-mpad // (SPHERE_BLOCK * SUPER)) * SPHERE_BLOCK * SUPER
+    if mpad // TRI_BLOCK >= 2 * SUPER:
+        mpad = -(-mpad // (TRI_BLOCK * SUPER)) * TRI_BLOCK * SUPER
     f32 = jnp.float32
 
     verts = tr.verts
@@ -205,9 +209,9 @@ def build_tri_table(scene: Scene) -> Tuple[jax.Array, jax.Array, jax.Array]:
     big = jnp.float32(1.0e30)
     bmin = jnp.concatenate([tmin, jnp.full((mpad - m, 3), big)], axis=0)
     bmax = jnp.concatenate([tmax, jnp.full((mpad - m, 3), -big)], axis=0)
-    nb = mpad // SPHERE_BLOCK
-    blk_min = bmin.reshape(nb, SPHERE_BLOCK, 3).min(axis=1)
-    blk_max = bmax.reshape(nb, SPHERE_BLOCK, 3).max(axis=1)
+    nb = mpad // TRI_BLOCK
+    blk_min = bmin.reshape(nb, TRI_BLOCK, 3).min(axis=1)
+    blk_max = bmax.reshape(nb, TRI_BLOCK, 3).max(axis=1)
     # Epsilon-pad: axis-aligned flat blocks (zero extent) would fail the
     # strict slab inequality and be culled outright.
     pad_eps = 1e-4 + 1e-4 * jnp.abs(blk_max - blk_min)
@@ -280,12 +284,9 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
     """
     shape = ox.shape
     zero = jnp.zeros(shape, jnp.float32)
-    # Pair tensors are (rows, spheres, lanes): sphere axis = 1 (sublanes);
-    # all pair reductions run over SUBLANES (lane-axis reductions need
-    # cross-lane shuffles, measured ~3x slower).
-    k_iota = jax.lax.broadcasted_iota(
-        jnp.int32, (shape[0], SPHERE_BLOCK, shape[1]), 1
-    )
+    # Pair tensors are (rows, prims, lanes): primitive axis = 1
+    # (sublanes); all pair reductions run over SUBLANES (lane-axis
+    # reductions need cross-lane shuffles, measured ~3x slower).
 
     a = dx * dx + dy * dy + dz * dz
     inv_a = 1.0 / a
@@ -335,7 +336,9 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
 
     def _fused_fetch(blk, bk, upd, params, first_col, n_params):
         """Overwrite ``params`` with block-winner values where ``upd``."""
-        oh = (bk[:, None, :] == k_iota).astype(jnp.float32)
+        nrows = blk.shape[0]
+        oh = (bk[:, None, :] == jax.lax.broadcasted_iota(
+            jnp.int32, (shape[0], nrows, shape[1]), 1)).astype(jnp.float32)
         return tuple(
             jnp.where(upd, jnp.sum(oh * col(blk, first_col + p), axis=1),
                       params[p])
@@ -400,20 +403,22 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
         # Moller-Trumbore in the reference's determinant form
         # (src/common-model.cpp:104-125) over triangle blocks.
         def tri_sweep(b, carry):
+            # Small meshes (no super level): boxes in SMEM, table in
+            # VMEM, direct per-block slab test + sweep.
             enter, exit_ = _box_enter_exit(tri_box_ref, b, carry[0])
             box_hit = jnp.logical_and(exit_ > enter, alive)
 
             def sweep_it(c):
                 blk = tri_ref[
-                    pl.ds(pl.multiple_of(b * SPHERE_BLOCK, SPHERE_BLOCK),
-                          SPHERE_BLOCK), :
+                    pl.ds(pl.multiple_of(b * TRI_BLOCK, TRI_BLOCK),
+                          TRI_BLOCK), :
                 ]
                 return _tri_block_sweep(b, c, blk)
 
             return jax.lax.cond(jnp.any(box_hit), sweep_it, lambda c: c,
                                 carry)
 
-        def tri_sweep_hbm(sb, jb, carry):
+        def tri_sweep_in_super(sb, jb, carry):
             # Block AABB scalars come from the SMEM scratch the enclosing
             # super-block descent DMA'd (one packed (1, SUPER*8) row).
             enter, exit_ = _box_enter_exit(box_scr, 0, carry[0],
@@ -422,18 +427,27 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
 
             def sweep_it(c):
                 b = sb * SUPER + jb
-                cp = pltpu.make_async_copy(
-                    tri_ref.at[pl.ds(b * SPHERE_BLOCK, SPHERE_BLOCK), :],
-                    tri_scr, sem_tri,
-                )
-                cp.start()
-                cp.wait()
-                return _tri_block_sweep(b, c, tri_scr[...])
+                if tri_hbm:
+                    cp = pltpu.make_async_copy(
+                        tri_ref.at[pl.ds(b * TRI_BLOCK, TRI_BLOCK), :],
+                        tri_scr, sem_tri,
+                    )
+                    cp.start()
+                    cp.wait()
+                    blk = tri_scr[...]
+                else:
+                    blk = tri_ref[
+                        pl.ds(pl.multiple_of(b * TRI_BLOCK, TRI_BLOCK),
+                              TRI_BLOCK), :
+                    ]
+                return _tri_block_sweep(b, c, blk)
 
             return jax.lax.cond(jnp.any(box_hit), sweep_it, lambda c: c,
                                 carry)
 
         def _tri_block_sweep(b, carry, blk):
+            if _os.environ.get("RTOW_WF_ABLATE") == "nosweep":
+                return carry  # measure cull/cond machinery alone
             best_t, best_k = carry[0], carry[1]
             bt3 = best_t[:, None, :]
             ax_, ay_, az_ = col(blk, 0), col(blk, 1), col(blk, 2)
@@ -470,26 +484,24 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
             bk = jnp.argmin(t_pair, axis=1).astype(jnp.int32)
             upd = bt < best_t
             best_t = jnp.where(upd, bt, best_t)
-            best_k = jnp.where(upd, bk + sph_pad + b * SPHERE_BLOCK,
+            best_k = jnp.where(upd, bk + sph_pad + b * TRI_BLOCK,
                                best_k)
             # Full row: v0(3), e1(3), e2(3), albedo(3), fuzz, ir, kind.
             params = _fused_fetch(blk, bk, upd, carry[2:], 0, 15)
             return (best_t, best_k) + params
 
         tri_carry = (best_t, best_k) + tri_params
-        if tri_hbm:
-            assert n_super > 0, "HBM triangle mode needs super-blocks"
-
-            # Two-level cull with HBM-resident tables: a descended
-            # super DMAs its 16 block AABBs into SMEM, then each
-            # surviving block DMAs its rows into the VMEM scratch.
-            def super_sweep_hbm(sb, carry):
+        if n_super:
+            # Hierarchical cull with packed box rows: a descended super
+            # DMAs its 16 block AABBs into SMEM scratch (a full box
+            # table would blow the 1MB SMEM past ~2000 blocks), then
+            # each surviving block is swept — from VMEM directly, or
+            # via its own DMA when the table lives in HBM.
+            def super_sweep(sb, carry):
                 s_enter, s_exit = _box_enter_exit(tri_sup_ref, sb, carry[0])
                 s_hit = jnp.logical_and(s_exit > s_enter, alive)
 
                 def descend(c):
-                    # tri_box_ref is packed (NSB, SUPER*8): one full-lane
-                    # row per super — the DMA slice is tile-aligned.
                     cp = pltpu.make_async_copy(
                         tri_box_ref.at[pl.ds(sb, 1), :], box_scr, sem_box,
                     )
@@ -497,46 +509,7 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
                     cp.wait()
                     return jax.lax.fori_loop(
                         0, SUPER,
-                        lambda jb, c2: tri_sweep_hbm(sb, jb, c2), c
-                    )
-
-                return jax.lax.cond(jnp.any(s_hit), descend, lambda c: c,
-                                    carry)
-
-            if n_hyper:
-                def hyper_sweep_hbm(hb, carry):
-                    h_enter, h_exit = _box_enter_exit(tri_hyp_ref, hb,
-                                                      carry[0])
-                    h_hit = jnp.logical_and(h_exit > h_enter, alive)
-
-                    def descend_h(c):
-                        return jax.lax.fori_loop(
-                            0, SUPER,
-                            lambda js, c2: super_sweep_hbm(
-                                hb * SUPER + js, c2), c
-                        )
-
-                    return jax.lax.cond(jnp.any(h_hit), descend_h,
-                                        lambda c: c, carry)
-
-                tri_carry = jax.lax.fori_loop(
-                    0, n_hyper, hyper_sweep_hbm, tri_carry
-                )
-            else:
-                tri_carry = jax.lax.fori_loop(
-                    0, n_super, super_sweep_hbm, tri_carry
-                )
-        elif n_super:
-            # Two-level cull: only descend into super-blocks (16
-            # blocks each) whose AABB some live ray hits.
-            def super_sweep(sb, carry):
-                s_enter, s_exit = _box_enter_exit(tri_sup_ref, sb, carry[0])
-                s_hit = jnp.logical_and(s_exit > s_enter, alive)
-
-                def descend(c):
-                    return jax.lax.fori_loop(
-                        0, SUPER,
-                        lambda jb, c2: tri_sweep(sb * SUPER + jb, c2), c
+                        lambda jb, c2: tri_sweep_in_super(sb, jb, c2), c
                     )
 
                 return jax.lax.cond(jnp.any(s_hit), descend, lambda c: c,
@@ -940,11 +913,7 @@ def _kernel(cam_ref, meta_ref, tbl_ref, sph_box_ref, tri_ref, tri_box_ref,
 
 def _flat_bounce_kernel(
     meta_ref, tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
-    tri_hyp_ref,
-    ox_i, oy_i, oz_i, dx_i, dy_i, dz_i, tm_i, tpr_i, tpg_i, tpb_i,
-    rr_i, rg_i, rb_i, alive_i, bounce_i, lid_i,
-    ox_o, oy_o, oz_o, dx_o, dy_o, dz_o, tm_o, tpr_o, tpg_o, tpb_o,
-    rr_o, rg_o, rb_o, alive_o, bounce_o, lid_o,
+    tri_hyp_ref, st_i, st_o,
     tri_scr=None, box_scr=None, sem_tri=None, sem_box=None, *,
     n_blocks, n_tri_blocks, n_super=0, cull=True, tri_hbm=False,
     n_hyper=0,
@@ -957,26 +926,34 @@ def _flat_bounce_kernel(
     1024-lane tile via :func:`_bounce_core`.  Tiles whose lanes are all
     dead (sorting compacts dead lanes to the tail) skip the sweep
     entirely — the cond falls through to a pure copy.
+
+    State is ONE packed (16, TILE_ROWS, LANES) f32 window (13
+    continuous + alive/bounce/lane-id stored as exact f32): windowed
+    refs each pay per-grid-step DMA orchestration, and 2 windows
+    instead of 32 is ~an order of magnitude less fixed overhead per
+    tile — the dominant cost once culling leaves most tiles nearly
+    workless.
     """
     it = meta_ref[0, 0]
     seed = meta_ref[0, 1]
     max_depth = meta_ref[0, 2]
 
-    lid = lid_i[...]
-    alive_in = alive_i[...]
-    state = (ox_i[...], oy_i[...], oz_i[...], dx_i[...], dy_i[...],
-             dz_i[...], tpr_i[...], tpg_i[...], tpb_i[...],
-             rr_i[...], rg_i[...], rb_i[...], alive_in, bounce_i[...])
-    tm = tm_i[...]
+    vals = [st_i[j] for j in range(16)]
+    lid = vals[15].astype(jnp.int32)
+    alive_in = vals[13].astype(jnp.int32)
+    bounce_in = vals[14].astype(jnp.int32)
+    state = tuple(vals[:13]) + (alive_in, bounce_in)
+    tm = vals[6]
 
     lane_u32 = _mix(lid.astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
     salt = _mix((seed + it * jnp.int32(40503)).astype(jnp.uint32))
 
     def run(st):
-        (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, rr, rg, rb, al, bo) = st
+        (ox, oy, oz, dx, dy, dz, tmv, tpr, tpg, tpb, rr, rg, rb,
+         al, bo) = st
         out = _bounce_core(
             tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
-            ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb,
+            ox, oy, oz, dx, dy, dz, tmv, tpr, tpg, tpb, rr, rg, rb,
             al > 0, bo, lane_u32, salt, max_depth,
             n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, n_super=n_super,
             cull=cull, tri_hbm=tri_hbm, tri_scr=tri_scr, box_scr=box_scr,
@@ -984,16 +961,16 @@ def _flat_bounce_kernel(
             n_hyper=n_hyper,
         )
         (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, rr, rg, rb, can, bo) = out
-        return (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, rr, rg, rb,
+        return (ox, oy, oz, dx, dy, dz, tmv, tpr, tpg, tpb, rr, rg, rb,
                 can.astype(jnp.int32), bo)
 
     final = jax.lax.cond(jnp.any(alive_in > 0), run, lambda st: st, state)
 
-    (ox_o[...], oy_o[...], oz_o[...], dx_o[...], dy_o[...], dz_o[...],
-     tpr_o[...], tpg_o[...], tpb_o[...], rr_o[...], rg_o[...], rb_o[...],
-     alive_o[...], bounce_o[...]) = final
-    tm_o[...] = tm
-    lid_o[...] = lid
+    for j in range(13):
+        st_o[j] = final[j]
+    st_o[13] = final[13].astype(jnp.float32)
+    st_o[14] = final[14].astype(jnp.float32)
+    st_o[15] = vals[15]
 
 
 def bounce_step_pallas(
@@ -1014,7 +991,7 @@ def bounce_step_pallas(
     (ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb,
     alive:i32, bounce:i32, lane_id:i32); L must be a multiple of TILE.
     ``tables`` = (sphere_tbl, sphere_boxes, tri_tbl, tri_boxes,
-    tri_super) from build_sphere_table/build_tri_table.
+    tri_super, tri_hyper) from build_sphere_table/build_tri_table.
     """
     L = state[0].shape[0]
     assert L % TILE == 0, f"lanes {L} not a multiple of tile {TILE}"
@@ -1027,39 +1004,49 @@ def bounce_step_pallas(
         jnp.asarray(max_depth, jnp.int32),
     ])[None, :]
 
-    blocked = [s.reshape(n_tiles * TILE_ROWS, LANES) for s in state]
-    lane_spec = pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0))
+    # Pack all 16 state arrays into one (16, rows, LANES) f32 window —
+    # ints are exact in f32 (lane ids < 2^24) and one in/out window
+    # costs ~16x less per-grid-step DMA orchestration than 32.
+    packed = jnp.stack(
+        [x.astype(jnp.float32).reshape(n_tiles * TILE_ROWS, LANES)
+         for x in state]
+    )
+    st_spec = pl.BlockSpec((16, TILE_ROWS, LANES), lambda i: (0, i, 0))
     # A VMEM-resident (Mpad, 16) triangle table pays 8x for lane-dim
     # tile padding (16 -> 128); beyond ~128k triangles (64MB padded of
     # the 128MB physical VMEM) the table stays in HBM and descended
     # blocks are DMA'd into scratch instead.
-    tri_hbm = (n_tri_blocks * SPHERE_BLOCK * 512 > 64 * 1024 * 1024
+    tri_hbm = (n_tri_blocks * TRI_BLOCK * 512 > 64 * 1024 * 1024
                or (_os.environ.get("RTOW_TRI_HBM") == "1" and n_super > 0))
     kernel = functools.partial(
         _flat_bounce_kernel, n_blocks=n_blocks, n_tri_blocks=n_tri_blocks,
         n_super=n_super, cull=cull, tri_hbm=tri_hbm, n_hyper=n_hyper,
     )
-    if tri_hbm:
+    if n_super:
         # Pack each super's 16 block AABBs into one (1, SUPER*8) row so
-        # the per-descend DMA slice is tile-aligned, and pad the table's
-        # param dim 16 -> 128 so per-block DMA slices are lane-aligned
-        # (Mosaic requires 128-multiples; 8x HBM padding is noise next
-        # to 16GB, and a 64KB block DMA is ~80ns of HBM bandwidth).
+        # the per-descend DMA slice is tile-aligned; a full per-block
+        # box table would blow the 1MB SMEM past ~2000 blocks.
         tri_boxes = tri_boxes[: n_super * SUPER].reshape(n_super, SUPER * 8)
-        tri = jnp.pad(tri, ((0, 0), (0, LANES - tri.shape[1])))
-        tri_spec = pl.BlockSpec(memory_space=pltpu.ANY)
         tri_box_spec = pl.BlockSpec(memory_space=pltpu.ANY)
         scratch_shapes = [
-            pltpu.VMEM((SPHERE_BLOCK, LANES), jnp.float32),
+            pltpu.VMEM((TRI_BLOCK, LANES if tri_hbm else 16), jnp.float32),
             pltpu.SMEM((1, SUPER * 8), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ]
+    else:
+        tri_box_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        scratch_shapes = []
+    if tri_hbm:
+        # Large meshes keep the table in HBM, padded 16 -> 128 wide so
+        # per-block DMA slices are lane-aligned (Mosaic requires
+        # 128-multiples; 8x HBM padding is noise next to 16GB, and a
+        # block DMA is ~100ns of HBM bandwidth).
+        tri = jnp.pad(tri, ((0, 0), (0, LANES - tri.shape[1])))
+        tri_spec = pl.BlockSpec(memory_space=pltpu.ANY)
         vmem_limit = 64 * 1024 * 1024
     else:
         tri_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-        tri_box_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-        scratch_shapes = []
         # The tri-table input window counts against physical VMEM with
         # its 8x tile padding; the scoped limit guards temporaries.
         vmem_limit = 32 * 1024 * 1024
@@ -1077,13 +1064,18 @@ def bounce_step_pallas(
             tri_box_spec,                           # tri block AABBs
             pl.BlockSpec(memory_space=pltpu.SMEM),  # tri super AABBs
             pl.BlockSpec(memory_space=pltpu.SMEM),  # tri hyper AABBs
-        ] + [lane_spec] * 16,
-        out_specs=[lane_spec] * 16,
-        out_shape=[jax.ShapeDtypeStruct(b.shape, b.dtype) for b in blocked],
+            st_spec,
+        ],
+        out_specs=[st_spec],
+        out_shape=[jax.ShapeDtypeStruct(packed.shape, jnp.float32)],
         scratch_shapes=scratch_shapes,
-    )(meta, tbl, sph_boxes, tri, tri_boxes, tri_super, tri_hyper,
-      *blocked)
-    return tuple(o.reshape(L) for o in out)
+    )(meta, tbl, sph_boxes, tri, tri_boxes, tri_super, tri_hyper, packed)
+    flat = out[0].reshape(16, L)
+    res = [flat[j] for j in range(13)]
+    res.append(flat[13].astype(jnp.int32))
+    res.append(flat[14].astype(jnp.int32))
+    res.append(flat[15].astype(jnp.int32))
+    return tuple(res)
 
 
 def render_blocks_pallas(
@@ -1120,11 +1112,11 @@ def render_blocks_pallas(
         # Persistent kernel dispatch ceiling is small meshes — the
         # hyper table is only consumed by the flat bounce kernel.
         tri, tri_boxes, tri_super, _ = build_tri_table(scene)
-        n_tri_blocks = tri.shape[0] // SPHERE_BLOCK
+        n_tri_blocks = tri.shape[0] // TRI_BLOCK
         n_super = (n_tri_blocks // SUPER
                    if tri_super.shape[0] > 1 else 0)
     else:
-        tri = jnp.zeros((SPHERE_BLOCK, 16), jnp.float32)
+        tri = jnp.zeros((TRI_BLOCK, 16), jnp.float32)
         tri_boxes = jnp.zeros((1, 8), jnp.float32)
         tri_super = jnp.zeros((1, 8), jnp.float32)
         n_tri_blocks = 0

@@ -46,6 +46,7 @@ from .pallas_megakernel import (
     SPHERE_BLOCK,
     SUPER,
     TILE,
+    TRI_BLOCK,
     bounce_step_pallas,
     build_sphere_table,
     build_tri_table,
@@ -73,11 +74,14 @@ def sort_keys(
 ) -> jax.Array:
     """Spatial coherence key per lane -> (L,) int32, dead lanes last.
 
-    Layout (MSB..LSB): 21-bit Morton code of the ray origin quantized to
-    the scene bounds (7 bits/axis), then the 3-bit direction octant.
-    Origin dominates: block culling is driven by where rays *start*;
-    the octant splits opposing rays that would otherwise widen a tile's
-    frustum to the whole scene.
+    Layout (MSB..LSB): 21-bit Morton code of the ray origin quantized
+    to the scene bounds (7 bits/axis), then a 9-bit Morton code of the
+    normalized direction (3 bits/axis).  Origin dominates — block
+    culling is driven by where rays *start* — but the direction bits
+    are load-bearing too: primary rays all share the camera origin, so
+    without them the first sort would collapse to a near-random
+    shuffle of the naturally coherent pixel order (measured: the
+    bounce-0 tiles then sweep most of the scene).
     """
     qx = jnp.clip((ox - bmin[0]) * inv_ext[0] * 127.0, 0.0, 127.0)
     qy = jnp.clip((oy - bmin[1]) * inv_ext[1] * 127.0, 0.0, 127.0)
@@ -87,12 +91,26 @@ def sort_keys(
         | (_spread3(qy.astype(jnp.uint32)) << 1)
         | (_spread3(qz.astype(jnp.uint32)) << 2)
     )
-    octant = (
-        (dx > 0).astype(jnp.uint32)
-        | ((dy > 0).astype(jnp.uint32) << 1)
-        | ((dz > 0).astype(jnp.uint32) << 2)
+    # Direction bits quantized ADAPTIVELY to the live-direction range:
+    # primary rays span only the camera's fov cone, and a fixed [-1,1]
+    # grid would put the whole cone in one cell (measured: no effect).
+    inv_len = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
+    live = alive > 0
+    big = jnp.float32(3.0e38)
+
+    def qdir(d):
+        nd = d * inv_len
+        lo = jnp.min(jnp.where(live, nd, big))
+        hi = jnp.max(jnp.where(live, nd, -big))
+        scale = 7.999 / jnp.maximum(hi - lo, 1e-6)
+        return jnp.clip((nd - lo) * scale, 0.0, 7.0)
+
+    dcode = (
+        _spread3(qdir(dx).astype(jnp.uint32))
+        | (_spread3(qdir(dy).astype(jnp.uint32)) << 1)
+        | (_spread3(qdir(dz).astype(jnp.uint32)) << 2)
     )
-    key = ((code << 3) | octant).astype(jnp.int32)
+    key = ((code << 9) | dcode).astype(jnp.int32)
     return jnp.where(alive > 0, key, DEAD_KEY)
 
 
@@ -107,10 +125,10 @@ def _scene_tables(scene: Scene):
         n_blocks = 0
     if scene.n_triangles:
         tri, tri_boxes, tri_super, tri_hyper = build_tri_table(scene)
-        n_tri_blocks = tri.shape[0] // SPHERE_BLOCK
+        n_tri_blocks = tri.shape[0] // TRI_BLOCK
         n_super = n_tri_blocks // SUPER if tri_super.shape[0] > 1 else 0
     else:
-        tri = jnp.zeros((SPHERE_BLOCK, 16), jnp.float32)
+        tri = jnp.zeros((TRI_BLOCK, 16), jnp.float32)
         tri_boxes = jnp.zeros((1, 8), jnp.float32)
         tri_super = jnp.zeros((1, 8), jnp.float32)
         tri_hyper = jnp.zeros((1, 8), jnp.float32)
