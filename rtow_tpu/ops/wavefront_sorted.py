@@ -260,8 +260,9 @@ def _frame_fn(width: int, height: int, spp: int, max_depth: int,
                 from ..render import _scanline_tick
 
                 jax.debug.callback(
-                    functools.partial(_scanline_tick, ppc=ppc, width=width,
-                                      height=height), c, ordered=False,
+                    functools.partial(_scanline_tick, ppc=ppc,
+                                      width=width, height=height),
+                    c, ordered=False,
                 )
             return jax.lax.dynamic_update_slice(fb, sums, (pix0, 0))
 
@@ -292,8 +293,11 @@ def render_wavefront(
     n_chunks = -(-n_pixels // ppc)
 
     tables, counts, bmin, inv_ext = _scene_tables(scene)
+    from ..render import callbacks_supported
+
     frame = _frame_fn(width, height, spp, cfg.max_child_rays, ppc, n_chunks,
-                      counts, cull_backfaces, progress)
+                      counts, cull_backfaces,
+                      progress and callbacks_supported())
 
     t0 = _time.perf_counter()
     fb = frame(tables, bmin, inv_ext, camera, key, jnp.int32(cfg.seed))

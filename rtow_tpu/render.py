@@ -116,6 +116,21 @@ def _scanline_tick(c, *, ppc, width, height):
           end="" if done_rows < height else "\n", file=sys.stderr, flush=True)
 
 
+@functools.lru_cache(maxsize=1)
+def callbacks_supported() -> bool:
+    """Whether the backend can host jax.debug.callback (the remote
+    axon_pjrt tunnel cannot; emitting one there aborts the render)."""
+    try:
+        def probe(x):
+            jax.debug.callback(lambda: None, ordered=False)
+            return x + 1
+
+        jax.jit(probe)(jnp.zeros(())).block_until_ready()
+        return True
+    except Exception:  # noqa: BLE001 — any failure means "don't tick"
+        return False
+
+
 def _frame(
     scene: Scene,
     camera: Camera,
@@ -196,7 +211,9 @@ def render(
             max_depth=cfg.max_child_rays,
             nearest_hit=nearest_hit,
             cull_backfaces=cull_backfaces,
-            progress=progress,
+            # Evaluated EAGERLY: probing inside the trace would inline
+            # the probe's callback into this very computation.
+            progress=progress and callbacks_supported(),
         )
     )
 
