@@ -50,7 +50,9 @@ from .pallas_megakernel import (
     _mix,
     _shade_pure,
     _sweep_all,
+    TRI_BLOCK,
     build_sphere_table,
+    build_tri_table,
 )
 
 #: continuous state arrays carried between bounces (cot-bearing).
@@ -65,11 +67,14 @@ def _salt(seed, it):
     return _mix((seed + it * jnp.int32(40503)).astype(jnp.uint32))
 
 
-def _grad_fwd_kernel(meta_ref, tbl_ref, box_ref, *refs, n_blocks):
-    """Forward bounce for the gradient path (sphere scenes).
+def _grad_fwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
+                     *refs, n_blocks, n_tri_blocks, cull):
+    """Forward bounce for the gradient path (spheres + triangles).
 
     refs = 16 inputs (13 cont f32 + alive i32 + bounce i32 + lid i32)
-    then 16 outputs.
+    then 16 outputs.  The triangle hierarchy runs flat (per-block SMEM
+    boxes, no super level) — the gradient path targets training-scale
+    scenes, and flat boxes stay within SMEM to ~250k triangles.
     """
     ins, outs = refs[:16], refs[16:]
     it = meta_ref[0, 0]
@@ -84,14 +89,15 @@ def _grad_fwd_kernel(meta_ref, tbl_ref, box_ref, *refs, n_blocks):
 
     (ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb) = state
     best_t, best_k, sph_params, tri_params = _sweep_all(
-        tbl_ref, box_ref, None, None, None,
+        tbl_ref, box_ref, tri_ref, tri_box_ref, None,
         ox, oy, oz, dx, dy, dz, tm, alive,
-        n_blocks=n_blocks, n_tri_blocks=0,
+        n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, cull=cull,
     )
     draws = _draw_scatter(lane, salt)
     out = _shade_pure(state, sph_params, tri_params, draws, best_t, best_k,
                       alive, bounce, max_depth,
-                      n_blocks=n_blocks, n_tri_blocks=0)
+                      n_blocks=n_blocks, n_tri_blocks=n_tri_blocks,
+                      cull=cull)
     (nox, noy, noz, ndx, ndy, ndz, ntpr, ntpg, ntpb, nrr, nrg, nrb, can,
      nbounce) = out
     new_vals = [nox, noy, noz, ndx, ndy, ndz, tm, ntpr, ntpg, ntpb,
@@ -100,17 +106,20 @@ def _grad_fwd_kernel(meta_ref, tbl_ref, box_ref, *refs, n_blocks):
         o[...] = v
 
 
-def _grad_bwd_kernel(meta_ref, tbl_ref, box_ref, *refs, n_blocks):
+def _grad_bwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
+                     *refs, n_blocks, n_tri_blocks, cull):
     """Backward bounce: replay forward, vjp the shade, one-hot the
-    parameter cotangents into this program's gradient-table slice.
+    parameter cotangents into this program's gradient-table slices.
 
     refs = 16 saved inputs + 13 output cotangents (cont only), then
-    13 input cotangents + 1 per-program (Npad, 16) table gradient.
+    13 input cotangents + per-program (1, 16, Npad) sphere and
+    (1, 16, Mpad) triangle table gradients.
     """
     ins = refs[:16]
     cot_out = refs[16:16 + N_CONT]
     cot_in = refs[16 + N_CONT:16 + 2 * N_CONT]
     gtbl = refs[16 + 2 * N_CONT]
+    gtri = refs[16 + 2 * N_CONT + 1]
 
     it = meta_ref[0, 0]
     seed = meta_ref[0, 1]
@@ -125,25 +134,39 @@ def _grad_bwd_kernel(meta_ref, tbl_ref, box_ref, *refs, n_blocks):
     (ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb) = state
     # Replay the discrete half exactly (counter RNG + same sweep).
     best_t, best_k, sph_params, tri_params = _sweep_all(
-        tbl_ref, box_ref, None, None, None,
+        tbl_ref, box_ref, tri_ref, tri_box_ref, None,
         ox, oy, oz, dx, dy, dz, tm, alive,
-        n_blocks=n_blocks, n_tri_blocks=0,
+        n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, cull=cull,
     )
     draws = _draw_scatter(lane, salt)
 
-    def shade(state_cont, params):
-        out = _shade_pure(state_cont, params, tri_params, draws, best_t,
-                          best_k, alive, bounce, max_depth,
-                          n_blocks=n_blocks, n_tri_blocks=0)
-        return tuple(out[:12])  # cont outputs (tm passes through)
+    if n_tri_blocks:
+        def shade(state_cont, sparams, tparams):
+            out = _shade_pure(state_cont, sparams, tparams, draws, best_t,
+                              best_k, alive, bounce, max_depth,
+                              n_blocks=n_blocks, n_tri_blocks=n_tri_blocks,
+                              cull=cull)
+            return tuple(out[:12])  # cont outputs (tm passes through)
 
-    _, vjp_fn = jax.vjp(shade, state, sph_params)
+        _, vjp_fn = jax.vjp(shade, state, sph_params, tri_params)
+    else:
+        def shade(state_cont, sparams):
+            out = _shade_pure(state_cont, sparams, tri_params, draws,
+                              best_t, best_k, alive, bounce, max_depth,
+                              n_blocks=n_blocks, n_tri_blocks=0, cull=cull)
+            return tuple(out[:12])
+
+        _, vjp_fn = jax.vjp(shade, state, sph_params)
     # Output cotangents in shade's output order: ox..dz, tpr..b, rr..b
     # (cot_out is the full 13-cont ordering incl. tm at index 6).
     ct = tuple(r[...] for r in cot_out)
     g_out = (ct[0], ct[1], ct[2], ct[3], ct[4], ct[5],
              ct[7], ct[8], ct[9], ct[10], ct[11], ct[12])
-    g_state, g_params = vjp_fn(g_out)
+    if n_tri_blocks:
+        g_state, g_params, g_tparams = vjp_fn(g_out)
+    else:
+        g_state, g_params = vjp_fn(g_out)
+        g_tparams = None
     # tm is an identity passthrough output plus a shade input; add the
     # downstream tm cotangent to shade's contribution.
     g_state = list(g_state)
@@ -151,33 +174,56 @@ def _grad_bwd_kernel(meta_ref, tbl_ref, box_ref, *refs, n_blocks):
     for o, v in zip(cot_in, g_state):
         o[...] = v
 
-    # ---- parameter cotangents -> per-block table gradient -----------
-    # Layout (1, 16 params, Npad spheres): spheres on the LANE axis so
-    # each block's (128,) contribution writes lane-contiguously.
+    # ---- parameter cotangents -> per-block table gradients ----------
+    # Layout (1, 16 params, N prims): primitives on the LANE axis so
+    # each block's contribution writes lane-contiguously.
     shape = ox.shape
-    k_iota = jax.lax.broadcasted_iota(
-        jnp.int32, (shape[0], SPHERE_BLOCK, shape[1]), 1
-    )
     bk3 = best_k[:, None, :]
     hit3 = (best_t < np.float32(3.0e38))[:, None, :]
 
     gtbl[...] = jnp.zeros(gtbl.shape, jnp.float32)
+    gtri[...] = jnp.zeros(gtri.shape, jnp.float32)
 
-    def accum_block(b, _):
-        oh = jnp.where(hit3, (bk3 - b * SPHERE_BLOCK == k_iota)
-                       .astype(jnp.float32), 0.0)
-        for p in range(_TBL_ROWS):
-            # (rows, 128 spheres, lanes): rows reduce (sublane, cheap)
-            # then lanes -> (128,) per-sphere contribution.
-            contrib = jnp.sum(
-                jnp.sum(oh * g_params[p][:, None, :], axis=0), axis=1
-            )
-            sl = pl.ds(pl.multiple_of(b * SPHERE_BLOCK, SPHERE_BLOCK),
-                       SPHERE_BLOCK)
-            gtbl[0, p, sl] += contrib
-        return 0
+    if n_blocks:
+        k_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (shape[0], SPHERE_BLOCK, shape[1]), 1
+        )
 
-    jax.lax.fori_loop(0, n_blocks, accum_block, 0)
+        def accum_block(b, _):
+            oh = jnp.where(hit3, (bk3 - b * SPHERE_BLOCK == k_iota)
+                           .astype(jnp.float32), 0.0)
+            for p in range(_TBL_ROWS):
+                # (rows, prims, lanes): rows reduce (sublane, cheap)
+                # then lanes -> per-primitive contribution.
+                contrib = jnp.sum(
+                    jnp.sum(oh * g_params[p][:, None, :], axis=0), axis=1
+                )
+                sl = pl.ds(pl.multiple_of(b * SPHERE_BLOCK, SPHERE_BLOCK),
+                           SPHERE_BLOCK)
+                gtbl[0, p, sl] += contrib
+            return 0
+
+        jax.lax.fori_loop(0, n_blocks, accum_block, 0)
+
+    if n_tri_blocks:
+        sph_pad = n_blocks * SPHERE_BLOCK
+        t_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (shape[0], TRI_BLOCK, shape[1]), 1
+        )
+
+        def accum_tri(b, _):
+            oh = jnp.where(hit3, (bk3 - sph_pad - b * TRI_BLOCK == t_iota)
+                           .astype(jnp.float32), 0.0)
+            for p in range(15):  # v0(3), e1(3), e2(3), albedo(3), fuzz, ir, kind
+                contrib = jnp.sum(
+                    jnp.sum(oh * g_tparams[p][:, None, :], axis=0), axis=1
+                )
+                sl = pl.ds(pl.multiple_of(b * TRI_BLOCK, TRI_BLOCK),
+                           TRI_BLOCK)
+                gtri[0, p, sl] += contrib
+            return 0
+
+        jax.lax.fori_loop(0, n_tri_blocks, accum_tri, 0)
 
 
 def _lane_spec():
@@ -195,46 +241,57 @@ def _meta(it, seed, max_depth):
     ])[None, :]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def bounce_grad(cont, ints, tbl, boxes, scalars, n_blocks):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def bounce_grad(cont, ints, tbl, boxes, tri, tri_boxes, statics, scalars):
     """One differentiable bounce: (cont 13-tuple, ints 3-tuple) advance.
 
-    ``scalars`` = (it, seed, max_depth) int32 scalars; ``tbl`` is the
-    (Npad, 16) sphere table (differentiable), ``boxes`` the block AABBs
-    (cull decisions only — piecewise-constant, no cotangent).
+    ``scalars`` = (it, seed, max_depth) int32 scalars; ``tbl``/``tri``
+    are the sphere/triangle tables (differentiable), ``boxes``/
+    ``tri_boxes`` the block AABBs (cull decisions only — piecewise-
+    constant, no cotangent).  ``statics`` = (n_blocks, n_tri_blocks,
+    cull) python constants.
     """
-    out, _ = _bounce_fwd_impl(cont, ints, tbl, boxes, scalars, n_blocks)
+    out, _ = _bounce_fwd_impl(cont, ints, tbl, boxes, tri, tri_boxes,
+                              statics, scalars)
     return out
 
 
-def _bounce_fwd_impl(cont, ints, tbl, boxes, scalars, n_blocks):
+def _bounce_fwd_impl(cont, ints, tbl, boxes, tri, tri_boxes, statics,
+                     scalars):
+    n_blocks, n_tri_blocks, cull = statics
     L = cont[0].shape[0]
     n_tiles = L // TILE
     it, seed, max_depth = scalars
     state = _blocked(list(cont) + list(ints), n_tiles)
     spec = _lane_spec()
     out = pl.pallas_call(
-        functools.partial(_grad_fwd_kernel, n_blocks=n_blocks),
+        functools.partial(_grad_fwd_kernel, n_blocks=n_blocks,
+                          n_tri_blocks=n_tri_blocks, cull=cull),
         grid=(n_tiles,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ] + [spec] * 16,
         out_specs=[spec] * 16,
         out_shape=[jax.ShapeDtypeStruct(b.shape, b.dtype) for b in state],
-    )(_meta(it, seed, max_depth), tbl, boxes, *state)
+    )(_meta(it, seed, max_depth), tbl, boxes, tri, tri_boxes, *state)
     flat = tuple(o.reshape(L) for o in out)
     return (flat[:N_CONT], flat[N_CONT:]), None
 
 
-def _bounce_grad_fwd(cont, ints, tbl, boxes, scalars, n_blocks):
-    out, _ = _bounce_fwd_impl(cont, ints, tbl, boxes, scalars, n_blocks)
-    return out, (cont, ints, tbl, boxes, scalars)
+def _bounce_grad_fwd(cont, ints, tbl, boxes, tri, tri_boxes, statics,
+                     scalars):
+    out, _ = _bounce_fwd_impl(cont, ints, tbl, boxes, tri, tri_boxes,
+                              statics, scalars)
+    return out, (cont, ints, tbl, boxes, tri, tri_boxes, scalars)
 
 
-def _bounce_grad_bwd(n_blocks, res, cot):
-    cont, ints, tbl, boxes, scalars = res
+def _bounce_grad_bwd(statics, res, cot):
+    cont, ints, tbl, boxes, tri, tri_boxes, scalars = res
+    n_blocks, n_tri_blocks, cull = statics
     cot_cont, _cot_ints = cot
     it, seed, max_depth = scalars
     L = cont[0].shape[0]
@@ -243,30 +300,38 @@ def _bounce_grad_bwd(n_blocks, res, cot):
     cots = _blocked(list(cot_cont), n_tiles)
     spec = _lane_spec()
     npad = tbl.shape[0]
+    mpad = tri.shape[0]
     out_shapes = (
         [jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, LANES), jnp.float32)]
         * N_CONT
-        + [jax.ShapeDtypeStruct((n_tiles, 16, npad), jnp.float32)]
+        + [jax.ShapeDtypeStruct((n_tiles, 16, npad), jnp.float32),
+           jax.ShapeDtypeStruct((n_tiles, 16, mpad), jnp.float32)]
     )
     out = pl.pallas_call(
-        functools.partial(_grad_bwd_kernel, n_blocks=n_blocks),
+        functools.partial(_grad_bwd_kernel, n_blocks=n_blocks,
+                          n_tri_blocks=n_tri_blocks, cull=cull),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ] + [spec] * 16 + [spec] * N_CONT,
         out_specs=[spec] * N_CONT
-        + [pl.BlockSpec((1, 16, npad), lambda i: (i, 0, 0))],
+        + [pl.BlockSpec((1, 16, npad), lambda i: (i, 0, 0)),
+           pl.BlockSpec((1, 16, mpad), lambda i: (i, 0, 0))],
         out_shape=out_shapes,
-    )(_meta(it, seed, max_depth), tbl, boxes, *state, *cots)
+    )(_meta(it, seed, max_depth), tbl, boxes, tri, tri_boxes, *state,
+      *cots)
     g_cont = tuple(o.reshape(L) for o in out[:N_CONT])
     g_tbl = jnp.sum(out[N_CONT], axis=0).T  # (16, npad) -> (npad, 16)
+    g_tri = jnp.sum(out[N_CONT + 1], axis=0).T  # (16, mpad) -> (mpad, 16)
     f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
     g_ints = tuple(f0(x) for x in ints)
-    g_boxes = jnp.zeros_like(boxes)  # cull decisions: piecewise-constant
     g_scalars = tuple(f0(s) for s in scalars)
-    return g_cont, g_ints, g_tbl, g_boxes, g_scalars
+    return (g_cont, g_ints, g_tbl, jnp.zeros_like(boxes), g_tri,
+            jnp.zeros_like(tri_boxes), g_scalars)
 
 
 bounce_grad.defvjp(_bounce_grad_fwd, _bounce_grad_bwd)
@@ -291,13 +356,27 @@ def render_pixels_kernel(
     backward both run as Pallas bounce kernels chained by ``lax.scan``
     (the scan's saved carries are the tape; each backward step replays
     its forward from the carry — O(depth) recompute, O(depth) memory).
-    Sphere scenes only; gradients flow into every Scene leaf that
-    build_sphere_table touches (centers, radii, albedo, fuzz, ir).
-    ``jitter=False`` pins rays to pixel centers (FD gates).
+    Gradients flow into every Scene leaf that build_sphere_table /
+    build_tri_table touch (sphere centers/radii, triangle vertices,
+    albedo, fuzz, ir).  ``jitter=False`` pins rays to pixel centers
+    (FD gates).
     """
-    assert scene.n_triangles == 0, "kernel grad path is sphere-only"
-    tbl, boxes = build_sphere_table(scene)
-    n_blocks = tbl.shape[0] // SPHERE_BLOCK
+    tbl, boxes = build_sphere_table(scene) if scene.n_spheres else (
+        jnp.zeros((SPHERE_BLOCK, 16), jnp.float32),
+        jnp.zeros((1, 8), jnp.float32),
+    )
+    n_blocks = tbl.shape[0] // SPHERE_BLOCK if scene.n_spheres else 0
+    if scene.n_triangles:
+        tri, tri_boxes, _, _ = build_tri_table(scene)
+        n_tri_blocks = tri.shape[0] // TRI_BLOCK
+        # Flat per-block boxes live in SMEM (no super level in the
+        # gradient path) — bounded to training-scale meshes.
+        assert n_tri_blocks <= 1536, "gradient path caps at ~200k tris"
+    else:
+        tri = jnp.zeros((TRI_BLOCK, 16), jnp.float32)
+        tri_boxes = jnp.zeros((1, 8), jnp.float32)
+        n_tri_blocks = 0
+    statics = (n_blocks, n_tri_blocks, True)
 
     P = pixel_ids.shape[0]
     L_raw = P * spp
@@ -338,9 +417,8 @@ def render_pixels_kernel(
 
     def step(carry, it):
         cont, ints = carry
-        out = bounce_grad(cont, ints, tbl, boxes,
-                          (it, jnp.int32(seed), jnp.int32(max_depth)),
-                          n_blocks)
+        out = bounce_grad(cont, ints, tbl, boxes, tri, tri_boxes, statics,
+                          (it, jnp.int32(seed), jnp.int32(max_depth)))
         return out, None
 
     (cont, ints), _ = jax.lax.scan(

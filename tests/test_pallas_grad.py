@@ -158,6 +158,53 @@ def test_sharded_kernel_train_step(setup):
     assert moved > 0.0, "SGD update did not move material parameters"
 
 
+def test_kernel_triangle_grad_matches_fd():
+    """FD gate for triangle vertex gradients through the kernel path
+    (mirrors tests/test_diff.py::test_triangle_grad_matches_fd)."""
+    cam = make_camera(
+        lookfrom=(0.0, 0.0, 1.0), lookat=(0.0, 0.0, -1.0), fov_degrees=60.0,
+        aspect_ratio=1.0, aperture=0.0, focus_dist=1.0,
+    )
+    b = SceneBuilder()
+    red = b.add_lambertian((0.7, 0.3, 0.3))
+    gray = b.add_lambertian((0.5, 0.5, 0.5))
+    # One large TILTED triangle covering the pixel window — a vertex
+    # perturbation rotates the normal, so interior-pixel shading has a
+    # strong smooth dependence on it.
+    b.add_triangle((-4.0, -4.0, -0.6), (4.0, -1.0, -1.8), (0.0, 5.0, -1.4),
+                   red)
+    b.add_sphere((0.0, -100.5, -1.0), 100.0, gray)
+    scene = b.build()
+    rows, cols = np.meshgrid(range(5, 8), range(5, 8), indexing="ij")
+    pix = jnp.asarray((rows * W + cols).ravel(), dtype=jnp.int32)
+    target = jnp.zeros((pix.shape[0], 3))
+
+    with pltpu.force_tpu_interpret_mode():
+        loss, grads = loss_and_grad_kernel(
+            scene, cam, KEY, target, pix,
+            width=W, height=H, spp=SPP, max_depth=DEPTH, seed=SEED,
+            jitter=False,
+        )
+    assert np.isfinite(float(loss))
+    ad = float(grads.triangles.verts[0, 0, 2])
+    for leaf in jax.tree_util.tree_leaves(grads):
+        if hasattr(leaf, "dtype") and leaf.dtype != jax.dtypes.float0:
+            assert np.isfinite(np.asarray(leaf)).all()
+
+    def loss_at(v):
+        tv = scene.triangles.verts.at[0, 0, 2].add(v)
+        s2 = dataclasses.replace(
+            scene, triangles=dataclasses.replace(scene.triangles, verts=tv)
+        )
+        with pltpu.force_tpu_interpret_mode():
+            return float(_loss(s2, cam, pix, target))
+
+    eps = 2e-3
+    fd = (loss_at(eps) - loss_at(-eps)) / (2 * eps)
+    denom = max(abs(fd), abs(ad), 1e-6)
+    assert abs(ad - fd) / denom < 0.1, f"AD {ad} vs FD {fd}"
+
+
 def test_kernel_grads_finite_everywhere(setup):
     scene, cam, pix, target = setup
     with pltpu.force_tpu_interpret_mode():
