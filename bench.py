@@ -20,8 +20,15 @@ once and reported as ``northstar_mrays`` unless RTOW_BENCH_NORTHSTAR=0.
 the reference implementation stored in baseline_measured.json (written
 by tools/measure_cpu_floor.py); 0.0 if no floor has been recorded yet.
 
+A large-mesh metric (65,536-triangle procedural knot through the
+sorted-wavefront megakernel, 400x400 spp=64 depth=20 — the round-2
+README config) is additionally reported as ``mesh_mrays`` unless
+RTOW_BENCH_MESH=0 or the backend is not a real TPU (interpret-mode
+Pallas on CPU would take hours).
+
 Env overrides: RTOW_BENCH_SPP, RTOW_BENCH_WIDTH, RTOW_BENCH_DEPTH,
-RTOW_BENCH_BACKEND (jnp|pallas), RTOW_BENCH_REPEATS, RTOW_BENCH_NORTHSTAR.
+RTOW_BENCH_BACKEND (jnp|pallas), RTOW_BENCH_REPEATS, RTOW_BENCH_NORTHSTAR,
+RTOW_BENCH_MESH.
 """
 from __future__ import annotations
 
@@ -98,6 +105,36 @@ def main() -> int:
         print(f"bench: north-star 500spp: {ns_elapsed:.2f}s "
               f"= {ns_mrays:.2f} Mrays/s", file=sys.stderr)
 
+    mesh_mrays = None
+    if (os.environ.get("RTOW_BENCH_MESH", "1") != "0"
+            and jax.devices()[0].platform == "tpu"):
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tools"))
+        from make_mesh import make_knot
+
+        from rtow_tpu.models.camera import make_camera
+        from rtow_tpu.models.scene import SceneBuilder
+        from rtow_tpu.ops.wavefront_sorted import render_wavefront
+
+        verts, faces = make_knot(256, 128)  # 65,536 triangles
+        b = SceneBuilder()
+        b.add_mesh(verts[faces], b.add_lambertian((0.6, 0.5, 0.4)))
+        knot = b.build()
+        kcam = make_camera(lookfrom=(0.0, 0.0, 3.0), lookat=(0.0, 0.0, 0.0),
+                           fov_degrees=45.0, aspect_ratio=1.0, aperture=0.0,
+                           focus_dist=3.0)
+        kcfg = Config(image_width=400, aspect_ratio=1.0,
+                      samples_per_pixel=64, max_child_rays=20)
+        render_wavefront(knot, kcam, kcfg)  # warm-up/compile
+        ksamples = []
+        for i in range(repeats):
+            t0 = time.perf_counter()
+            jax.block_until_ready(render_wavefront(knot, kcam, kcfg))
+            kel = time.perf_counter() - t0
+            ksamples.append(400 * 400 * 64 / kel / 1e6)
+            print(f"bench: mesh run {i + 1}/{repeats}: {kel:.2f}s "
+                  f"= {ksamples[-1]:.2f} Mrays/s", file=sys.stderr)
+        mesh_mrays = statistics.median(ksamples)
+
     floor = 0.0
     floor_path = os.path.join(os.path.dirname(__file__), "baseline_measured.json")
     if os.path.exists(floor_path):
@@ -118,6 +155,11 @@ def main() -> int:
         out["northstar_mrays"] = round(ns_mrays, 3)
         out["northstar_vs_baseline"] = (
             round(ns_mrays / floor, 3) if floor > 0 else 0.0
+        )
+    if mesh_mrays is not None:
+        out["mesh_mrays"] = round(mesh_mrays, 3)
+        out["mesh_vs_baseline"] = (
+            round(mesh_mrays / floor, 3) if floor > 0 else 0.0
         )
     print(json.dumps(out))
     return 0

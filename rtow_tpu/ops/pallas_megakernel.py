@@ -262,7 +262,7 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
                ox, oy, oz, dx, dy, dz, tm, alive, *,
                n_blocks, n_tri_blocks, n_super=0, cull=True,
                tri_hbm=False, tri_scr=None, box_scr=None, sem_tri=None,
-               sem_box=None, tri_hyp_ref=None, n_hyper=0):
+               sem_box=None, tri_hyp_ref=None, n_hyper=0, tri_t=False):
     """Nearest-hit sweep over Morton blocks with AABB culling and fused
     one-hot winner fetch.
 
@@ -281,6 +281,13 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
     descended super-blocks DMA their 16 block AABBs into an SMEM scratch
     and each surviving block DMAs its (128, 16) rows into a VMEM scratch
     right before the sweep.  Requires ``n_super > 0``.
+
+    ``tri_t``: the VMEM table is stored TRANSPOSED as (NB, 16,
+    TRI_BLOCK) — 16 param rows on sublanes, triangles on lanes — which
+    pads to exactly 64 B/triangle instead of the (Mpad, 16) layout's
+    512 B (16->128 lane-dim tile pad).  Each descended block pays one
+    in-register (16, 128) -> (128, 16) transpose; in exchange meshes up
+    to ~1M triangles stay VMEM-resident (ROADMAP #3).
     """
     shape = ox.shape
     zero = jnp.zeros(shape, jnp.float32)
@@ -409,14 +416,37 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
             box_hit = jnp.logical_and(exit_ > enter, alive)
 
             def sweep_it(c):
-                blk = tri_ref[
-                    pl.ds(pl.multiple_of(b * TRI_BLOCK, TRI_BLOCK),
-                          TRI_BLOCK), :
-                ]
-                return _tri_block_sweep(b, c, blk)
+                return _tri_block_sweep(b, c, _load_tri_block(b))
 
             return jax.lax.cond(jnp.any(box_hit), sweep_it, lambda c: c,
                                 carry)
+
+        def _load_tri_block(b):
+            """Fetch block b's (TRI_BLOCK, 16) param rows from VMEM."""
+            if tri_t:
+                # (NB, 16, TRI_BLOCK) transposed table: one dynamic
+                # major-dim slice + an in-register lane<->sublane
+                # transpose (no dynamic lane-offset load, which Mosaic
+                # rejects).
+                return tri_ref[b, :, :].T
+            return tri_ref[
+                pl.ds(pl.multiple_of(b * TRI_BLOCK, TRI_BLOCK),
+                      TRI_BLOCK), :
+            ]
+
+        def _sweep_block_of_super(sb, jb, c):
+            b = sb * SUPER + jb
+            if tri_hbm:
+                cp = pltpu.make_async_copy(
+                    tri_ref.at[pl.ds(b * TRI_BLOCK, TRI_BLOCK), :],
+                    tri_scr, sem_tri,
+                )
+                cp.start()
+                cp.wait()
+                blk = tri_scr[...]
+            else:
+                blk = _load_tri_block(b)
+            return _tri_block_sweep(b, c, blk)
 
         def tri_sweep_in_super(sb, jb, carry):
             # Block AABB scalars come from the SMEM scratch the enclosing
@@ -424,26 +454,10 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
             enter, exit_ = _box_enter_exit(box_scr, 0, carry[0],
                                            col0=jb * 8)
             box_hit = jnp.logical_and(exit_ > enter, alive)
-
-            def sweep_it(c):
-                b = sb * SUPER + jb
-                if tri_hbm:
-                    cp = pltpu.make_async_copy(
-                        tri_ref.at[pl.ds(b * TRI_BLOCK, TRI_BLOCK), :],
-                        tri_scr, sem_tri,
-                    )
-                    cp.start()
-                    cp.wait()
-                    blk = tri_scr[...]
-                else:
-                    blk = tri_ref[
-                        pl.ds(pl.multiple_of(b * TRI_BLOCK, TRI_BLOCK),
-                              TRI_BLOCK), :
-                    ]
-                return _tri_block_sweep(b, c, blk)
-
-            return jax.lax.cond(jnp.any(box_hit), sweep_it, lambda c: c,
-                                carry)
+            return jax.lax.cond(
+                jnp.any(box_hit),
+                lambda c: _sweep_block_of_super(sb, jb, c),
+                lambda c: c, carry)
 
         def _tri_block_sweep(b, carry, blk):
             if _os.environ.get("RTOW_WF_ABLATE") == "nosweep":
@@ -497,23 +511,28 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
             # table would blow the 1MB SMEM past ~2000 blocks), then
             # each surviving block is swept — from VMEM directly, or
             # via its own DMA when the table lives in HBM.
+            def _super_descend(sb, c):
+                # NOTE: batching the 16 sibling box tests into one pair
+                # slab op + scalar bitmask (1 vector->scalar sync
+                # instead of 16 any-reduce conds) measured NEUTRAL to
+                # slightly negative on the 65k knot — the per-sibling
+                # conds are not the bottleneck.  Kept serial.
+                cp = pltpu.make_async_copy(
+                    tri_box_ref.at[pl.ds(sb, 1), :], box_scr, sem_box,
+                )
+                cp.start()
+                cp.wait()
+                return jax.lax.fori_loop(
+                    0, SUPER,
+                    lambda jb, c2: tri_sweep_in_super(sb, jb, c2), c
+                )
+
             def super_sweep(sb, carry):
                 s_enter, s_exit = _box_enter_exit(tri_sup_ref, sb, carry[0])
                 s_hit = jnp.logical_and(s_exit > s_enter, alive)
-
-                def descend(c):
-                    cp = pltpu.make_async_copy(
-                        tri_box_ref.at[pl.ds(sb, 1), :], box_scr, sem_box,
-                    )
-                    cp.start()
-                    cp.wait()
-                    return jax.lax.fori_loop(
-                        0, SUPER,
-                        lambda jb, c2: tri_sweep_in_super(sb, jb, c2), c
-                    )
-
-                return jax.lax.cond(jnp.any(s_hit), descend, lambda c: c,
-                                    carry)
+                return jax.lax.cond(
+                    jnp.any(s_hit),
+                    lambda c: _super_descend(sb, c), lambda c: c, carry)
 
             if n_hyper:
                 def hyper_sweep(hb, carry):
@@ -755,7 +774,7 @@ def _bounce_core(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
                  alive, bounce, lane_u32, salt, max_depth, *,
                  n_blocks, n_tri_blocks, n_super=0, cull=True, ablate="full",
                  tri_hbm=False, tri_scr=None, box_scr=None, sem_tri=None,
-                 sem_box=None, tri_hyp_ref=None, n_hyper=0):
+                 sem_box=None, tri_hyp_ref=None, n_hyper=0, tri_t=False):
     """One intersect+shade step for every live lane of a tile.
 
     The shared heart of the megakernels (persistent whole-frame,
@@ -774,7 +793,7 @@ def _bounce_core(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
         n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, n_super=n_super,
         cull=cull, tri_hbm=tri_hbm, tri_scr=tri_scr, box_scr=box_scr,
         sem_tri=sem_tri, sem_box=sem_box, tri_hyp_ref=tri_hyp_ref,
-        n_hyper=n_hyper,
+        n_hyper=n_hyper, tri_t=tri_t,
     )
     if ablate == "nofetch":
         zero = jnp.zeros(ox.shape, jnp.float32)
@@ -916,7 +935,7 @@ def _flat_bounce_kernel(
     tri_hyp_ref, st_i, st_o,
     tri_scr=None, box_scr=None, sem_tri=None, sem_box=None, *,
     n_blocks, n_tri_blocks, n_super=0, cull=True, tri_hbm=False,
-    n_hyper=0,
+    n_hyper=0, tri_t=False,
 ):
     """One bounce over a tile of pre-generated (sorted) rays.
 
@@ -958,7 +977,7 @@ def _flat_bounce_kernel(
             n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, n_super=n_super,
             cull=cull, tri_hbm=tri_hbm, tri_scr=tri_scr, box_scr=box_scr,
             sem_tri=sem_tri, sem_box=sem_box, tri_hyp_ref=tri_hyp_ref,
-            n_hyper=n_hyper,
+            n_hyper=n_hyper, tri_t=tri_t,
         )
         (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, rr, rg, rb, can, bo) = out
         return (ox, oy, oz, dx, dy, dz, tmv, tpr, tpg, tpb, rr, rg, rb,
@@ -1012,15 +1031,21 @@ def bounce_step_pallas(
          for x in state]
     )
     st_spec = pl.BlockSpec((16, TILE_ROWS, LANES), lambda i: (0, i, 0))
-    # A VMEM-resident (Mpad, 16) triangle table pays 8x for lane-dim
-    # tile padding (16 -> 128); beyond ~128k triangles (64MB padded of
-    # the 128MB physical VMEM) the table stays in HBM and descended
-    # blocks are DMA'd into scratch instead.
-    tri_hbm = (n_tri_blocks * TRI_BLOCK * 512 > 64 * 1024 * 1024
+    # VMEM triangle-table layout: transposed (NB, 16, TRI_BLOCK) pays
+    # exactly 64 B/triangle (the naive (Mpad, 16) layout pays 512 B for
+    # the 16 -> 128 lane-dim tile pad), so meshes up to ~1M triangles
+    # stay VMEM-resident; beyond that the table goes to HBM and
+    # descended blocks are DMA'd into scratch instead (ROADMAP #3).
+    tri_t = _os.environ.get("RTOW_TRI_T", "1") == "1" and n_tri_blocks > 0
+    bytes_per_tri = 64 if tri_t else 512
+    tri_hbm = (n_tri_blocks * TRI_BLOCK * bytes_per_tri > 64 * 1024 * 1024
                or (_os.environ.get("RTOW_TRI_HBM") == "1" and n_super > 0))
+    if tri_hbm:
+        tri_t = False
     kernel = functools.partial(
         _flat_bounce_kernel, n_blocks=n_blocks, n_tri_blocks=n_tri_blocks,
         n_super=n_super, cull=cull, tri_hbm=tri_hbm, n_hyper=n_hyper,
+        tri_t=tri_t,
     )
     if n_super:
         # Pack each super's 16 block AABBs into one (1, SUPER*8) row so
@@ -1046,10 +1071,16 @@ def bounce_step_pallas(
         tri_spec = pl.BlockSpec(memory_space=pltpu.ANY)
         vmem_limit = 64 * 1024 * 1024
     else:
+        if tri_t:
+            # (Mpad, 16) -> (NB, 16, TRI_BLOCK): params on sublanes,
+            # triangles on lanes — no tile-padding waste.  XLA CSEs the
+            # per-bounce transpose of the constant table.
+            nb = tri.shape[0] // TRI_BLOCK
+            tri = tri.reshape(nb, TRI_BLOCK, 16).transpose(0, 2, 1)
         tri_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
         # The tri-table input window counts against physical VMEM with
-        # its 8x tile padding; the scoped limit guards temporaries.
-        vmem_limit = 32 * 1024 * 1024
+        # its tile padding; the scoped limit guards temporaries.
+        vmem_limit = 32 * 1024 * 1024 + (tri.size * 4 if tri_t else 0)
     out = pl.pallas_call(
         kernel,
         compiler_params=pltpu.CompilerParams(

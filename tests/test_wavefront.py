@@ -142,6 +142,30 @@ def test_hbm_dma_mode_matches_jnp(monkeypatch):
     assert np.abs(img_h - img_j).mean() < 0.06
 
 
+def test_transposed_vmem_table_matches_row_major(monkeypatch):
+    """The (NB, 16, TRI_BLOCK) transposed VMEM table (default; 64 B/tri
+    instead of 512) must be bit-identical to the (Mpad, 16) row-major
+    layout on a mesh deep enough to take the super-descend path."""
+    from make_mesh import make_knot
+
+    verts, faces = make_knot(32, 64)  # 4096 tris = 32 blocks = 2 supers
+    b = SceneBuilder()
+    m = b.add_lambertian((0.6, 0.5, 0.4))
+    b.add_mesh(verts[faces], m)
+    scene = b.build()
+    cam = make_camera(lookfrom=(0.0, 0.0, 3.0), lookat=(0.0, 0.0, 0.0),
+                      fov_degrees=45.0, aspect_ratio=1.0, aperture=0.0,
+                      focus_dist=3.0)
+    cfg = Config(image_width=16, aspect_ratio=1.0, samples_per_pixel=8,
+                 max_child_rays=2, backend="jnp")
+    with pltpu.force_tpu_interpret_mode():
+        monkeypatch.setenv("RTOW_TRI_T", "1")
+        img_t = render_wavefront(scene, cam, cfg)
+        monkeypatch.setenv("RTOW_TRI_T", "0")
+        img_r = render_wavefront(scene, cam, cfg)
+    np.testing.assert_array_equal(np.asarray(img_t), np.asarray(img_r))
+
+
 def test_dispatch_prefers_wavefront_for_large_meshes():
     """pipeline routing: > WAVEFRONT_MIN_TRIS goes to the sorted path."""
     from rtow_tpu.pipeline import pallas_supported, wavefront_supported
