@@ -157,9 +157,14 @@ def main() -> int:
             round(ns_mrays / floor, 3) if floor > 0 else 0.0
         )
     if mesh_mrays is not None:
+        mesh_floor = 0.0
+        if os.path.exists(floor_path):
+            with open(floor_path) as f:
+                mesh_floor = float(
+                    json.load(f).get("mesh65k_floor_mrays_per_s", 0.0))
         out["mesh_mrays"] = round(mesh_mrays, 3)
         out["mesh_vs_baseline"] = (
-            round(mesh_mrays / floor, 3) if floor > 0 else 0.0
+            round(mesh_mrays / mesh_floor, 3) if mesh_floor > 0 else 0.0
         )
     print(json.dumps(out))
     return 0

@@ -25,6 +25,7 @@
 #include <cmath>
 #include <cstdio>
 #include <cstdlib>
+#include <cstring>
 #include <future>
 #include <memory>
 #include <random>
@@ -78,6 +79,15 @@ struct Sphere {
   int mat;
 };
 
+// Triangle in v0/e1/e2 form, Moller-Trumbore determinant intersection
+// with the reference's backface cull (src/common-model.cpp:104-125) —
+// the same semantics the TPU kernels implement, so mesh floors are
+// measured on the identical algorithm.
+struct Tri {
+  V3 a, e1, e2;
+  int mat;
+};
+
 struct Ray {
   V3 o, d;
   double t;
@@ -114,7 +124,28 @@ static bool hit_sphere(const Sphere& s, const Ray& ray, double tmin,
   return true;
 }
 
-// Median-split BVH over sphere indices (flattened, skip-index layout).
+static bool hit_tri(const Tri& t, const Ray& ray, double tmin, double tmax,
+                    Hit& h) {
+  V3 n = cross(t.e1, t.e2);
+  double det = -dot(ray.d, n);
+  if (det < 1e-6) return false;  // backface cull (reference semantics)
+  double invdet = 1.0 / det;
+  V3 ao = ray.o - t.a;
+  V3 dao = cross(ao, ray.d);
+  double u = dot(t.e2, dao) * invdet;
+  double v = -dot(t.e1, dao) * invdet;
+  double tt = dot(ao, n) * invdet;
+  if (tt <= tmin || tt > tmax || u < 0 || v < 0 || u + v > 1) return false;
+  h.t = tt;
+  h.p = ray.o + ray.d * tt;
+  h.n = unit(n);
+  h.front = true;
+  h.mat = t.mat;
+  return true;
+}
+
+// Median-split BVH over primitive indices (flattened, skip-index
+// layout).  Ids < nsph are spheres; id - nsph indexes triangles.
 struct BVHNode {
   V3 bmin, bmax;
   int first = 0, count = 0, skip = 0;
@@ -125,20 +156,38 @@ struct BVH {
   std::vector<int> ids;
 };
 
-static void build_bvh_rec(const std::vector<Sphere>& sph, std::vector<int>& perm,
+static void prim_bounds(const std::vector<Sphere>& sph,
+                        const std::vector<Tri>& tri, int id, V3& lo, V3& hi) {
+  if (id < (int)sph.size()) {
+    const Sphere& s = sph[id];
+    double r = std::fabs(s.r);
+    V3 lo0 = s.c0 - V3{r, r, r}, hi0 = s.c0 + V3{r, r, r};
+    V3 lo1 = s.c0 + s.dc - V3{r, r, r}, hi1 = s.c0 + s.dc + V3{r, r, r};
+    lo = {std::min(lo0.x, lo1.x), std::min(lo0.y, lo1.y), std::min(lo0.z, lo1.z)};
+    hi = {std::max(hi0.x, hi1.x), std::max(hi0.y, hi1.y), std::max(hi0.z, hi1.z)};
+  } else {
+    const Tri& t = tri[id - (int)sph.size()];
+    V3 b = t.a + t.e1, c = t.a + t.e2;
+    lo = {std::min({t.a.x, b.x, c.x}), std::min({t.a.y, b.y, c.y}),
+          std::min({t.a.z, b.z, c.z})};
+    hi = {std::max({t.a.x, b.x, c.x}), std::max({t.a.y, b.y, c.y}),
+          std::max({t.a.z, b.z, c.z})};
+  }
+}
+
+static void build_bvh_rec(const std::vector<Sphere>& sph,
+                          const std::vector<Tri>& tri, std::vector<int>& perm,
                           int lo, int hi, BVH& out) {
   BVHNode n;
   n.bmin = {1e300, 1e300, 1e300};
   n.bmax = {-1e300, -1e300, -1e300};
   for (int i = lo; i < hi; ++i) {
-    const Sphere& s = sph[perm[i]];
-    double r = std::fabs(s.r);
-    V3 lo0 = s.c0 - V3{r, r, r}, hi0 = s.c0 + V3{r, r, r};
-    V3 lo1 = s.c0 + s.dc - V3{r, r, r}, hi1 = s.c0 + s.dc + V3{r, r, r};
-    n.bmin = {std::min({n.bmin.x, lo0.x, lo1.x}), std::min({n.bmin.y, lo0.y, lo1.y}),
-              std::min({n.bmin.z, lo0.z, lo1.z})};
-    n.bmax = {std::max({n.bmax.x, hi0.x, hi1.x}), std::max({n.bmax.y, hi0.y, hi1.y}),
-              std::max({n.bmax.z, hi0.z, hi1.z})};
+    V3 plo, phi;
+    prim_bounds(sph, tri, perm[i], plo, phi);
+    n.bmin = {std::min(n.bmin.x, plo.x), std::min(n.bmin.y, plo.y),
+              std::min(n.bmin.z, plo.z)};
+    n.bmax = {std::max(n.bmax.x, phi.x), std::max(n.bmax.y, phi.y),
+              std::max(n.bmax.z, phi.z)};
   }
   int me = (int)out.nodes.size();
   out.nodes.push_back(n);
@@ -151,15 +200,16 @@ static void build_bvh_rec(const std::vector<Sphere>& sph, std::vector<int>& perm
   V3 ext = n.bmax - n.bmin;
   int axis = ext.x > ext.y ? (ext.x > ext.z ? 0 : 2) : (ext.y > ext.z ? 1 : 2);
   auto cen = [&](int id) {
-    const Sphere& s = sph[id];
-    V3 c = s.c0 + s.dc * 0.5;
+    V3 plo, phi;
+    prim_bounds(sph, tri, id, plo, phi);
+    V3 c = (plo + phi) * 0.5;
     return axis == 0 ? c.x : axis == 1 ? c.y : c.z;
   };
   std::sort(perm.begin() + lo, perm.begin() + hi,
             [&](int a, int b) { return cen(a) < cen(b); });
   int mid = (lo + hi) / 2;
-  build_bvh_rec(sph, perm, lo, mid, out);
-  build_bvh_rec(sph, perm, mid, hi, out);
+  build_bvh_rec(sph, tri, perm, lo, mid, out);
+  build_bvh_rec(sph, tri, perm, mid, hi, out);
 }
 
 // Rebuild skip indices by a second recursive pass mirroring the build.
@@ -179,7 +229,8 @@ static void assign_skips(BVH& b, int node, int esc) {
 }
 
 static bool hit_bvh(const BVH& b, const std::vector<Sphere>& sph,
-                    const Ray& ray, double tmin, Hit& best) {
+                    const std::vector<Tri>& tri, const Ray& ray, double tmin,
+                    Hit& best) {
   double tmax = 1e300;
   bool found = false;
   V3 inv{1.0 / ray.d.x, 1.0 / ray.d.y, 1.0 / ray.d.z};
@@ -201,7 +252,11 @@ static bool hit_bvh(const BVH& b, const std::vector<Sphere>& sph,
     if (nd.count > 0) {
       for (int k = 0; k < nd.count; ++k) {
         Hit h;
-        if (hit_sphere(sph[b.ids[nd.first + k]], ray, tmin, tmax, h)) {
+        int id = b.ids[nd.first + k];
+        bool got = id < (int)sph.size()
+                       ? hit_sphere(sph[id], ray, tmin, tmax, h)
+                       : hit_tri(tri[id - (int)sph.size()], ray, tmin, tmax, h);
+        if (got) {
           best = h;
           tmax = h.t;
           found = true;
@@ -222,9 +277,10 @@ static double schlick(double cosine, double ref) {
 }
 
 static V3 ray_color(const Ray& r, const BVH& bvh, const std::vector<Sphere>& sph,
-                    const std::vector<Mat>& mats, int depth) {
+                    const std::vector<Tri>& tris, const std::vector<Mat>& mats,
+                    int depth) {
   Hit h;
-  if (!hit_bvh(bvh, sph, r, 1e-3, h)) {
+  if (!hit_bvh(bvh, sph, tris, r, 1e-3, h)) {
     V3 u = unit(r.d);
     double t = 0.5 * (u.y + 1.0);
     return (1.0 - t) * V3{1, 1, 1} + t * V3{0.5, 0.7, 1.0};
@@ -253,7 +309,42 @@ static V3 ray_color(const Ray& r, const BVH& bvh, const std::vector<Sphere>& sph
       sc.d = perp + par;
     }
   }
-  return atten * ray_color(sc, bvh, sph, mats, depth - 1);
+  return atten * ray_color(sc, bvh, sph, tris, mats, depth - 1);
+}
+
+// Minimal OBJ loader: v/f lines, triangles only, 1-based indices,
+// "f a b c" or "f a/… b/… c/…" (reference loader semantics,
+// src/main.cpp:115-131, one shared gray lambertian).
+static bool load_obj(const char* path, std::vector<Tri>& tris,
+                     std::vector<Mat>& mats) {
+  FILE* f = std::fopen(path, "r");
+  if (!f) return false;
+  std::vector<V3> vs;
+  mats.push_back({LAMB, {0.6, 0.5, 0.4}});
+  char line[512];
+  while (std::fgets(line, sizeof line, f)) {
+    if (line[0] == 'v' && line[1] == ' ') {
+      V3 p;
+      if (std::sscanf(line + 2, "%lf %lf %lf", &p.x, &p.y, &p.z) == 3)
+        vs.push_back(p);
+    } else if (line[0] == 'f' && line[1] == ' ') {
+      long a = 0, b = 0, c = 0;
+      char* p = line + 2;
+      long* tgt[3] = {&a, &b, &c};
+      for (int k = 0; k < 3; ++k) {
+        while (*p == ' ') ++p;
+        *tgt[k] = std::strtol(p, &p, 10);
+        while (*p && *p != ' ' && *p != '\n') ++p;  // skip /vt/vn
+      }
+      if (a < 1 || b < 1 || c < 1 || a > (long)vs.size() ||
+          b > (long)vs.size() || c > (long)vs.size())
+        continue;
+      V3 va = vs[a - 1], vb = vs[b - 1], vc = vs[c - 1];
+      tris.push_back({va, vb - va, vc - va, 0});
+    }
+  }
+  std::fclose(f);
+  return !tris.empty();
 }
 
 int main(int argc, char** argv) {
@@ -264,11 +355,18 @@ int main(int argc, char** argv) {
                           : (int)std::thread::hardware_concurrency();
   const char* scene_path = argc > 5 ? argv[5] : nullptr;
   const char* out_ppm = argc > 6 ? argv[6] : nullptr;
-  int height = (int)(width / (16.0 / 9.0));
-
   std::vector<Sphere> sph;
+  std::vector<Tri> tris;
   std::vector<Mat> mats;
-  if (scene_path) {
+  bool is_obj = scene_path && std::strstr(scene_path, ".obj");
+  if (is_obj) {
+    if (!load_obj(scene_path, tris, mats)) {
+      std::fprintf(stderr, "cannot load %s\n", scene_path);
+      return 1;
+    }
+    std::fprintf(stderr, "loaded %zu triangles from %s\n", tris.size(),
+                 scene_path);
+  } else if (scene_path) {
     FILE* sf = std::fopen(scene_path, "r");
     if (!sf) { std::fprintf(stderr, "cannot open %s\n", scene_path); return 1; }
     double cx, cy, cz, dx_, dy_, dz_, r, aR, aG, aB, fz, ir;
@@ -314,14 +412,23 @@ int main(int argc, char** argv) {
   }
 
   BVH bvh;
-  std::vector<int> perm(sph.size());
+  std::vector<int> perm(sph.size() + tris.size());
   for (size_t i = 0; i < perm.size(); ++i) perm[i] = (int)i;
-  build_bvh_rec(sph, perm, 0, (int)perm.size(), bvh);
+  build_bvh_rec(sph, tris, perm, 0, (int)perm.size(), bvh);
   assign_skips(bvh, 0, (int)bvh.nodes.size());
 
-  // Camera (reference main.cpp:25-33).
+  // Camera: cover scene (reference main.cpp:25-33), or the mesh-bench
+  // camera used by bench.py's mesh_mrays / the knot README numbers.
   V3 lookfrom{13, 2, 3}, lookat{0, 0, 0}, vup{0, 1, 0};
   double fov = 20, aspect = 16.0 / 9.0, aperture = 0.1, fd = 10.0;
+  if (is_obj) {
+    lookfrom = {0, 0, 3};
+    fov = 45;
+    aspect = 1.0;
+    aperture = 0.0;
+    fd = 3.0;
+  }
+  int height = (int)(width / aspect);
   V3 w = unit(lookfrom - lookat);
   V3 uu = unit(cross(vup, w));
   V3 vv = cross(w, uu);
@@ -345,7 +452,7 @@ int main(int argc, char** argv) {
           V3 off = uu * rd.x + vv * rd.y;
           Ray r{lookfrom + off,
                 llc + su * horiz + sv * vert - lookfrom - off, rnd()};
-          col = col + ray_color(r, bvh, sph, mats, depth);
+          col = col + ray_color(r, bvh, sph, tris, mats, depth);
         }
         // image row 0 = top (reference from_top_i, render.cpp:153)
         frame[(size_t)(height - 1 - i) * width + j] = col * (1.0 / spp);
