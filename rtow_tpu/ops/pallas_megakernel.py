@@ -352,6 +352,14 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
             for p in range(n_params)
         )
 
+    # Deferred winner fetch: sweeps carry only (best_t, best_k) and the
+    # winner's table row is fetched AFTER all sweeps, once per DISTINCT
+    # winner block (a while_loop over the pending-lane min block id).
+    # The eager alternative fetched inside every swept block — at 16
+    # params x ~16 swept blocks/tile on big meshes the fetch was ~half
+    # the sweep cost, while distinct winner blocks post-sort are ~1-3.
+    defer = _os.environ.get("RTOW_DEFER_FETCH", "1") == "1"
+
     # fori_loop (not a python loop) over sphere blocks: the unrolled
     # form blew Mosaic's compile time past 20 minutes at 4 blocks.
     def sweep_block(b, carry):
@@ -388,6 +396,8 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
         upd = bt < best_t
         best_t = jnp.where(upd, bt, best_t)
         best_k = jnp.where(upd, bk + b * SPHERE_BLOCK, best_k)
+        if defer:
+            return (best_t, best_k)
         params = _fused_fetch(blk, bk, upd, carry[2:], 0, _TBL_ROWS)
         return (best_t, best_k) + params
 
@@ -395,11 +405,11 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
     best_k = jnp.zeros(shape, jnp.int32)
     sph_params = tuple([zero] * _TBL_ROWS)
     if n_blocks:
-        carry = jax.lax.fori_loop(
-            0, n_blocks, sweep_block, (best_t, best_k) + sph_params
-        )
+        init = (best_t, best_k) if defer else (best_t, best_k) + sph_params
+        carry = jax.lax.fori_loop(0, n_blocks, sweep_block, init)
         best_t, best_k = carry[0], carry[1]
-        sph_params = carry[2:]
+        if not defer:
+            sph_params = carry[2:]
 
     sph_pad = n_blocks * SPHERE_BLOCK
     tri_params = tuple([zero] * 15)
@@ -415,14 +425,20 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
             enter, exit_ = _box_enter_exit(tri_box_ref, b, carry[0])
             box_hit = jnp.logical_and(exit_ > enter, alive)
 
-            def sweep_it(c):
-                return _tri_block_sweep(b, c, _load_tri_block(b))
-
-            return jax.lax.cond(jnp.any(box_hit), sweep_it, lambda c: c,
-                                carry)
+            return jax.lax.cond(
+                jnp.any(box_hit),
+                lambda c: _tri_block_sweep(b, c), lambda c: c, carry)
 
         def _load_tri_block(b):
-            """Fetch block b's (TRI_BLOCK, 16) param rows from VMEM."""
+            """Fetch block b's (TRI_BLOCK, 16) param rows."""
+            if tri_hbm:
+                cp = pltpu.make_async_copy(
+                    tri_ref.at[pl.ds(b * TRI_BLOCK, TRI_BLOCK), :],
+                    tri_scr, sem_tri,
+                )
+                cp.start()
+                cp.wait()
+                return tri_scr[...]
             if tri_t:
                 # (NB, 16, TRI_BLOCK) transposed table: one dynamic
                 # major-dim slice + an in-register lane<->sublane
@@ -435,18 +451,7 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
             ]
 
         def _sweep_block_of_super(sb, jb, c):
-            b = sb * SUPER + jb
-            if tri_hbm:
-                cp = pltpu.make_async_copy(
-                    tri_ref.at[pl.ds(b * TRI_BLOCK, TRI_BLOCK), :],
-                    tri_scr, sem_tri,
-                )
-                cp.start()
-                cp.wait()
-                blk = tri_scr[...]
-            else:
-                blk = _load_tri_block(b)
-            return _tri_block_sweep(b, c, blk)
+            return _tri_block_sweep(sb * SUPER + jb, c)
 
         def tri_sweep_in_super(sb, jb, carry):
             # Block AABB scalars come from the SMEM scratch the enclosing
@@ -459,9 +464,10 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
                 lambda c: _sweep_block_of_super(sb, jb, c),
                 lambda c: c, carry)
 
-        def _tri_block_sweep(b, carry, blk):
+        def _tri_block_sweep(b, carry):
             if _os.environ.get("RTOW_WF_ABLATE") == "nosweep":
                 return carry  # measure cull/cond machinery alone
+            blk = _load_tri_block(b)
             best_t, best_k = carry[0], carry[1]
             bt3 = best_t[:, None, :]
             ax_, ay_, az_ = col(blk, 0), col(blk, 1), col(blk, 2)
@@ -500,11 +506,14 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
             best_t = jnp.where(upd, bt, best_t)
             best_k = jnp.where(upd, bk + sph_pad + b * TRI_BLOCK,
                                best_k)
+            if defer:
+                return (best_t, best_k)
             # Full row: v0(3), e1(3), e2(3), albedo(3), fuzz, ir, kind.
             params = _fused_fetch(blk, bk, upd, carry[2:], 0, 15)
             return (best_t, best_k) + params
 
-        tri_carry = (best_t, best_k) + tri_params
+        tri_carry = (best_t, best_k) if defer \
+            else (best_t, best_k) + tri_params
         if n_super:
             # Hierarchical cull with packed box rows: a descended super
             # DMAs its 16 block AABBs into SMEM scratch (a full box
@@ -562,7 +571,53 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
                 0, n_tri_blocks, tri_sweep, tri_carry
             )
         best_t, best_k = tri_carry[0], tri_carry[1]
-        tri_params = tri_carry[2:]
+        if not defer:
+            tri_params = tri_carry[2:]
+
+    if defer:
+        hit = jnp.logical_and(alive, best_t < BIG)
+
+        def _winner_fetch(pend0, blk_of, load, base, block_sz, params,
+                          n_params):
+            """Fetch winner rows once per DISTINCT winner block.
+
+            ``pend0``: int32 mask of lanes whose winner lives in this
+            table; ``blk_of``: per-lane winner block id; terminates in
+            as many iterations as there are distinct winner blocks in
+            the tile (post-sort typically 1-3)."""
+            sentinel = jnp.int32(0x7FFFFFFF)
+
+            def cond(c):
+                return jnp.any(c[0] > 0)
+
+            def body(c):
+                pend = c[0]
+                b = jnp.min(jnp.where(pend > 0, blk_of, sentinel))
+                blk = load(b)
+                upd = jnp.logical_and(pend > 0, blk_of == b)
+                bk_local = best_k - base - b * block_sz
+                new = _fused_fetch(blk, bk_local, upd, c[1:], 0, n_params)
+                return (jnp.where(upd, 0, pend),) + new
+
+            out = jax.lax.while_loop(cond, body, (pend0,) + params)
+            return out[1:]
+
+        if n_blocks:
+            sph_params = _winner_fetch(
+                jnp.logical_and(hit, best_k < sph_pad).astype(jnp.int32),
+                best_k // SPHERE_BLOCK,
+                lambda b: tbl_ref[
+                    pl.ds(pl.multiple_of(b * SPHERE_BLOCK, SPHERE_BLOCK),
+                          SPHERE_BLOCK), :
+                ],
+                0, SPHERE_BLOCK, sph_params, _TBL_ROWS,
+            )
+        if n_tri_blocks:
+            tri_params = _winner_fetch(
+                jnp.logical_and(hit, best_k >= sph_pad).astype(jnp.int32),
+                (best_k - sph_pad) // TRI_BLOCK,
+                _load_tri_block, sph_pad, TRI_BLOCK, tri_params, 15,
+            )
 
     return best_t, best_k, sph_params, tri_params
 

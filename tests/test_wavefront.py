@@ -166,6 +166,32 @@ def test_transposed_vmem_table_matches_row_major(monkeypatch):
     np.testing.assert_array_equal(np.asarray(img_t), np.asarray(img_r))
 
 
+def test_deferred_winner_fetch_matches_eager(monkeypatch):
+    """Deferred post-sweep winner fetch (default; one fetch per
+    distinct winner block) must be bit-identical to the eager
+    per-block fused fetch, through the super-descend path."""
+    from make_mesh import make_knot
+
+    verts, faces = make_knot(32, 64)  # 4096 tris = 32 blocks = 2 supers
+    b = SceneBuilder()
+    m = b.add_lambertian((0.6, 0.5, 0.4))
+    gray = b.add_lambertian((0.5, 0.5, 0.5))
+    b.add_mesh(verts[faces], m)
+    b.add_sphere((0.0, -101.0, 0.0), 100.0, gray)  # mixed winner tables
+    scene = b.build()
+    cam = make_camera(lookfrom=(0.0, 0.0, 3.0), lookat=(0.0, 0.0, 0.0),
+                      fov_degrees=45.0, aspect_ratio=1.0, aperture=0.0,
+                      focus_dist=3.0)
+    cfg = Config(image_width=16, aspect_ratio=1.0, samples_per_pixel=8,
+                 max_child_rays=3, backend="jnp")
+    with pltpu.force_tpu_interpret_mode():
+        monkeypatch.setenv("RTOW_DEFER_FETCH", "1")
+        img_d = render_wavefront(scene, cam, cfg)
+        monkeypatch.setenv("RTOW_DEFER_FETCH", "0")
+        img_e = render_wavefront(scene, cam, cfg)
+    np.testing.assert_array_equal(np.asarray(img_d), np.asarray(img_e))
+
+
 def test_dispatch_prefers_wavefront_for_large_meshes():
     """pipeline routing: > WAVEFRONT_MIN_TRIS goes to the sorted path."""
     from rtow_tpu.pipeline import pallas_supported, wavefront_supported
