@@ -165,6 +165,34 @@ def _morton_order(cmin: jax.Array, cmax: jax.Array, cent: jax.Array) -> jax.Arra
 SUPER = 16
 
 
+def _median_split_order(cent: np.ndarray) -> np.ndarray:
+    """BVH-style recursive median-split permutation over centroids.
+
+    Orders triangles so every consecutive TRI_BLOCK range is a compact
+    spatial cluster (a leaf of the recursion), with cut points aligned
+    to SUPER multiples higher up so super/hyper groups are subtrees.
+    Replaces the raw Morton-range blocks (reference purpose:
+    src/render.cpp:73-110's median-split build) — straddling Morton
+    cell jumps inflated block AABBs and the mean blocks-swept tail.
+    Host-side NumPy: only runs on concrete geometry (the differentiable
+    table path keeps the traceable Morton order)."""
+    def rec(ids):
+        n = ids.shape[0]
+        if n <= TRI_BLOCK:
+            return [ids]
+        unit = TRI_BLOCK
+        while unit * SUPER * 2 <= n:
+            unit *= SUPER
+        c = cent[ids]
+        ext = c.max(axis=0) - c.min(axis=0)
+        ids = ids[np.argsort(c[:, int(ext.argmax())], kind="stable")]
+        hi = ((n - 1) // unit) * unit
+        cut = min(max(unit, int(round(n / 2 / unit)) * unit), hi)
+        return rec(ids[:cut]) + rec(ids[cut:])
+
+    return np.concatenate(rec(np.arange(cent.shape[0])))
+
+
 def build_tri_table(scene: Scene) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Triangle tables: ((Mpad, 16) params, (NB, 8) block AABBs,
     (NSB, 8) super-block AABBs).
@@ -188,7 +216,13 @@ def build_tri_table(scene: Scene) -> Tuple[jax.Array, jax.Array, jax.Array]:
     tmin = verts.min(axis=1)  # (M, 3)
     tmax = verts.max(axis=1)
     cent = 0.5 * (tmin + tmax)
-    order = _morton_order(tmin.min(axis=0), tmax.max(axis=0), cent)
+    if isinstance(jnp.asarray(cent), jax.core.Tracer):
+        # Differentiable path (verts is a tracer): data-dependent
+        # recursion can't trace; Morton ranges are traceable and the
+        # gradient math is ordering-independent.
+        order = _morton_order(tmin.min(axis=0), tmax.max(axis=0), cent)
+    else:
+        order = jnp.asarray(_median_split_order(np.asarray(cent)))
     verts = verts[order]
     mid = tr.material[order]
     tmin, tmax = tmin[order], tmax[order]
