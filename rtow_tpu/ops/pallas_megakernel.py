@@ -164,6 +164,10 @@ def _morton_order(cmin: jax.Array, cmax: jax.Array, cent: jax.Array) -> jax.Arra
 #: 128-triangle blocks per super-block for the two-level cull.
 SUPER = 16
 
+#: Width of one front-to-back key-scratch row (children per ordered
+#: hierarchy level); 3 rows = one per level (hyper/super/block).
+KEY_ROW = 128
+
 
 def _median_split_order(cent: np.ndarray) -> np.ndarray:
     """BVH-style recursive median-split permutation over centroids.
@@ -296,7 +300,8 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
                ox, oy, oz, dx, dy, dz, tm, alive, *,
                n_blocks, n_tri_blocks, n_super=0, cull=True,
                tri_hbm=False, tri_scr=None, box_scr=None, sem_tri=None,
-               sem_box=None, tri_hyp_ref=None, n_hyper=0, tri_t=False):
+               sem_box=None, tri_hyp_ref=None, n_hyper=0, tri_t=False,
+               key_scr=None):
     """Nearest-hit sweep over Morton blocks with AABB culling and fused
     one-hot winner fetch.
 
@@ -374,6 +379,56 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
         """True when any live lane's ray enters block b's AABB."""
         enter, exit_ = _box_enter_exit(box_ref, b, best_t)
         return jnp.any(jnp.logical_and(exit_ > enter, alive))
+
+    def _box_key(box_ref, b, best_t, col0=0):
+        """Front-to-back visit key: min entry distance over live lanes
+        that enter box b (BIG when nobody does)."""
+        enter, exit_ = _box_enter_exit(box_ref, b, best_t, col0)
+        m = jnp.logical_and(exit_ > enter, alive)
+        return jnp.min(jnp.where(m, enter, BIG))
+
+    def _count(lvl):
+        """Bump a per-tile sweep counter (stats builds only): row 3 of
+        the key scratch holds [blocks, supers, hypers] swept."""
+        if key_scr is not None and key_scr.shape[0] > 3:
+            key_scr[3, lvl] = key_scr[3, lvl] + 1.0
+
+    def _ordered(nc, lvl, child_key, child_visit, carry):
+        """Visit children 0..nc-1 in increasing ``child_key`` order.
+
+        The TPU form of the reference BVH's near-child-first recursion
+        (src/render.cpp:67-70, tmax clamped by the left hit): sweeping
+        near geometry first collapses ``best_t``, and the per-visit
+        re-test (exit clamped by the CURRENT best_t) then culls far
+        children outright.  Keys are scalars in an SMEM scratch row;
+        each phase-2 step scans the row for the min (nc <= 16ish, so
+        the O(nc^2) scalar scan is noise next to one block sweep).
+        Children whose key is BIG (no live lane enters) are skipped
+        without a re-test.
+        """
+        def p1(j, z):
+            key_scr[lvl, j] = child_key(j)
+            return z
+
+        jax.lax.fori_loop(0, nc, p1, 0)
+
+        def p2(v, c):
+            def scan(j, best):
+                k = key_scr[lvl, j]
+                pick = k < best[0]
+                return (jnp.where(pick, k, best[0]),
+                        jnp.where(pick, j, best[1]))
+
+            kmin, jmin = jax.lax.fori_loop(0, nc, scan,
+                                           (BIG, jnp.int32(0)))
+            # Unconditional mark-visited: when kmin == BIG every slot
+            # already holds BIG, so the write is a no-op.
+            key_scr[lvl, jmin] = BIG
+            return jax.lax.cond(kmin < BIG,
+                                lambda c2: child_visit(jmin, c2),
+                                lambda c2: c2, c)
+
+        return jax.lax.fori_loop(0, nc, p2, carry)
 
     def _fused_fetch(blk, bk, upd, params, first_col, n_params):
         """Overwrite ``params`` with block-winner values where ``upd``."""
@@ -501,6 +556,7 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
         def _tri_block_sweep(b, carry):
             if _os.environ.get("RTOW_WF_ABLATE") == "nosweep":
                 return carry  # measure cull/cond machinery alone
+            _count(0)
             blk = _load_tri_block(b)
             best_t, best_k = carry[0], carry[1]
             bt3 = best_t[:, None, :]
@@ -560,14 +616,21 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
                 # instead of 16 any-reduce conds) measured NEUTRAL to
                 # slightly negative on the 65k knot — the per-sibling
                 # conds are not the bottleneck.  Kept serial.
+                _count(1)
                 cp = pltpu.make_async_copy(
                     tri_box_ref.at[pl.ds(sb, 1), :], box_scr, sem_box,
                 )
                 cp.start()
                 cp.wait()
-                return jax.lax.fori_loop(
-                    0, SUPER,
-                    lambda jb, c2: tri_sweep_in_super(sb, jb, c2), c
+                if key_scr is None:
+                    return jax.lax.fori_loop(
+                        0, SUPER,
+                        lambda jb, c2: tri_sweep_in_super(sb, jb, c2), c
+                    )
+                return _ordered(
+                    SUPER, 2,
+                    lambda jb: _box_key(box_scr, 0, c[0], col0=jb * 8),
+                    lambda jb, c2: tri_sweep_in_super(sb, jb, c2), c,
                 )
 
             def super_sweep(sb, carry):
@@ -577,6 +640,11 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
                     jnp.any(s_hit),
                     lambda c: _super_descend(sb, c), lambda c: c, carry)
 
+            #: Children per ordered level is bounded by the key-scratch
+            #: row width; meshes past ~4M tris (n_hyper > 128) fall back
+            #: to the fixed-order loop at the hyper level.
+            ordered_ok = key_scr is not None
+
             if n_hyper:
                 def hyper_sweep(hb, carry):
                     h_enter, h_exit = _box_enter_exit(tri_hyp_ref, hb,
@@ -584,17 +652,40 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
                     h_hit = jnp.logical_and(h_exit > h_enter, alive)
 
                     def descend_h(c):
-                        return jax.lax.fori_loop(
-                            0, SUPER,
+                        _count(2)
+                        if not ordered_ok:
+                            return jax.lax.fori_loop(
+                                0, SUPER,
+                                lambda js, c2: super_sweep(
+                                    hb * SUPER + js, c2),
+                                c
+                            )
+                        return _ordered(
+                            SUPER, 1,
+                            lambda js: _box_key(tri_sup_ref,
+                                                hb * SUPER + js, c[0]),
                             lambda js, c2: super_sweep(hb * SUPER + js, c2),
-                            c
+                            c,
                         )
 
                     return jax.lax.cond(jnp.any(h_hit), descend_h,
                                         lambda c: c, carry)
 
-                tri_carry = jax.lax.fori_loop(
-                    0, n_hyper, hyper_sweep, tri_carry
+                if ordered_ok and n_hyper <= KEY_ROW:
+                    tri_carry = _ordered(
+                        n_hyper, 0,
+                        lambda hb: _box_key(tri_hyp_ref, hb, tri_carry[0]),
+                        hyper_sweep, tri_carry,
+                    )
+                else:
+                    tri_carry = jax.lax.fori_loop(
+                        0, n_hyper, hyper_sweep, tri_carry
+                    )
+            elif ordered_ok and n_super <= KEY_ROW:
+                tri_carry = _ordered(
+                    n_super, 0,
+                    lambda sb: _box_key(tri_sup_ref, sb, tri_carry[0]),
+                    super_sweep, tri_carry,
                 )
             else:
                 tri_carry = jax.lax.fori_loop(
@@ -863,7 +954,8 @@ def _bounce_core(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
                  alive, bounce, lane_u32, salt, max_depth, *,
                  n_blocks, n_tri_blocks, n_super=0, cull=True, ablate="full",
                  tri_hbm=False, tri_scr=None, box_scr=None, sem_tri=None,
-                 sem_box=None, tri_hyp_ref=None, n_hyper=0, tri_t=False):
+                 sem_box=None, tri_hyp_ref=None, n_hyper=0, tri_t=False,
+                 key_scr=None):
     """One intersect+shade step for every live lane of a tile.
 
     The shared heart of the megakernels (persistent whole-frame,
@@ -882,7 +974,7 @@ def _bounce_core(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
         n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, n_super=n_super,
         cull=cull, tri_hbm=tri_hbm, tri_scr=tri_scr, box_scr=box_scr,
         sem_tri=sem_tri, sem_box=sem_box, tri_hyp_ref=tri_hyp_ref,
-        n_hyper=n_hyper, tri_t=tri_t,
+        n_hyper=n_hyper, tri_t=tri_t, key_scr=key_scr,
     )
     if ablate == "nofetch":
         zero = jnp.zeros(ox.shape, jnp.float32)
@@ -1020,11 +1112,9 @@ def _kernel(cam_ref, meta_ref, tbl_ref, sph_box_ref, tri_ref, tri_box_ref,
 
 
 def _flat_bounce_kernel(
-    meta_ref, tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
-    tri_hyp_ref, st_i, st_o,
-    tri_scr=None, box_scr=None, sem_tri=None, sem_box=None, *,
+    *refs,
     n_blocks, n_tri_blocks, n_super=0, cull=True, tri_hbm=False,
-    n_hyper=0, tri_t=False,
+    n_hyper=0, tri_t=False, f2b=True, stats=False,
 ):
     """One bounce over a tile of pre-generated (sorted) rays.
 
@@ -1042,9 +1132,27 @@ def _flat_bounce_kernel(
     tile — the dominant cost once culling leaves most tiles nearly
     workless.
     """
+    (meta_ref, tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
+     tri_hyp_ref, st_i) = refs[:8]
+    idx = 8
+    st_o = refs[idx]
+    idx += 1
+    stats_o = None
+    if stats:
+        stats_o = refs[idx]
+        idx += 1
+    tri_scr = box_scr = sem_tri = sem_box = key_scr = None
+    if refs[idx:]:
+        tri_scr, box_scr, sem_tri, sem_box, key_scr = refs[idx:]
+
     it = meta_ref[0, 0]
     seed = meta_ref[0, 1]
     max_depth = meta_ref[0, 2]
+
+    if stats and key_scr is not None:
+        key_scr[3, 0] = 0.0
+        key_scr[3, 1] = 0.0
+        key_scr[3, 2] = 0.0
 
     vals = [st_i[j] for j in range(16)]
     lid = vals[15].astype(jnp.int32)
@@ -1067,6 +1175,7 @@ def _flat_bounce_kernel(
             cull=cull, tri_hbm=tri_hbm, tri_scr=tri_scr, box_scr=box_scr,
             sem_tri=sem_tri, sem_box=sem_box, tri_hyp_ref=tri_hyp_ref,
             n_hyper=n_hyper, tri_t=tri_t,
+            key_scr=key_scr if f2b else None,
         )
         (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, rr, rg, rb, can, bo) = out
         return (ox, oy, oz, dx, dy, dz, tmv, tpr, tpg, tpb, rr, rg, rb,
@@ -1080,6 +1189,18 @@ def _flat_bounce_kernel(
     st_o[14] = final[14].astype(jnp.float32)
     st_o[15] = vals[15]
 
+    if stats_o is not None:
+        # Per-tile counters: [blocks swept, supers, hypers, live lanes]
+        # broadcast down the 8 sublanes (min legal output tile).
+        live_ct = jnp.sum((alive_in > 0).astype(jnp.float32))
+        cols = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
+        row = jnp.where(
+            cols == 0, key_scr[3, 0],
+            jnp.where(cols == 1, key_scr[3, 1],
+                      jnp.where(cols == 2, key_scr[3, 2],
+                                jnp.where(cols == 3, live_ct, 0.0))))
+        stats_o[...] = row[None]
+
 
 def bounce_step_pallas(
     state: Tuple[jax.Array, ...],
@@ -1092,8 +1213,13 @@ def bounce_step_pallas(
     n_tri_blocks: int,
     n_super: int = 0,
     cull: bool = True,
+    stats: bool = False,
 ):
     """Advance L flat lanes one bounce through the megakernel core.
+
+    ``stats=True`` additionally returns a (n_tiles, 128) f32 array of
+    per-tile counters [blocks swept, supers, hypers, live lanes, 0...]
+    — the culling-quality instrument behind the README mesh numbers.
 
     ``state`` is the 16-tuple of (L,) arrays
     (ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb,
@@ -1131,10 +1257,14 @@ def bounce_step_pallas(
                or (_os.environ.get("RTOW_TRI_HBM") == "1" and n_super > 0))
     if tri_hbm:
         tri_t = False
+    # Front-to-back ordered descent (RTOW_F2B=0 restores the fixed-order
+    # sweep for ablation): visits near children first so best_t collapses
+    # early and far siblings cull outright.
+    f2b = _os.environ.get("RTOW_F2B", "1") == "1"
     kernel = functools.partial(
         _flat_bounce_kernel, n_blocks=n_blocks, n_tri_blocks=n_tri_blocks,
         n_super=n_super, cull=cull, tri_hbm=tri_hbm, n_hyper=n_hyper,
-        tri_t=tri_t,
+        tri_t=tri_t, f2b=f2b, stats=stats,
     )
     if n_super:
         # Pack each super's 16 block AABBs into one (1, SUPER*8) row so
@@ -1147,10 +1277,22 @@ def bounce_step_pallas(
             pltpu.SMEM((1, SUPER * 8), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
+            # Front-to-back keys; stats builds add a counter row.
+            pltpu.SMEM((4 if stats else 3, KEY_ROW), jnp.float32),
         ]
     else:
         tri_box_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-        scratch_shapes = []
+        if stats:
+            # Flat path with counters: same scratch set (DMA refs idle).
+            scratch_shapes = [
+                pltpu.VMEM((TRI_BLOCK, 16), jnp.float32),
+                pltpu.SMEM((1, SUPER * 8), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+                pltpu.SMEM((4, KEY_ROW), jnp.float32),
+            ]
+        else:
+            scratch_shapes = []
     if tri_hbm:
         # Large meshes keep the table in HBM, padded 16 -> 128 wide so
         # per-block DMA slices are lane-aligned (Mosaic requires
@@ -1170,6 +1312,12 @@ def bounce_step_pallas(
         # The tri-table input window counts against physical VMEM with
         # its tile padding; the scoped limit guards temporaries.
         vmem_limit = 32 * 1024 * 1024 + (tri.size * 4 if tri_t else 0)
+    out_specs = [st_spec]
+    out_shape = [jax.ShapeDtypeStruct(packed.shape, jnp.float32)]
+    if stats:
+        out_specs.append(pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0)))
+        out_shape.append(
+            jax.ShapeDtypeStruct((n_tiles, 8, LANES), jnp.float32))
     out = pl.pallas_call(
         kernel,
         compiler_params=pltpu.CompilerParams(
@@ -1186,8 +1334,8 @@ def bounce_step_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # tri hyper AABBs
             st_spec,
         ],
-        out_specs=[st_spec],
-        out_shape=[jax.ShapeDtypeStruct(packed.shape, jnp.float32)],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=scratch_shapes,
     )(meta, tbl, sph_boxes, tri, tri_boxes, tri_super, tri_hyper, packed)
     flat = out[0].reshape(16, L)
@@ -1195,6 +1343,8 @@ def bounce_step_pallas(
     res.append(flat[13].astype(jnp.int32))
     res.append(flat[14].astype(jnp.int32))
     res.append(flat[15].astype(jnp.int32))
+    if stats:
+        return tuple(res), out[1][:, 0, :]
     return tuple(res)
 
 
@@ -1229,12 +1379,15 @@ def render_blocks_pallas(
         sph_boxes = jnp.zeros((1, 8), jnp.float32)
         n_blocks = 0
     if scene.n_triangles:
-        # Persistent kernel dispatch ceiling is small meshes — the
-        # hyper table is only consumed by the flat bounce kernel.
+        # Persistent kernel sweeps blocks FLAT: the hierarchical
+        # descent needs the DMA scratch (box_scr) only the flat bounce
+        # kernel allocates, and this kernel's dispatch ceiling
+        # (WAVEFRONT_MIN_TRIS = 128 blocks) keeps a flat cond-skip loop
+        # cheap.  (n_super > 0 here crashed at trace for 4k-16k-tri
+        # meshes: _super_descend DMAs into box_scr=None.)
         tri, tri_boxes, tri_super, _ = build_tri_table(scene)
         n_tri_blocks = tri.shape[0] // TRI_BLOCK
-        n_super = (n_tri_blocks // SUPER
-                   if tri_super.shape[0] > 1 else 0)
+        n_super = 0
     else:
         tri = jnp.zeros((TRI_BLOCK, 16), jnp.float32)
         tri_boxes = jnp.zeros((1, 8), jnp.float32)

@@ -127,3 +127,34 @@ def test_matches_jnp_multiblock_mesh():
     img_j = render(scene, cam, cfg)
     assert abs(img_k.mean() - img_j.mean()) < 0.02
     assert np.abs(img_k - img_j).mean() < 0.04
+
+
+def test_persistent_kernel_traces_with_super_sized_mesh():
+    """Meshes between 4,096 (first super level) and WAVEFRONT_MIN_TRIS
+    route to the persistent kernel, which sweeps blocks FLAT — the
+    hierarchical descent needs DMA scratch only the flat bounce kernel
+    allocates.  Regression: n_super > 0 here crashed at trace
+    ("DMA source/destination/semaphore arguments must be Refs")."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import jax
+    from make_mesh import make_knot
+
+    from rtow_tpu.models.camera import make_camera
+    from rtow_tpu.models.scene import SceneBuilder
+    from rtow_tpu.ops.pallas_megakernel import render_spheres_pallas
+
+    verts, faces = make_knot(50, 50)  # 5,000 tris -> 48 blocks, 3 supers
+    b = SceneBuilder()
+    b.add_mesh(verts[faces], b.add_lambertian((0.6, 0.5, 0.4)))
+    scene = b.build()
+    cam = make_camera(lookfrom=(0.0, 0.0, 3.0), lookat=(0.0, 0.0, 0.0),
+                      fov_degrees=45.0, aspect_ratio=1.0, aperture=0.0,
+                      focus_dist=3.0)
+    out = jax.eval_shape(
+        lambda s, c: render_spheres_pallas(
+            s, c, 1, width=32, height=8, spp=1, max_depth=3),
+        scene, cam,
+    )
+    assert out.shape == (32 * 8, 3)
