@@ -24,7 +24,10 @@ A large-mesh metric (65,536-triangle procedural knot through the
 sorted-wavefront megakernel, 400x400 spp=64 depth=20 — the round-2
 README config) is additionally reported as ``mesh_mrays`` unless
 RTOW_BENCH_MESH=0 or the backend is not a real TPU (interpret-mode
-Pallas on CPU would take hours).
+Pallas on CPU would take hours).  The 360k-triangle knot (BASELINE
+config (e)'s dragon-class mesh) is reported as ``mesh360k_mrays``
+unless RTOW_BENCH_MESH360=0; both carry ``*_vs_baseline`` ratios
+against their same-workload CPU floors (baseline_measured.json).
 
 Env overrides: RTOW_BENCH_SPP, RTOW_BENCH_WIDTH, RTOW_BENCH_DEPTH,
 RTOW_BENCH_BACKEND (jnp|pallas), RTOW_BENCH_REPEATS, RTOW_BENCH_NORTHSTAR,
@@ -115,25 +118,32 @@ def main() -> int:
         from rtow_tpu.models.scene import SceneBuilder
         from rtow_tpu.ops.wavefront_sorted import render_wavefront
 
-        verts, faces = make_knot(256, 128)  # 65,536 triangles
-        b = SceneBuilder()
-        b.add_mesh(verts[faces], b.add_lambertian((0.6, 0.5, 0.4)))
-        knot = b.build()
         kcam = make_camera(lookfrom=(0.0, 0.0, 3.0), lookat=(0.0, 0.0, 0.0),
                            fov_degrees=45.0, aspect_ratio=1.0, aperture=0.0,
                            focus_dist=3.0)
         kcfg = Config(image_width=400, aspect_ratio=1.0,
                       samples_per_pixel=64, max_child_rays=20)
-        render_wavefront(knot, kcam, kcfg)  # warm-up/compile
-        ksamples = []
-        for i in range(repeats):
-            t0 = time.perf_counter()
-            jax.block_until_ready(render_wavefront(knot, kcam, kcfg))
-            kel = time.perf_counter() - t0
-            ksamples.append(400 * 400 * 64 / kel / 1e6)
-            print(f"bench: mesh run {i + 1}/{repeats}: {kel:.2f}s "
-                  f"= {ksamples[-1]:.2f} Mrays/s", file=sys.stderr)
-        mesh_mrays = statistics.median(ksamples)
+
+        def mesh_bench(segments, rings, label):
+            verts, faces = make_knot(segments, rings)
+            b = SceneBuilder()
+            b.add_mesh(verts[faces], b.add_lambertian((0.6, 0.5, 0.4)))
+            knot = b.build()
+            render_wavefront(knot, kcam, kcfg)  # warm-up/compile
+            ksamples = []
+            for i in range(repeats):
+                t0 = time.perf_counter()
+                jax.block_until_ready(render_wavefront(knot, kcam, kcfg))
+                kel = time.perf_counter() - t0
+                ksamples.append(400 * 400 * 64 / kel / 1e6)
+                print(f"bench: {label} run {i + 1}/{repeats}: {kel:.2f}s "
+                      f"= {ksamples[-1]:.2f} Mrays/s", file=sys.stderr)
+            return statistics.median(ksamples)
+
+        mesh_mrays = mesh_bench(256, 128, "mesh65k")  # 65,536 triangles
+        mesh360_mrays = None
+        if os.environ.get("RTOW_BENCH_MESH360", "1") != "0":
+            mesh360_mrays = mesh_bench(600, 300, "mesh360k")  # 360k tris
 
     floor = 0.0
     floor_path = os.path.join(os.path.dirname(__file__), "baseline_measured.json")
@@ -166,6 +176,14 @@ def main() -> int:
         out["mesh_vs_baseline"] = (
             round(mesh_mrays / mesh_floor, 3) if mesh_floor > 0 else 0.0
         )
+        if mesh360_mrays is not None:
+            with open(floor_path) as f:
+                floor360 = float(
+                    json.load(f).get("mesh360k_floor_mrays_per_s", 0.0))
+            out["mesh360k_mrays"] = round(mesh360_mrays, 3)
+            out["mesh360k_vs_baseline"] = (
+                round(mesh360_mrays / floor360, 3) if floor360 > 0 else 0.0
+            )
     print(json.dumps(out))
     return 0
 

@@ -33,6 +33,47 @@ from .ops import integrator
 from .parallel.mesh import SPP_AXIS, TILE_AXIS
 
 
+def psum_in_bwd(tree, axis_names: Tuple[str, ...]):
+    """Identity on the forward pass; ``psum`` the cotangent on the backward.
+
+    The building block of overlapped gradient all-reduce (SURVEY.md §2:
+    "parameter gradients all-reduced overlapped with backward bounce
+    unroll").  Applying this to the scene *inside* each bounce of the
+    integrator's scan makes the backward pass emit one partial-gradient
+    ``psum`` per bounce — DDP-style bucketing by bounce — instead of one
+    monolithic all-reduce after the full backward.  XLA's latency-hiding
+    scheduler can then overlap each bounce's collective with the next
+    bounce's backward compute; the single post-hoc psum has nothing left
+    to hide behind.  Correct by linearity: sum-of-psums == psum-of-sum.
+
+    Float0 cotangents (int leaves under ``allow_int=True``) pass through
+    untouched.
+    """
+
+    @jax.custom_vjp
+    def _ident(t):
+        return t
+
+    def _fwd(t):
+        return t, None
+
+    def _bwd(_, ct):
+        def red(g):
+            if getattr(g, "dtype", None) == jax.dtypes.float0 or not hasattr(
+                g, "dtype"
+            ):
+                return g
+            out = g
+            for ax in axis_names:
+                out = jax.lax.psum(out, ax)
+            return out
+
+        return (jax.tree_util.tree_map(red, ct),)
+
+    _ident.defvjp(_fwd, _bwd)
+    return _ident(tree)
+
+
 def render_pixels(
     scene: Scene,
     camera: Camera,
@@ -45,6 +86,7 @@ def render_pixels(
     max_depth: int,
     nearest_hit: Optional[Callable] = None,
     jitter: bool = True,
+    grad_reduce_axes: Tuple[str, ...] = (),
 ) -> jax.Array:
     """Differentiable mean radiance of the given pixels -> (Npix, 3).
 
@@ -64,7 +106,8 @@ def render_pixels(
         t = ((height - 1 - row).astype(t.dtype) + 0.5) / (height - 1)
     rays = camera_rays(camera, k_cam, s, t)
     radiance = integrator.trace(scene, rays, k_trace, max_depth,
-                                nearest_hit=nearest_hit)
+                                nearest_hit=nearest_hit,
+                                grad_reduce_axes=grad_reduce_axes)
     return radiance.reshape(n_pix, spp, 3).mean(axis=1)
 
 
@@ -141,6 +184,7 @@ def build_train_step(
     max_depth: int,
     lr: float = 1e-2,
     renderer: Callable = None,
+    overlap_grad_allreduce: bool = False,
 ):
     """The full sharded training step, jitted over the (tile, spp) mesh.
 
@@ -153,9 +197,23 @@ def build_train_step(
     ``ops.pallas_grad.render_pixels_kernel`` for the kernel-speed
     forward+backward (sphere scenes; measured 2.6x forward-only wall
     time on v5e vs the jnp path which OOMs at production sizes).
+
+    ``overlap_grad_allreduce``: emit one partial scene-gradient ``psum``
+    per bounce inside the backward scan (via :func:`psum_in_bwd`)
+    instead of one monolithic all-reduce after the whole backward, so
+    XLA's latency-hiding scheduler can overlap collectives with backward
+    compute.  Numerically identical by psum linearity (tested); jnp
+    renderer only.
     """
+    overlap = overlap_grad_allreduce and renderer is None
     if renderer is None:
         renderer = render_pixels
+    if overlap:
+        import functools
+
+        renderer = functools.partial(
+            render_pixels, grad_reduce_axes=(SPP_AXIS, TILE_AXIS)
+        )
     n_pixels = width * height
     tile_shards = mesh.shape[TILE_AXIS]
     spp_shards = mesh.shape[SPP_AXIS]
@@ -187,11 +245,14 @@ def build_train_step(
         # Gradient all-reduce over the whole mesh (dp+sp axes). device_loss
         # already pmeans the loss, so grads of the *global* loss only need
         # summing across devices. float0 (int-leaf) grads pass through.
-        grads = jax.tree_util.tree_map(
-            lambda g: jax.lax.psum(jax.lax.psum(g, SPP_AXIS), TILE_AXIS)
-            if g.dtype != jax.dtypes.float0 else g,
-            grads,
-        )
+        # In overlap mode the backward scan already psum'd each bounce's
+        # partial (psum_in_bwd), so the grads arrive globally reduced.
+        if not overlap:
+            grads = jax.tree_util.tree_map(
+                lambda g: jax.lax.psum(jax.lax.psum(g, SPP_AXIS), TILE_AXIS)
+                if g.dtype != jax.dtypes.float0 else g,
+                grads,
+            )
         new_scene = sgd_update(scene, grads, lr)
         return new_scene, loss
 

@@ -50,6 +50,7 @@ def trace(
     max_depth: int,
     nearest_hit: Optional[NearestHitFn] = None,
     cull_backfaces: bool = True,
+    grad_reduce_axes: tuple = (),
 ) -> jax.Array:
     """Trace a wavefront to completion -> per-lane radiance (L, 3).
 
@@ -57,6 +58,12 @@ def trace(
     (src/render.h:17).  ``nearest_hit`` defaults to the brute-force sweep;
     the BVH traversal or a Pallas kernel slot in through the same
     signature.
+
+    ``grad_reduce_axes``: mesh axis names to ``psum`` scene cotangents
+    over *per bounce* in the backward scan (overlapped gradient
+    all-reduce — see :func:`rtow_tpu.diff.psum_in_bwd`).  Only valid
+    under ``shard_map`` with those axes; the resulting scene gradient is
+    then already globally reduced.
     """
     if nearest_hit is None:
         nearest_hit = intersect.nearest_hit_bruteforce
@@ -74,8 +81,15 @@ def trace(
     )
 
     def bounce(st: WavefrontState, i: jax.Array):
+        if grad_reduce_axes:
+            from ..diff import psum_in_bwd
+
+            scene_b = psum_in_bwd(scene, grad_reduce_axes)
+        else:
+            scene_b = scene
         rec = nearest_hit(
-            scene, st.origin, st.direction, st.time, cull_backfaces=cull_backfaces
+            scene_b, st.origin, st.direction, st.time,
+            cull_backfaces=cull_backfaces
         )
 
         missed = st.alive & ~rec.hit

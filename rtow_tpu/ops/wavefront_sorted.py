@@ -74,26 +74,33 @@ def sort_keys(
 ) -> jax.Array:
     """Spatial coherence key per lane -> (L,) int32, dead lanes last.
 
-    Layout (MSB..LSB): 21-bit Morton code of the ray origin quantized
-    to the scene bounds (7 bits/axis), then a 9-bit Morton code of the
-    normalized direction (3 bits/axis).  Origin dominates — block
-    culling is driven by where rays *start* — but the direction bits
-    are load-bearing too: primary rays all share the camera origin, so
-    without them the first sort would collapse to a near-random
-    shuffle of the naturally coherent pixel order (measured: the
-    bounce-0 tiles then sweep most of the scene).
+    Six-dimensional Morton code with ALTERNATING origin/direction
+    triplets (MSB..LSB: o-triplet, d-triplet, o-triplet, ... — 5 bits
+    per axis each, 30 bits total), origin triplet first.  A tile's
+    block-cull cost is the UNION of its lanes' frusta, so the key must
+    shrink position spread and direction spread together: after the
+    first diffuse bounce a pure origin-major key (the round-2 original:
+    21 origin bits then 9 direction bits) packs each tile with rays
+    from one surface patch scattered over the whole hemisphere, and the
+    union covers most of the scene.  Measured on the 360k knot
+    (tools/stats probe, bounce 1): 247 blocks/tile origin-major -> 105
+    interleaved; total block sweeps -27%.  Direction-major was worse at
+    every depth (whole-scene beams); this balanced interleave won every
+    deeper bounce too.
+
+    Direction bits are quantized ADAPTIVELY to the live-direction range:
+    primary rays span only the camera's fov cone, and a fixed [-1,1]
+    grid would put the whole cone in one cell (measured: no effect).
     """
-    qx = jnp.clip((ox - bmin[0]) * inv_ext[0] * 127.0, 0.0, 127.0)
-    qy = jnp.clip((oy - bmin[1]) * inv_ext[1] * 127.0, 0.0, 127.0)
-    qz = jnp.clip((oz - bmin[2]) * inv_ext[2] * 127.0, 0.0, 127.0)
-    code = (
+    lim = 31.0  # 5 bits/axis for both origin and direction
+    qx = jnp.clip((ox - bmin[0]) * inv_ext[0] * lim, 0.0, lim)
+    qy = jnp.clip((oy - bmin[1]) * inv_ext[1] * lim, 0.0, lim)
+    qz = jnp.clip((oz - bmin[2]) * inv_ext[2] * lim, 0.0, lim)
+    ocode = (
         _spread3(qx.astype(jnp.uint32))
         | (_spread3(qy.astype(jnp.uint32)) << 1)
         | (_spread3(qz.astype(jnp.uint32)) << 2)
     )
-    # Direction bits quantized ADAPTIVELY to the live-direction range:
-    # primary rays span only the camera's fov cone, and a fixed [-1,1]
-    # grid would put the whole cone in one cell (measured: no effect).
     inv_len = jax.lax.rsqrt(dx * dx + dy * dy + dz * dz)
     live = alive > 0
     big = jnp.float32(3.0e38)
@@ -102,15 +109,19 @@ def sort_keys(
         nd = d * inv_len
         lo = jnp.min(jnp.where(live, nd, big))
         hi = jnp.max(jnp.where(live, nd, -big))
-        scale = 7.999 / jnp.maximum(hi - lo, 1e-6)
-        return jnp.clip((nd - lo) * scale, 0.0, 7.0)
+        scale = (lim + 0.999) / jnp.maximum(hi - lo, 1e-6)
+        return jnp.clip((nd - lo) * scale, 0.0, lim)
 
     dcode = (
         _spread3(qdir(dx).astype(jnp.uint32))
         | (_spread3(qdir(dy).astype(jnp.uint32)) << 1)
         | (_spread3(qdir(dz).astype(jnp.uint32)) << 2)
     )
-    key = ((code << 9) | dcode).astype(jnp.int32)
+    key = jnp.zeros_like(ocode)
+    for i in range(4, -1, -1):  # MSB triplets first
+        key = (key << 3) | ((ocode >> (3 * i)) & 7)
+        key = (key << 3) | ((dcode >> (3 * i)) & 7)
+    key = key.astype(jnp.int32)
     return jnp.where(alive > 0, key, DEAD_KEY)
 
 
@@ -208,12 +219,7 @@ def trace_wavefront_sorted(
         lane_id,
     )
 
-    def cond(carry):
-        st, it = carry
-        return jnp.any(st[13] > 0)
-
-    def body(carry):
-        st, it = carry
+    def sorted_bounce(st, it):
         # Sort EVERY bounce including bounce 0: skipping the bounce-0
         # sort (primary rays are already pixel-coherent) measured
         # neutral-to-slightly-negative on the 65k knot — the sort's
@@ -228,7 +234,50 @@ def trace_wavefront_sorted(
         )
         return st, it + 1
 
-    final, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
+    # Shrinking-window tail: survivors thin out fast (measured on the
+    # 360k knot: 44% of lanes die at bounce 1, 90% by bounce 2, and the
+    # last ~20 bounces run ONE live tile), but every full-width
+    # iteration still pays the whole sort plus the all-dead tiles' grid
+    # machinery.  Once the live count fits a window 8x (then 64x)
+    # smaller, compact live lanes to the head with one sort and loop on
+    # the head slice alone — dead lanes outside the window keep their
+    # radiance and rejoin for the final lane-id sort.  The reference
+    # has no analogue (its threads always run whole frames,
+    # src/render.cpp:150-167); this is wavefront-native tail care.
+    widths = [w for w in (L, -(-L // 8 // TILE) * TILE,
+                          -(-L // 64 // TILE) * TILE)
+              if w >= TILE]
+    widths = sorted(set(widths), reverse=True)  # e.g. [L, L/8, L/64]
+
+    it = jnp.int32(0)
+    for i, w in enumerate(widths):
+        nxt = widths[i + 1] if i + 1 < len(widths) else 0
+
+        def cond(carry, nxt=nxt):
+            st, _ = carry
+            n_live = jnp.sum(st[13])
+            return jnp.logical_and(n_live > 0, n_live > nxt)
+
+        def body(carry):
+            st, it = carry
+            return sorted_bounce(st, it)
+
+        if w == L:
+            (state, it) = jax.lax.while_loop(cond, body, (state, it))
+        else:
+            # Compact live lanes to the head (dead sort to DEAD_KEY at
+            # the end), then loop over the head window only.
+            keys = sort_keys(state[0], state[1], state[2], state[3],
+                             state[4], state[5], state[13], bmin, inv_ext)
+            state = jax.lax.sort((keys,) + state, dimension=0,
+                                 num_keys=1)[1:]
+            win = tuple(x[:w] for x in state)
+            rest = tuple(x[w:] for x in state)
+            (win, it) = jax.lax.while_loop(cond, body, (win, it))
+            state = tuple(jnp.concatenate([a, b])
+                          for a, b in zip(win, rest))
+
+    final = state
 
     # Restore pixel-major order: one sort by immutable lane id, then the
     # per-pixel sum is a contiguous reshape (no scatter).

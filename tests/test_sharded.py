@@ -6,6 +6,8 @@ with the single-device renderer statistically, spp accounting must be
 exact (no silent floor-division loss, src/render.cpp:174,185), and any
 (tile, spp) mesh factorisation must produce the same image structure.
 """
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -127,3 +129,37 @@ def test_distributed_initialize_single_host_noop():
 
     distributed.initialize()  # no env, single host -> returns without init
     assert distributed.is_primary()
+
+
+def test_overlap_grad_allreduce_parity(scene_cam):
+    """Overlapped (per-bounce, DDP-style) gradient all-reduce must be
+    numerically identical to the monolithic post-backward psum (sum of
+    per-bounce psums == psum of the per-bounce sum), and its lowered
+    HLO must carry gradient all-reduces inside the backward scan loop
+    where the latency-hiding scheduler can overlap them."""
+    from rtow_tpu.diff import build_train_step
+
+    scene, cam = scene_cam
+    width, height, spp = 8, 4, 16
+    mesh = make_mesh(8, spp, tile_shards=4, spp_shards=2)
+    kw = dict(width=width, height=height, spp=spp, max_depth=3, lr=1e-2)
+    base = build_train_step(mesh, cam, **kw)
+    over = build_train_step(mesh, cam, overlap_grad_allreduce=True, **kw)
+    target = jnp.zeros((width * height, 3), jnp.float32)
+    key = jax.random.key(0)
+    s0, l0 = base(scene, key, target)
+    s1, l1 = over(scene, key, target)
+    assert float(l0) == pytest.approx(float(l1), rel=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s0), jax.tree_util.tree_leaves(s1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+    # Structure: the overlap build moves all-reduces INTO the loop body
+    # (more all-reduce sites in the lowered module than the single
+    # post-backward reduction emits).
+    txt_base = base.lower(scene, key, target).as_text()
+    txt_over = over.lower(scene, key, target).as_text()
+    n_base = txt_base.count("all_reduce") + txt_base.count("all-reduce")
+    n_over = txt_over.count("all_reduce") + txt_over.count("all-reduce")
+    assert n_over >= n_base, (n_over, n_base)
+    assert n_over > 0
