@@ -154,12 +154,13 @@ def test_overlap_grad_allreduce_parity(scene_cam):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
 
-    # Structure: the overlap build moves all-reduces INTO the loop body
-    # (more all-reduce sites in the lowered module than the single
-    # post-backward reduction emits).
-    txt_base = base.lower(scene, key, target).as_text()
-    txt_over = over.lower(scene, key, target).as_text()
-    n_base = txt_base.count("all_reduce") + txt_base.count("all-reduce")
-    n_over = txt_over.count("all_reduce") + txt_over.count("all-reduce")
-    assert n_over >= n_base, (n_over, n_base)
-    assert n_over > 0
+    # Structure: the overlap build moves the gradient all-reduces out of
+    # @main (where base emits them once, after the whole backward) into
+    # the per-bounce backward function called from the backward scan —
+    # the position where the latency-hiding scheduler can overlap them.
+    def _ar_outside_main(txt):
+        main_end = txt.index("func.func private")
+        return txt.count("all_reduce", main_end)
+
+    assert _ar_outside_main(base.lower(scene, key, target).as_text()) == 0
+    assert _ar_outside_main(over.lower(scene, key, target).as_text()) > 0
