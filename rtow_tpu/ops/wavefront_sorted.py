@@ -32,6 +32,7 @@ the sort schedule (deterministic for a fixed seed).
 from __future__ import annotations
 
 import functools
+import os as _os
 import sys
 import time as _time
 
@@ -290,37 +291,44 @@ def trace_wavefront_sorted(
 
 @functools.lru_cache(maxsize=16)
 def _frame_fn(width: int, height: int, spp: int, max_depth: int,
-              ppc: int, n_chunks: int, counts, cull: bool,
+              ppc: int, band_chunks: int, counts, cull: bool,
               progress: bool = False):
-    """Cached jitted whole-frame renderer (re-jit per call costs seconds)."""
+    """Cached jitted band renderer (re-jit per call costs seconds).
+
+    Renders ``band_chunks`` consecutive pixel chunks starting at global
+    chunk index ``chunk0`` (a traced scalar, so ONE compile serves every
+    band).  Chunk RNG folds in the *global* chunk index, so any banding
+    of the same frame is bit-identical to the single-dispatch render.
+    """
 
     n_pixels = width * height
 
-    def frame(tables, bmin, inv_ext, camera, key, seed):
+    def frame(tables, bmin, inv_ext, camera, key, seed, chunk0):
         def chunk_body(c, fb):
-            pix0 = c * ppc
+            g = chunk0 + c  # global chunk index (RNG + pixel offset)
+            pix0 = g * ppc
             pixel_ids = pix0 + jnp.arange(ppc, dtype=jnp.int32)
             pix_safe = jnp.minimum(pixel_ids, n_pixels - 1)
             sums = trace_wavefront_sorted(
-                None, camera, jax.random.fold_in(key, c), pix_safe,
-                seed + c * 7919,
+                None, camera, jax.random.fold_in(key, g), pix_safe,
+                seed + g * 7919,
                 spp=spp, max_depth=max_depth, width=width, height=height,
                 cull_backfaces=cull, tables=tables, counts=counts,
                 bmin=bmin, inv_ext=inv_ext,
             )
             sums = jnp.where((pixel_ids < n_pixels)[:, None], sums, 0.0)
-            if progress and n_chunks > 1:
+            if progress:
                 from ..render import _scanline_tick
 
                 jax.debug.callback(
                     functools.partial(_scanline_tick, ppc=ppc,
                                       width=width, height=height),
-                    c, ordered=False,
+                    g, ordered=False,
                 )
-            return jax.lax.dynamic_update_slice(fb, sums, (pix0, 0))
+            return jax.lax.dynamic_update_slice(fb, sums, (c * ppc, 0))
 
-        fb0 = jnp.zeros((ppc * n_chunks, 3), jnp.float32)
-        return jax.lax.fori_loop(0, n_chunks, chunk_body, fb0)
+        fb0 = jnp.zeros((ppc * band_chunks, 3), jnp.float32)
+        return jax.lax.fori_loop(0, band_chunks, chunk_body, fb0)
 
     return jax.jit(frame)
 
@@ -345,16 +353,35 @@ def render_wavefront(
     ppc = max(ppc, -(-TILE // spp))  # at least one tile of lanes
     n_chunks = -(-n_pixels // ppc)
 
+    # Cap chunks per device dispatch: a single fori_loop dispatch
+    # covering hundreds of chunks runs for minutes, which the remote-TPU
+    # tunnel can drop (observed UNAVAILABLE at ~1250 chunks); banding
+    # costs one extra host round-trip per band (~30ms) and is
+    # bit-identical (global chunk indices drive the RNG).
+    band = int(_os.environ.get("RTOW_WF_CHUNKS_PER_DISPATCH", "128"))
+    band = n_chunks if band <= 0 else min(band, n_chunks)
+
     tables, counts, bmin, inv_ext = _scene_tables(scene)
     from ..render import callbacks_supported
 
-    frame = _frame_fn(width, height, spp, cfg.max_child_rays, ppc, n_chunks,
+    frame = _frame_fn(width, height, spp, cfg.max_child_rays, ppc, band,
                       counts, cull_backfaces,
                       progress and callbacks_supported())
 
     t0 = _time.perf_counter()
-    fb = frame(tables, bmin, inv_ext, camera, key, jnp.int32(cfg.seed))
-    fb.block_until_ready()
+    n_bands = -(-n_chunks // band)
+    if n_bands == 1:
+        fb = frame(tables, bmin, inv_ext, camera, key, jnp.int32(cfg.seed),
+                   jnp.int32(0))
+        fb.block_until_ready()
+    else:
+        parts = []
+        for bi in range(n_bands):
+            out = frame(tables, bmin, inv_ext, camera, key,
+                        jnp.int32(cfg.seed), jnp.int32(bi * band))
+            out.block_until_ready()
+            parts.append(out)
+        fb = jnp.concatenate(parts)[: ppc * n_chunks]
     elapsed = _time.perf_counter() - t0
     if progress:
         from ..utils.profiling import RenderStats

@@ -227,3 +227,22 @@ def test_sort_keys_dead_lanes_last():
     keys = np.asarray(keys)
     assert (keys[alive == 0] == DEAD_KEY).all()
     assert (keys[alive == 1] < DEAD_KEY).all()
+
+
+def test_banded_dispatch_bit_identical(knot_scene, monkeypatch):
+    """Splitting the frame into per-band dispatches must be BIT-identical
+    to the single-dispatch render: chunk RNG folds in the global chunk
+    index, so banding only changes host scheduling (the fix for the
+    remote tunnel dropping multi-minute single dispatches)."""
+    scene, cam = knot_scene
+    base = dict(image_width=24, aspect_ratio=1.0, samples_per_pixel=8,
+                max_child_rays=3, rays_per_batch=1024)  # several chunks
+    with pltpu.force_tpu_interpret_mode():
+        monkeypatch.setenv("RTOW_WF_CHUNKS_PER_DISPATCH", "0")  # single
+        img1 = render_wavefront(scene, cam, Config(**base))
+        monkeypatch.setenv("RTOW_WF_CHUNKS_PER_DISPATCH", "1")  # per-chunk
+        img2 = render_wavefront(scene, cam, Config(**base))
+        monkeypatch.setenv("RTOW_WF_CHUNKS_PER_DISPATCH", "2")  # uneven tail
+        img3 = render_wavefront(scene, cam, Config(**base))
+    np.testing.assert_array_equal(img1, img2)
+    np.testing.assert_array_equal(img1, img3)
