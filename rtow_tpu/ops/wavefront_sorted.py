@@ -162,41 +162,21 @@ def _scene_tables(scene: Scene):
     return tables, (n_blocks, n_tri_blocks, n_super), bmin, inv_ext
 
 
-def trace_wavefront_sorted(
-    scene: Scene,
-    camera: Camera,
-    key: jax.Array,
-    pixel_ids: jax.Array,
-    seed,
-    *,
-    spp: int,
-    max_depth: int,
-    width: int,
-    height: int,
-    cull_backfaces: bool = True,
-    tables=None,
-    counts=None,
-    bmin=None,
-    inv_ext=None,
-) -> jax.Array:
-    """Radiance sums for a chunk of pixels -> (P, 3).
+def _trace_lane_per_sample(
+    camera, key, lane_pix, seed, *, L_raw, L, P, lpp, max_depth,
+    width, height, cull_backfaces, tables, counts, bmin, inv_ext,
+):
+    """The default lane-per-sample fast path (one lane = one sample).
 
-    ``key`` drives camera-ray generation (threefry); in-kernel scatter
-    draws use the counter-based hash RNG on (lane id, bounce).  Lanes
-    beyond ``spp * P`` padding are dead from the start.
+    Camera rays generate once up front and the per-bounce sort moves
+    only the 16 state arrays + key — no regeneration machinery, no
+    extra sort operands (the committed 5.0 Mrays/s 65k-knot path).
     """
-    if tables is None:
-        tables, counts, bmin, inv_ext = _scene_tables(scene)
     n_blocks, n_tri_blocks, n_super = counts
-
-    P = pixel_ids.shape[0]
-    L_raw = P * spp
-    L = -(-L_raw // TILE) * TILE
     f32 = jnp.float32
 
-    lane_pix = jnp.repeat(pixel_ids, spp, total_repeat_length=L_raw)
     k_pix, k_cam = jax.random.split(key)
-    s, t = pixel_coords(width, height, k_pix, lane_pix,
+    s, t = pixel_coords(width, height, k_pix, lane_pix[:L_raw],
                         dtype=camera.origin.dtype)
     rays = camera_rays(camera, k_cam, s, t)
 
@@ -237,14 +217,9 @@ def trace_wavefront_sorted(
 
     # Shrinking-window tail: survivors thin out fast (measured on the
     # 360k knot: 44% of lanes die at bounce 1, 90% by bounce 2, and the
-    # last ~20 bounces run ONE live tile), but every full-width
-    # iteration still pays the whole sort plus the all-dead tiles' grid
-    # machinery.  Once the live count fits a window 8x (then 64x)
-    # smaller, compact live lanes to the head with one sort and loop on
-    # the head slice alone — dead lanes outside the window keep their
-    # radiance and rejoin for the final lane-id sort.  The reference
-    # has no analogue (its threads always run whole frames,
-    # src/render.cpp:150-167); this is wavefront-native tail care.
+    # last ~20 bounces run ONE live tile); once the live count fits a
+    # window 8x (then 64x) smaller, compact live lanes to the head with
+    # one sort and loop on the head slice alone.
     widths = [w for w in (L, -(-L // 8 // TILE) * TILE,
                           -(-L // 64 // TILE) * TILE)
               if w >= TILE]
@@ -266,8 +241,6 @@ def trace_wavefront_sorted(
         if w == L:
             (state, it) = jax.lax.while_loop(cond, body, (state, it))
         else:
-            # Compact live lanes to the head (dead sort to DEAD_KEY at
-            # the end), then loop over the head window only.
             keys = sort_keys(state[0], state[1], state[2], state[3],
                              state[4], state[5], state[13], bmin, inv_ext)
             state = jax.lax.sort((keys,) + state, dimension=0,
@@ -279,6 +252,189 @@ def trace_wavefront_sorted(
                           for a, b in zip(win, rest))
 
     final = state
+    _, rr, rg, rb = jax.lax.sort(
+        (final[15], final[10], final[11], final[12]), dimension=0, num_keys=1
+    )
+    rad = jnp.stack([rr[:L_raw], rg[:L_raw], rb[:L_raw]], axis=-1)
+    return rad.reshape(P, lpp, 3).sum(axis=1)
+
+
+def trace_wavefront_sorted(
+    scene: Scene,
+    camera: Camera,
+    key: jax.Array,
+    pixel_ids: jax.Array,
+    seed,
+    *,
+    spp: int,
+    max_depth: int,
+    width: int,
+    height: int,
+    cull_backfaces: bool = True,
+    tables=None,
+    counts=None,
+    bmin=None,
+    inv_ext=None,
+    lanes_per_pixel: int = 0,
+) -> jax.Array:
+    """Radiance sums for a chunk of pixels -> (P, 3).
+
+    ``key`` drives camera-ray generation (threefry); in-kernel scatter
+    draws use the counter-based hash RNG on (lane id, bounce).
+
+    ``lanes_per_pixel`` (``lpp``, must divide ``spp``; 0 = ``spp``)
+    sets the lane layout.  The default lane-per-sample layout
+    (lpp == spp) is the fast one; lpp < spp switches to persistent
+    lanes that trace ``spp / lpp`` samples SEQUENTIALLY, regenerating a
+    fresh camera ray when the previous sample dies
+    (trace_progressive's scheme fused with the per-bounce sort).
+    Regeneration measured 2.1x WORSE on the 65k knot despite near-100%
+    lane utilisation: sequential samples decorrelate neighboring
+    lanes' bounce depths, so tiles become mixtures of unrelated rays
+    and the per-tile block-cull union explodes — utilisation is
+    cheaper to waste than coherence (dead tiles cost ~0; an incoherent
+    live tile costs ~35x a coherent one).  Kept as a knob because the
+    tradeoff may flip for scenes with much longer mean paths.
+    """
+    if tables is None:
+        tables, counts, bmin, inv_ext = _scene_tables(scene)
+    n_blocks, n_tri_blocks, n_super = counts
+
+    P = pixel_ids.shape[0]
+    lpp = lanes_per_pixel or spp
+    assert spp % lpp == 0, (spp, lpp)
+    n_samples = spp // lpp  # sequential samples per lane
+    L_raw = P * lpp
+    L = -(-L_raw // TILE) * TILE
+    f32 = jnp.float32
+    dtype = camera.origin.dtype
+
+    lane_id = jnp.arange(L, dtype=jnp.int32)
+    lane_pix = jnp.concatenate([
+        jnp.repeat(pixel_ids, lpp, total_repeat_length=L_raw),
+        jnp.zeros((L - L_raw,), jnp.int32),
+    ])
+
+    if n_samples == 1:
+        return _trace_lane_per_sample(
+            camera, key, lane_pix, seed, L_raw=L_raw, L=L, P=P, lpp=lpp,
+            max_depth=max_depth, width=width, height=height,
+            cull_backfaces=cull_backfaces, tables=tables, counts=counts,
+            bmin=bmin, inv_ext=inv_ext,
+        )
+
+    zero = jnp.zeros((L,), f32)
+    # All lanes start dead with a full sample budget; the first regen
+    # fills them.  Padding lanes get an exhausted budget (never start).
+    state = (
+        zero, zero, zero,  # origin
+        zero, zero, zero + 1.0,  # direction (benign placeholder)
+        zero,  # time
+        zero, zero, zero,  # throughput
+        zero, zero, zero,  # radiance
+        jnp.zeros((L,), jnp.int32),  # alive
+        jnp.zeros((L,), jnp.int32),  # bounce
+        lane_id,
+    )
+    started = jnp.where(lane_id < L_raw, 0, n_samples).astype(jnp.int32)
+
+    def regen(st, started, lane_pix, it):
+        """Idle lanes with samples left start a fresh camera ray."""
+        alive = st[13] > 0
+        need = jnp.logical_and(~alive, started < n_samples)
+        k = jax.random.fold_in(key, it)
+        k_pix, k_cam = jax.random.split(k)
+        s, t = pixel_coords(width, height, k_pix, lane_pix, dtype=dtype)
+        rays = camera_rays(camera, k_cam, s, t)
+
+        def sel(fresh, old):
+            return jnp.where(need, fresh.astype(f32), old)
+
+        st = (
+            sel(rays.origin[:, 0], st[0]), sel(rays.origin[:, 1], st[1]),
+            sel(rays.origin[:, 2], st[2]),
+            sel(rays.direction[:, 0], st[3]), sel(rays.direction[:, 1], st[4]),
+            sel(rays.direction[:, 2], st[5]),
+            sel(rays.time, st[6]),
+            sel(jnp.ones_like(st[7]), st[7]),
+            sel(jnp.ones_like(st[8]), st[8]), sel(jnp.ones_like(st[9]), st[9]),
+            st[10], st[11], st[12],  # radiance persists across samples
+            jnp.logical_or(alive, need).astype(jnp.int32),
+            jnp.where(need, 0, st[14]),
+            st[15],
+        )
+        return st, started + need.astype(jnp.int32)
+
+    def sorted_bounce(st, started, lane_pix, it):
+        # regen -> sort -> bounce.  Sorting EVERY bounce including the
+        # first measured neutral-to-positive (direction-octant grouping
+        # pays even for camera rays); at sort time every lane with
+        # budget left is alive, so dead lanes (budget exhausted) sort
+        # to the back and all-dead tail tiles cond-skip the sweep.
+        st, started = regen(st, started, lane_pix, it)
+        keys = sort_keys(st[0], st[1], st[2], st[3], st[4], st[5], st[13],
+                         bmin, inv_ext)
+        srt = jax.lax.sort((keys,) + st + (started, lane_pix),
+                           dimension=0, num_keys=1)
+        st, started, lane_pix = srt[1:17], srt[17], srt[18]
+        st = bounce_step_pallas(
+            st, it, seed, max_depth, tables,
+            n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, n_super=n_super,
+            cull=cull_backfaces,
+        )
+        return st, started, lane_pix, it + 1
+
+    # Shrinking-window tail for the final drain: once the PENDING count
+    # (live lanes + lanes with samples left) fits a window 8x (then
+    # 64x) smaller, compact pending lanes to the head with one
+    # regen+sort and loop on the head slice alone — lanes outside the
+    # window keep their radiance and rejoin for the final lane-id sort.
+    # With regeneration the window only narrows at the very end of the
+    # chunk's sample budget (utilisation stays near 100% before that);
+    # the reference has no analogue (its threads always run whole
+    # frames, src/render.cpp:150-167).
+    widths = [w for w in (L, -(-L // 8 // TILE) * TILE,
+                          -(-L // 64 // TILE) * TILE)
+              if w >= TILE]
+    widths = sorted(set(widths), reverse=True)  # e.g. [L, L/8, L/64]
+
+    carry = (state, started, lane_pix, jnp.int32(0))
+    for i, w in enumerate(widths):
+        nxt = widths[i + 1] if i + 1 < len(widths) else 0
+
+        def cond(carry, nxt=nxt):
+            st, started, _, _ = carry
+            pend = jnp.sum(jnp.logical_or(st[13] > 0,
+                                          started < n_samples))
+            return jnp.logical_and(pend > 0, pend > nxt)
+
+        def body(carry):
+            return sorted_bounce(*carry)
+
+        if w == L:
+            carry = jax.lax.while_loop(cond, body, carry)
+        else:
+            # Regen (so every pending lane is alive), then compact live
+            # lanes to the head and loop over the head window only.
+            st, started, lane_pix, it = carry
+            st, started = regen(st, started, lane_pix, it)
+            keys = sort_keys(st[0], st[1], st[2], st[3], st[4], st[5],
+                             st[13], bmin, inv_ext)
+            srt = jax.lax.sort((keys,) + st + (started, lane_pix),
+                               dimension=0, num_keys=1)
+            st, started, lane_pix = srt[1:17], srt[17], srt[18]
+            win = (tuple(x[:w] for x in st), started[:w], lane_pix[:w], it)
+            rest = (tuple(x[w:] for x in st), started[w:], lane_pix[w:])
+            win = jax.lax.while_loop(cond, body, win)
+            carry = (
+                tuple(jnp.concatenate([a, b])
+                      for a, b in zip(win[0], rest[0])),
+                jnp.concatenate([win[1], rest[1]]),
+                jnp.concatenate([win[2], rest[2]]),
+                win[3],
+            )
+
+    final = carry[0]
 
     # Restore pixel-major order: one sort by immutable lane id, then the
     # per-pixel sum is a contiguous reshape (no scatter).
@@ -286,12 +442,12 @@ def trace_wavefront_sorted(
         (final[15], final[10], final[11], final[12]), dimension=0, num_keys=1
     )
     rad = jnp.stack([rr[:L_raw], rg[:L_raw], rb[:L_raw]], axis=-1)
-    return rad.reshape(P, spp, 3).sum(axis=1)
+    return rad.reshape(P, lpp, 3).sum(axis=1)
 
 
 @functools.lru_cache(maxsize=16)
 def _frame_fn(width: int, height: int, spp: int, max_depth: int,
-              ppc: int, band_chunks: int, counts, cull: bool,
+              ppc: int, lpp: int, band_chunks: int, counts, cull: bool,
               progress: bool = False):
     """Cached jitted band renderer (re-jit per call costs seconds).
 
@@ -314,7 +470,7 @@ def _frame_fn(width: int, height: int, spp: int, max_depth: int,
                 seed + g * 7919,
                 spp=spp, max_depth=max_depth, width=width, height=height,
                 cull_backfaces=cull, tables=tables, counts=counts,
-                bmin=bmin, inv_ext=inv_ext,
+                bmin=bmin, inv_ext=inv_ext, lanes_per_pixel=lpp,
             )
             sums = jnp.where((pixel_ids < n_pixels)[:, None], sums, 0.0)
             if progress:
@@ -348,7 +504,17 @@ def render_wavefront(
     if key is None:
         key = jax.random.key(cfg.seed)
 
-    # Lanes per chunk bounded by rays_per_batch; whole pixels per chunk.
+    # Lane-per-sample layout (lpp == spp): a tile's 1024 lanes are ~16
+    # pixels x spp same-bounce samples — maximally coherent, since all
+    # of a pixel's samples scatter off the same surface patch.  The
+    # persistent lane-per-pixel regeneration alternative (lpp < spp,
+    # trace_progressive's scheme) measured 2.1x WORSE on the 65k knot
+    # (5.0 -> 2.37 Mrays/s): sequential samples decorrelate neighboring
+    # lanes' bounce depths, so every tile becomes a mixture of unrelated
+    # rays and the per-tile sweep cost explodes (microbench: coherent
+    # tile 37us, incoherent 1.3-2.3ms).  Coherence comes from sample
+    # multiplicity per pixel, not pixel adjacency.
+    lpp = spp
     ppc = min(max(cfg.rays_per_batch // spp, 1), n_pixels)
     ppc = max(ppc, -(-TILE // spp))  # at least one tile of lanes
     n_chunks = -(-n_pixels // ppc)
@@ -364,8 +530,8 @@ def render_wavefront(
     tables, counts, bmin, inv_ext = _scene_tables(scene)
     from ..render import callbacks_supported
 
-    frame = _frame_fn(width, height, spp, cfg.max_child_rays, ppc, band,
-                      counts, cull_backfaces,
+    frame = _frame_fn(width, height, spp, cfg.max_child_rays, ppc, lpp,
+                      band, counts, cull_backfaces,
                       progress and callbacks_supported())
 
     t0 = _time.perf_counter()

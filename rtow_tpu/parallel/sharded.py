@@ -226,7 +226,7 @@ def render_sharded_pallas(
 
 @functools.lru_cache(maxsize=16)
 def _sharded_wavefront_step(flat_mesh, width: int, height: int, spp: int,
-                            max_depth: int, ppd: int, ppc: int,
+                            max_depth: int, ppd: int, ppc: int, lpp: int,
                             n_chunks_local: int, counts, cull: bool):
     """Cached jitted shard-mapped sorted-wavefront step: each device owns
     a contiguous pixel range and runs its own sort+bounce chunk loop."""
@@ -247,7 +247,7 @@ def _sharded_wavefront_step(flat_mesh, width: int, height: int, spp: int,
                 seed + (d * 131071 + c) * 7919,
                 spp=spp, max_depth=max_depth, width=width, height=height,
                 cull_backfaces=cull, tables=tables, counts=counts,
-                bmin=bmin, inv_ext=inv_ext,
+                bmin=bmin, inv_ext=inv_ext, lanes_per_pixel=lpp,
             )
             sums = jnp.where((pixel_ids < n_pixels)[:, None], sums, 0.0)
             return jax.lax.dynamic_update_slice(fb, sums, (c * ppc, 0))
@@ -293,13 +293,17 @@ def render_sharded_wavefront(
     spp = cfg.samples_per_pixel
     n_pixels = width * height
     ppd = -(-n_pixels // devs)  # pixels per device (tail masked)
+    # Lane-per-sample layout (see render_wavefront: lane-per-pixel
+    # regeneration measured 2.1x worse — coherence needs same-pixel
+    # same-bounce samples packed into tiles).
+    lpp = spp
     ppc = min(max(cfg.rays_per_batch // spp, 1), ppd)
     ppc = max(ppc, -(-TILE // spp))
     n_chunks_local = -(-ppd // ppc)
 
     tables, counts, bmin, inv_ext = _scene_tables(scene)
     step = _sharded_wavefront_step(
-        flat, width, height, spp, cfg.max_child_rays, ppd, ppc,
+        flat, width, height, spp, cfg.max_child_rays, ppd, ppc, lpp,
         n_chunks_local, counts, cull_backfaces,
     )
     t0 = _time.perf_counter()

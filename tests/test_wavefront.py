@@ -86,10 +86,10 @@ def test_deterministic_and_seed_sensitive(knot_scene):
 
 
 def test_chunked_matches_unchunked(knot_scene):
-    """rays_per_batch smaller than the frame -> multiple chunks, same
-    image statistics (exact per-chunk keys differ)."""
+    """rays_per_batch smaller than the frame -> multiple chunks (and a
+    persistent lanes-per-pixel layout), same image statistics."""
     scene, cam = knot_scene
-    base = dict(image_width=24, aspect_ratio=1.0, samples_per_pixel=8,
+    base = dict(image_width=40, aspect_ratio=1.0, samples_per_pixel=8,
                 max_child_rays=3)
     with pltpu.force_tpu_interpret_mode():
         img1 = render_wavefront(scene, cam, Config(**base))
@@ -235,8 +235,8 @@ def test_banded_dispatch_bit_identical(knot_scene, monkeypatch):
     index, so banding only changes host scheduling (the fix for the
     remote tunnel dropping multi-minute single dispatches)."""
     scene, cam = knot_scene
-    base = dict(image_width=24, aspect_ratio=1.0, samples_per_pixel=8,
-                max_child_rays=3, rays_per_batch=1024)  # several chunks
+    base = dict(image_width=40, aspect_ratio=1.0, samples_per_pixel=8,
+                max_child_rays=3, rays_per_batch=1024)  # 2 chunks
     with pltpu.force_tpu_interpret_mode():
         monkeypatch.setenv("RTOW_WF_CHUNKS_PER_DISPATCH", "0")  # single
         img1 = render_wavefront(scene, cam, Config(**base))
