@@ -26,3 +26,18 @@ def test_golden_parity_small():
     # 240x135 @ 32spp: ~1M rays through each implementation — small
     # enough for the CPU suite, converged enough for block means.
     assert golden_compare.main(["240", "32", "10"]) == 0
+
+
+@pytest.mark.slow
+def test_mesh_golden_parity_small():
+    """Sorted-wavefront mesh path vs the C++ floor's BVH render of the
+    SAME knot OBJ (interpret-mode Pallas on CPU; small knot)."""
+    if shutil.which("g++") is None:  # pragma: no cover
+        pytest.skip("no C++ toolchain for the golden oracle")
+    from jax.experimental.pallas import tpu as pltpu
+
+    import golden_compare
+
+    with pltpu.force_tpu_interpret_mode():
+        # 64px @ 16spp on a 768-tri knot: ~65k rays each side.
+        assert golden_compare.main(["--mesh", "64", "16", "5", "32", "12"]) == 0
