@@ -200,14 +200,26 @@ def _trace_lane_per_sample(
         lane_id,
     )
 
+    #: Sort cadence experiment knob: sort every K bounces instead of
+    #: every bounce (the image is sort-schedule independent — lane-id
+    #: counter RNG).  K=1 is the default and the measured winner.
+    sort_every = int(_os.environ.get("RTOW_WF_SORT_EVERY", "1"))
+
     def sorted_bounce(st, it):
         # Sort EVERY bounce including bounce 0: skipping the bounce-0
         # sort (primary rays are already pixel-coherent) measured
         # neutral-to-slightly-negative on the 65k knot — the sort's
         # direction-octant grouping pays even for camera rays.
-        keys = sort_keys(st[0], st[1], st[2], st[3], st[4], st[5], st[13],
-                         bmin, inv_ext)
-        st = jax.lax.sort((keys,) + st, dimension=0, num_keys=1)[1:]
+        def do_sort(st):
+            keys = sort_keys(st[0], st[1], st[2], st[3], st[4], st[5],
+                             st[13], bmin, inv_ext)
+            return jax.lax.sort((keys,) + st, dimension=0, num_keys=1)[1:]
+
+        if sort_every > 1:
+            st = jax.lax.cond(it % sort_every == 0, do_sort,
+                              lambda s: s, st)
+        else:
+            st = do_sort(st)
         st = bounce_step_pallas(
             st, it, seed, max_depth, tables,
             n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, n_super=n_super,
