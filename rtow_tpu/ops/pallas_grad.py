@@ -24,8 +24,13 @@ per-bounce ``jax.custom_vjp`` whose BOTH sides are Pallas kernels:
   (build_sphere_table), so ``jax.grad`` w.r.t. the Scene pytree flows
   end-to-end.
 
-Scope: sphere scenes (the flagship cover workload).  Triangle scenes
-fall back to the jnp path (diff.py) for gradients.
+Scope: sphere AND triangle scenes.  Large meshes auto-enable the
+sorted-lane path (``sort_lanes``): lanes are re-sorted by the
+wavefront's interleaved Morton key before every bounce (the same
+scheme as the forward pipeline's ops/wavefront_sorted), with a
+sort-based custom_vjp for the permutation so the backward never
+gathers.  Measured (65k-tri knot, v5e): fwd+bwd = 2.1x forward-only;
+the jnp gradient path OOMs at 90 GB at the same size.
 """
 from __future__ import annotations
 
@@ -92,6 +97,7 @@ def _grad_fwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
         tbl_ref, box_ref, tri_ref, tri_box_ref, None,
         ox, oy, oz, dx, dy, dz, tm, alive,
         n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, cull=cull,
+        tri_t=n_tri_blocks > 0,
     )
     draws = _draw_scatter(lane, salt)
     out = _shade_pure(state, sph_params, tri_params, draws, best_t, best_k,
@@ -137,6 +143,7 @@ def _grad_bwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
         tbl_ref, box_ref, tri_ref, tri_box_ref, None,
         ox, oy, oz, dx, dy, dz, tm, alive,
         n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, cull=cull,
+        tri_t=n_tri_blocks > 0,
     )
     draws = _draw_scatter(lane, salt)
 
@@ -203,7 +210,22 @@ def _grad_bwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
                 gtbl[0, p, sl] += contrib
             return 0
 
-        jax.lax.fori_loop(0, n_blocks, accum_block, 0)
+        # Distinct-winner-block accumulation (see the tri loop below).
+        sph_lim = jnp.int32(n_blocks * SPHERE_BLOCK)
+        sph_hit = jnp.logical_and(hit3[:, 0, :], best_k < sph_lim)
+        blk_sph = best_k // jnp.int32(SPHERE_BLOCK)
+        big_b = jnp.int32(0x7FFFFFFF)
+
+        def scond(c):
+            return jnp.any(c[0] > 0)
+
+        def sbody(c):
+            pend = c[0]
+            b = jnp.min(jnp.where(pend > 0, blk_sph, big_b))
+            accum_block(b, 0)
+            return (jnp.where(blk_sph == b, 0, pend),)
+
+        jax.lax.while_loop(scond, sbody, (sph_hit.astype(jnp.int32),))
 
     if n_tri_blocks:
         sph_pad = n_blocks * SPHERE_BLOCK
@@ -223,7 +245,28 @@ def _grad_bwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
                 gtri[0, p, sl] += contrib
             return 0
 
-        jax.lax.fori_loop(0, n_tri_blocks, accum_tri, 0)
+        # Accumulate once per DISTINCT winner block (a while over the
+        # pending-lane min block id, the deferred-fetch trick): a
+        # sorted tile's winners live in ~1-3 blocks, and a fori over
+        # all n_tri_blocks made the backward 5.9x the forward at 512
+        # blocks (measured, 65k knot).
+        tri_hit = jnp.logical_and(hit3[:, 0, :],
+                                  best_k >= np.int32(sph_pad))
+        blk_of = (best_k - sph_pad) // np.int32(TRI_BLOCK)
+        sentinel = jnp.int32(0x7FFFFFFF)
+
+        def tcond(c):
+            return jnp.any(c[0] > 0)
+
+        def tbody(c):
+            pend = c[0]
+            b = jnp.min(jnp.where(pend > 0, blk_of, sentinel))
+            accum_tri(b, 0)
+            return (jnp.where(blk_of == b, 0, pend),)
+
+        jax.lax.while_loop(
+            tcond, tbody, (tri_hit.astype(jnp.int32),)
+        )
 
 
 def _lane_spec():
@@ -267,6 +310,9 @@ def _bounce_fwd_impl(cont, ints, tbl, boxes, tri, tri_boxes, statics,
     out = pl.pallas_call(
         functools.partial(_grad_fwd_kernel, n_blocks=n_blocks,
                           n_tri_blocks=n_tri_blocks, cull=cull),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024 + tri.size * 4
+        ),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -300,7 +346,8 @@ def _bounce_grad_bwd(statics, res, cot):
     cots = _blocked(list(cot_cont), n_tiles)
     spec = _lane_spec()
     npad = tbl.shape[0]
-    mpad = tri.shape[0]
+    tri_transposed = tri.ndim == 3  # (NB, 16, TRI_BLOCK) VMEM layout
+    mpad = tri.shape[0] * TRI_BLOCK if tri_transposed else tri.shape[0]
     out_shapes = (
         [jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, LANES), jnp.float32)]
         * N_CONT
@@ -310,6 +357,9 @@ def _bounce_grad_bwd(statics, res, cot):
     out = pl.pallas_call(
         functools.partial(_grad_bwd_kernel, n_blocks=n_blocks,
                           n_tri_blocks=n_tri_blocks, cull=cull),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024 + tri.size * 4
+        ),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -326,7 +376,12 @@ def _bounce_grad_bwd(statics, res, cot):
       *cots)
     g_cont = tuple(o.reshape(L) for o in out[:N_CONT])
     g_tbl = jnp.sum(out[N_CONT], axis=0).T  # (16, npad) -> (npad, 16)
-    g_tri = jnp.sum(out[N_CONT + 1], axis=0).T  # (16, mpad) -> (mpad, 16)
+    g_tri = jnp.sum(out[N_CONT + 1], axis=0)  # (16, mpad)
+    if tri_transposed:
+        # Match the (NB, 16, TRI_BLOCK) input layout.
+        g_tri = g_tri.reshape(16, -1, TRI_BLOCK).transpose(1, 0, 2)
+    else:
+        g_tri = g_tri.T  # (mpad, 16)
     f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
     g_ints = tuple(f0(x) for x in ints)
     g_scalars = tuple(f0(s) for s in scalars)
@@ -335,6 +390,43 @@ def _bounce_grad_bwd(statics, res, cot):
 
 
 bounce_grad.defvjp(_bounce_grad_fwd, _bounce_grad_bwd)
+
+
+@jax.custom_vjp
+def _permute_by(keys, cont, ints):
+    """Differentiable lane permutation: sort (cont, ints) by ``keys``.
+
+    Both directions are multi-operand ``lax.sort``s — no gathers (a
+    TPU gather serializes; jax's default sort VJP would transpose a
+    take_along_axis into a scatter).  The key->permutation dependence
+    is discrete (piecewise-constant), so ``keys`` carries no cotangent
+    — the same treatment as the sweep's argmin.
+    """
+    out, _ = _permute_fwd(keys, cont, ints)
+    return out
+
+
+def _permute_fwd(keys, cont, ints):
+    iota = jnp.arange(keys.shape[0], dtype=jnp.int32)
+    srt = jax.lax.sort((keys,) + tuple(cont) + tuple(ints) + (iota,),
+                       dimension=0, num_keys=1)
+    # The sorted iota records each slot's PRE-SORT position — the
+    # permutation the backward must invert.
+    out = (tuple(srt[1:1 + N_CONT]), tuple(srt[1 + N_CONT:-1]))
+    return out, srt[-1]
+
+
+def _permute_bwd(src, cot):
+    cot_cont, _cot_ints = cot
+    # Un-permute: sorting the cotangents by the recorded source lane id
+    # restores the pre-sort order (lane ids are a permutation of iota).
+    unsrt = jax.lax.sort((src,) + tuple(cot_cont), dimension=0,
+                         num_keys=1)[1:]
+    f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
+    return (f0(src), tuple(unsrt), tuple(f0(x) for x in _cot_ints))
+
+
+_permute_by.defvjp(_permute_fwd, _permute_bwd)
 
 
 def render_pixels_kernel(
@@ -349,6 +441,7 @@ def render_pixels_kernel(
     max_depth: int,
     seed: int = 0,
     jitter: bool = True,
+    sort_lanes=None,
 ) -> jax.Array:
     """Differentiable mean radiance of the given pixels -> (P, 3).
 
@@ -360,7 +453,22 @@ def render_pixels_kernel(
     build_tri_table touch (sphere centers/radii, triangle vertices,
     albedo, fuzz, ir).  ``jitter=False`` pins rays to pixel centers
     (FD gates).
+
+    ``sort_lanes``: re-sort lanes by the wavefront's spatial key before
+    every bounce (ops/wavefront_sorted.sort_keys) so the per-tile block
+    cull keeps working after rays diverge — the sorted-wavefront scheme
+    for the GRADIENT path, making inverse rendering on large meshes
+    kernel-fast.  The permutation is differentiable via
+    :func:`_permute_by` (both directions are sorts, no gathers); the
+    per-lane math is identical (counter RNG on the immutable lane id),
+    so radiance and gradients match the unsorted path.  Default
+    ``None`` auto-enables it past WAVEFRONT_MIN_TRIS — the same
+    dispatch split as the forward pipeline.
     """
+    if sort_lanes is None:
+        from .wavefront_sorted import WAVEFRONT_MIN_TRIS
+
+        sort_lanes = scene.n_triangles > WAVEFRONT_MIN_TRIS
     tbl, boxes = build_sphere_table(scene) if scene.n_spheres else (
         jnp.zeros((SPHERE_BLOCK, 16), jnp.float32),
         jnp.zeros((1, 8), jnp.float32),
@@ -369,6 +477,11 @@ def render_pixels_kernel(
     if scene.n_triangles:
         tri, tri_boxes, _, _ = build_tri_table(scene)
         n_tri_blocks = tri.shape[0] // TRI_BLOCK
+        # Transposed (NB, 16, TRI_BLOCK) VMEM layout — 64 B/tri instead
+        # of the row-major form's 512 (lane-dim tile padding); the
+        # transpose is differentiable, so the table cotangent flows
+        # back to build_tri_table's row-major output for free.
+        tri = tri.reshape(n_tri_blocks, TRI_BLOCK, 16).transpose(0, 2, 1)
         # Flat per-block boxes live in SMEM (no super level in the
         # gradient path) — bounded to training-scale meshes.
         assert n_tri_blocks <= 1536, "gradient path caps at ~200k tris"
@@ -415,8 +528,29 @@ def render_pixels_kernel(
         lane_id,
     )
 
+    if sort_lanes:
+        from .wavefront_sorted import sort_keys
+
+        # Scene bounds for the Morton key (cull-only — no cotangent).
+        def _bounds(bx, n):
+            return (jax.lax.stop_gradient(bx[:n, 0:3]).min(axis=0),
+                    jax.lax.stop_gradient(bx[:n, 3:6]).max(axis=0))
+
+        parts = []
+        if n_blocks:
+            parts.append(_bounds(boxes, n_blocks))
+        if n_tri_blocks:
+            parts.append(_bounds(tri_boxes, n_tri_blocks))
+        bmin = functools.reduce(jnp.minimum, [p[0] for p in parts])
+        bmax = functools.reduce(jnp.maximum, [p[1] for p in parts])
+        inv_ext = 1.0 / jnp.maximum(bmax - bmin, 1e-6)
+
     def step(carry, it):
         cont, ints = carry
+        if sort_lanes:
+            keys = sort_keys(cont[0], cont[1], cont[2], cont[3], cont[4],
+                             cont[5], ints[0], bmin, inv_ext)
+            cont, ints = _permute_by(keys, cont, ints)
         out = bounce_grad(cont, ints, tbl, boxes, tri, tri_boxes, statics,
                           (it, jnp.int32(seed), jnp.int32(max_depth)))
         return out, None
@@ -424,6 +558,10 @@ def render_pixels_kernel(
     (cont, ints), _ = jax.lax.scan(
         step, (cont, ints), jnp.arange(max_depth + 1, dtype=jnp.int32)
     )
+    if sort_lanes:
+        # Restore pixel-major lane order (lane ids ascending) so the
+        # per-pixel reduction below reads contiguous samples.
+        cont, ints = _permute_by(ints[2], cont, ints)
     rad = jnp.stack([cont[10][:L_raw], cont[11][:L_raw], cont[12][:L_raw]],
                     axis=-1)
     return rad.reshape(P, spp, 3).mean(axis=1)

@@ -215,3 +215,42 @@ def test_kernel_grads_finite_everywhere(setup):
     for leaf in jax.tree_util.tree_leaves(grads):
         if hasattr(leaf, "dtype") and leaf.dtype != jax.dtypes.float0:
             assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_sorted_lanes_grads_match_unsorted():
+    """sort_lanes=True (the large-mesh sorted gradient path) must match
+    the unsorted kernel path: the per-lane math is identical (counter
+    RNG on the immutable lane id) and the permutation custom_vjp
+    un-permutes cotangents exactly, so loss is bit-equal and gradients
+    agree to reduction-order noise."""
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from make_mesh import make_knot
+
+    cam = make_camera(lookfrom=(0.0, 0.0, 3.0), lookat=(0.0, 0.0, 0.0),
+                      fov_degrees=45.0, aspect_ratio=1.0, aperture=0.0,
+                      focus_dist=3.0)
+    verts, faces = make_knot(16, 12)  # 384 tris -> 3 blocks
+    b = SceneBuilder()
+    b.add_mesh(verts[faces], b.add_lambertian((0.6, 0.5, 0.4)))
+    b.add_sphere((0.0, -101.0, 0.0), 100.0, b.add_lambertian((0.5, 0.5, 0.5)))
+    scene = b.build()
+    w = h = 8
+    pix = jnp.arange(w * h, dtype=jnp.int32)
+    target = jnp.zeros((w * h, 3))
+    out = {}
+    for sort_lanes in (False, True):
+        with pltpu.force_tpu_interpret_mode():
+            loss, grads = loss_and_grad_kernel(
+                scene, cam, KEY, target, pix, width=w, height=h, spp=8,
+                max_depth=2, seed=SEED, sort_lanes=sort_lanes,
+            )
+        out[sort_lanes] = (float(loss), grads)
+    assert out[False][0] == pytest.approx(out[True][0], rel=1e-6)
+    g0 = jax.tree_util.tree_leaves(out[False][1])
+    g1 = jax.tree_util.tree_leaves(out[True][1])
+    for a, b_ in zip(g0, g1):
+        if a.dtype == jax.dtypes.float0:
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=1e-6)
