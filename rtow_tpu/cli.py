@@ -31,6 +31,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--static-spheres", dest="moving_spheres", action="store_false")
     p.add_argument("--dry-run", action="store_true")
     p.add_argument("-l", "--load", type=str, default=None, help="OBJ model to load")
+    p.add_argument("--lights", action="store_true",
+                   help="Emissive-material demo scene (area lights, "
+                        "black background; no reference counterpart)")
     p.add_argument("--seed", type=int, default=d.seed)
     p.add_argument("--backend", choices=["auto", "jnp", "pallas"], default=d.backend)
     p.add_argument("--no-bvh", dest="use_bvh", action="store_false", default=d.use_bvh)
@@ -52,6 +55,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         moving_spheres=args.moving_spheres,
         max_child_rays=args.max_child_rays,
         model=args.load,
+        lights_demo=args.lights,
         n_devices=args.devices,
         seed=args.seed,
         use_bvh=args.use_bvh,

@@ -22,6 +22,9 @@ class Config:
     moving_spheres: bool = True
     max_child_rays: int = 20
     model: Optional[str] = None  # OBJ path; selects the mesh scene
+    #: emissive-material demo scene (area lights, black background) — a
+    #: capability the reference lacks (its only light is the sky).
+    lights_demo: bool = False
 
     # -- TPU-native knobs --------------------------------------------------
     #: devices used for rendering; the analogue of the reference's

@@ -143,8 +143,38 @@ def three_sphere_scene(aspect_ratio: float = 16.0 / 9.0, dtype=REAL) -> Tuple[Sc
     return b.build(dtype), cam
 
 
+def light_scene(aspect_ratio: float = 16.0 / 9.0, dtype=REAL) -> Tuple[Scene, Camera]:
+    """Emissive-material demo: two area lights over a dark ground, black
+    background — the "rest of your life" extension past the reference's
+    sky-only lighting (SceneBuilder.add_light)."""
+    cam = make_camera(
+        lookfrom=(6.0, 2.0, 4.0),
+        lookat=(0.0, 0.8, 0.0),
+        fov_degrees=30.0,
+        aspect_ratio=aspect_ratio,
+        aperture=0.0,
+        focus_dist=None,
+        dtype=dtype,
+    )
+    b = SceneBuilder()
+    ground = b.add_lambertian((0.4, 0.4, 0.4))
+    red = b.add_lambertian((0.65, 0.1, 0.1))
+    mirror = b.add_metal((0.9, 0.9, 0.9), 0.02)
+    lamp = b.add_light((6.0, 5.5, 4.5))  # warm, intensity > 1
+    glow = b.add_light((1.0, 2.0, 6.0))  # cool accent
+    b.add_sphere((0.0, -100.0, 0.0), 100.0, ground)
+    b.add_sphere((0.0, 0.8, 0.0), 0.8, red)
+    b.add_sphere((-1.8, 0.6, 0.8), 0.6, mirror)
+    b.add_sphere((1.4, 2.6, -1.0), 0.5, lamp)
+    b.add_sphere((2.2, 0.35, 1.2), 0.35, glow)
+    return b.build(dtype, background=(0.0, 0.0, 0.0)), cam
+
+
 def scene_for_config(cfg: Config, dtype=REAL) -> Tuple[Scene, Camera]:
-    """CLI dispatch mirroring reference main.cpp:165-169."""
+    """CLI dispatch mirroring reference main.cpp:165-169 (plus the
+    --lights demo, which has no reference counterpart)."""
+    if getattr(cfg, "lights_demo", False):
+        return light_scene(cfg.aspect_ratio, dtype)
     if cfg.model:
         return mesh_scene(cfg, dtype)
     return cover_scene(cfg, dtype)

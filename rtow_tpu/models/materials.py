@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from ..ops import vec
 from ..utils import rng
-from .scene import DIELECTRIC, LAMBERTIAN, METAL
+from .scene import DIELECTRIC, EMISSIVE, LAMBERTIAN, METAL
 
 
 class HitRecord(NamedTuple):
@@ -118,3 +118,23 @@ def sky_color(direction: jax.Array) -> jax.Array:
     white = jnp.asarray([1.0, 1.0, 1.0], dtype=direction.dtype)
     blue = jnp.asarray([0.5, 0.7, 1.0], dtype=direction.dtype)
     return (1.0 - tt)[..., None] * white + tt[..., None] * blue
+
+
+def background_color(scene, direction: jax.Array) -> jax.Array:
+    """Miss radiance: the reference sky gradient, or the scene's static
+    flat background color (light-driven scenes pass black)."""
+    if scene.background == "sky":
+        return sky_color(direction)
+    return jnp.broadcast_to(
+        jnp.asarray(scene.background, dtype=direction.dtype),
+        direction.shape,
+    )
+
+
+def emitted(rec: HitRecord) -> jax.Array:
+    """Per-lane emitted radiance (L, 3): the EMISSIVE material's albedo
+    columns hold the emitted color; every other kind emits black.
+    Emission needs no scatter budget — it is added on every live hit,
+    then the lane terminates (see integrator)."""
+    is_emis = (rec.mat_kind == EMISSIVE)[..., None]
+    return jnp.where(is_emis, rec.albedo, 0.0)

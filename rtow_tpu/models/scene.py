@@ -20,22 +20,31 @@ static ones, so there is no branch at trace time.
 from __future__ import annotations
 
 import dataclasses
+import functools
+
 import jax
 import numpy as np
 
 from ..utils.dtypes import REAL
 
 # Material kinds (the reference's concrete Material subclasses,
-# src/common-model.h:123-150).
+# src/common-model.h:123-150).  EMISSIVE extends past the reference's
+# book-1 scope (its only light is the sky): a diffuse area light whose
+# ``albedo`` columns hold the EMITTED radiance (may exceed 1) — hits
+# add ``throughput * emitted`` and terminate the path, the "rest of
+# your life" diffuse_light semantics restated for a wavefront.
 LAMBERTIAN = 0
 METAL = 1
 DIELECTRIC = 2
+EMISSIVE = 3
 
 
-def _pytree_dataclass(cls):
+def _pytree_dataclass(cls, meta=()):
     cls = dataclasses.dataclass(cls)
-    fields = [f.name for f in dataclasses.fields(cls)]
-    return jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+    fields = [f.name for f in dataclasses.fields(cls) if f.name not in meta]
+    return jax.tree_util.register_dataclass(
+        cls, data_fields=fields, meta_fields=list(meta)
+    )
 
 
 @_pytree_dataclass
@@ -67,11 +76,19 @@ class Triangles:
     material: jax.Array  # (M,) int32 index into Materials
 
 
-@_pytree_dataclass
+@functools.partial(_pytree_dataclass, meta=("background", "has_emissive"))
 class Scene:
     spheres: Spheres
     triangles: Triangles
     materials: Materials
+    #: "sky" (the reference's gradient) or an (r, g, b) tuple — static
+    #: metadata, not a traced leaf: background choice changes compiled
+    #: control flow in the kernels, never carries gradients.
+    background: object = "sky"
+    #: Static flag so lightless scenes compile the exact same bounce
+    #: code as before EMISSIVE existed (no extra selects in the hot
+    #: loop).
+    has_emissive: bool = False
 
     @property
     def n_spheres(self) -> int:
@@ -112,6 +129,12 @@ class SceneBuilder:
 
     def add_dielectric(self, ir: float, fuzz: float = 0.0) -> int:
         return self._add_mat(DIELECTRIC, (0.0, 0.0, 0.0), fuzz, ir)
+
+    def add_light(self, emit) -> int:
+        """Diffuse area light: ``emit`` is the emitted radiance (r, g, b)
+        — intensities above 1 are the usual way to light a scene.  Hits
+        add ``throughput * emit`` and terminate (no scatter)."""
+        return self._add_mat(EMISSIVE, emit, 0.0, 1.0)
 
     def _add_mat(self, kind, albedo, fuzz, ir) -> int:
         self._mat_kind.append(kind)
@@ -158,11 +181,17 @@ class SceneBuilder:
         self._tri_blocks.append((block, int(material)))
 
     # -- freeze --------------------------------------------------------------
-    def build(self, dtype=REAL) -> Scene:
+    def build(self, dtype=REAL, background="sky") -> Scene:
+        """``background``: "sky" (reference gradient) or an (r, g, b)
+        tuple — light-driven scenes typically pass (0, 0, 0)."""
         if not self._mat_kind:
             raise ValueError("scene has no materials")
         if not self._sph and not self._tri and not self._tri_blocks:
             raise ValueError("scene has no primitives")
+        if background != "sky":
+            background = tuple(float(x) for x in background)
+            if len(background) != 3:
+                raise ValueError("background must be 'sky' or (r, g, b)")
 
         np_real = np.float64  # assemble at full precision, cast once
         if self._sph:
@@ -207,4 +236,6 @@ class SceneBuilder:
                 fuzz=as_real(np.array(self._mat_fuzz, np_real)),
                 ir=as_real(np.array(self._mat_ir, np_real)),
             ),
+            background=background,
+            has_emissive=any(k == EMISSIVE for k in self._mat_kind),
         )

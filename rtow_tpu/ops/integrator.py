@@ -26,8 +26,8 @@ import jax
 import jax.numpy as jnp
 
 from ..models.camera import Rays
-from ..models.materials import scatter, sky_color
-from ..models.scene import Scene
+from ..models.materials import background_color, emitted, scatter
+from ..models.scene import EMISSIVE, Scene
 from . import intersect
 
 
@@ -94,12 +94,22 @@ def trace(
 
         missed = st.alive & ~rec.hit
         radiance = st.radiance + jnp.where(
-            missed[..., None], st.throughput * sky_color(st.direction), 0.0
+            missed[..., None],
+            st.throughput * background_color(scene, st.direction), 0.0,
         )
 
         # A hit on the final iteration has no scatter budget left -> black
         # (reference src/render.cpp:114-115).
         can_scatter = st.alive & rec.hit & (i < max_depth)
+        if scene.has_emissive:
+            # Emission needs no scatter budget: add on every live hit,
+            # then retire the lane (diffuse_light semantics).
+            is_emis = rec.mat_kind == EMISSIVE
+            radiance = radiance + jnp.where(
+                (st.alive & rec.hit & is_emis)[..., None],
+                st.throughput * emitted(rec), 0.0,
+            )
+            can_scatter = can_scatter & ~is_emis
 
         sc = scatter(jax.random.fold_in(key, i), st.direction, rec)
         origin = jnp.where(can_scatter[..., None], rec.point, st.origin)
@@ -207,9 +217,17 @@ def trace_progressive(
                           cull_backfaces=cull_backfaces)
         missed = alive & ~rec.hit
         radiance = st.radiance + jnp.where(
-            missed[..., None], throughput * sky_color(direction), 0.0
+            missed[..., None],
+            throughput * background_color(scene, direction), 0.0,
         )
         can = alive & rec.hit & (bounce < max_depth)
+        if scene.has_emissive:
+            is_emis = rec.mat_kind == EMISSIVE
+            radiance = radiance + jnp.where(
+                (alive & rec.hit & is_emis)[..., None],
+                throughput * emitted(rec), 0.0,
+            )
+            can = can & ~is_emis
         sc = scatter(k_trace, direction, rec)
         cd = can[..., None]
         return _St(

@@ -41,7 +41,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..models.scene import DIELECTRIC, METAL, Scene
+from ..models.scene import DIELECTRIC, EMISSIVE, METAL, Scene
 
 import os as _os
 
@@ -749,7 +749,8 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
 
 def _shade_pure(state, sph_params, tri_params, draws,
                 best_t, best_k, alive, bounce, max_depth, *,
-                n_blocks, n_tri_blocks, cull=True, ablate="full"):
+                n_blocks, n_tri_blocks, cull=True, ablate="full",
+                emissive=False, bg=None):
     """The differentiable half of a bounce: winner params -> new state.
 
     ``state`` = 13-tuple (ox..dz, tm, tpr..tpb, rr..rb); ``sph_params``
@@ -901,19 +902,35 @@ def _shade_pure(state, sph_params, tri_params, draws,
     atg = jnp.where(is_diel, 1.0, alg)
     atb = jnp.where(is_diel, 1.0, alb)
 
-    # ---- sky for missed live lanes ---------------------------------
+    # ---- background for missed live lanes ---------------------------
     missed = jnp.logical_and(alive, jnp.logical_not(hit))
-    inv_len = 1.0 / jnp.sqrt(a)
-    sky_t = 0.5 * (dy * inv_len + 1.0)
-    skyr = 1.0 - sky_t + sky_t * 0.5
-    skyg = 1.0 - sky_t + sky_t * 0.7
-    skyb = 1.0  # 1-t + t*1.0
+    if bg is None:  # reference sky gradient
+        inv_len = 1.0 / jnp.sqrt(a)
+        sky_t = 0.5 * (dy * inv_len + 1.0)
+        skyr = 1.0 - sky_t + sky_t * 0.5
+        skyg = 1.0 - sky_t + sky_t * 0.7
+        skyb = 1.0  # 1-t + t*1.0
+    else:  # static flat color (light-driven scenes: black)
+        skyr = np.float32(bg[0])
+        skyg = np.float32(bg[1])
+        skyb = np.float32(bg[2])
     rr = rr + jnp.where(missed, tpr * skyr, 0.0)
     rg = rg + jnp.where(missed, tpg * skyg, 0.0)
     rb = rb + jnp.where(missed, tpb * skyb, 0.0)
 
     # ---- advance ----------------------------------------------------
     can = jnp.logical_and(jnp.logical_and(alive, hit), bounce < max_depth)
+    if emissive:
+        # Area lights: a hit on an EMISSIVE winner adds throughput *
+        # emitted (the albedo columns) and retires the lane — no
+        # scatter budget consumed, so emission lands even at depth.
+        # Static-gated: lightless scenes compile the unchanged bounce.
+        is_emis = kind == np.float32(EMISSIVE)
+        lit = jnp.logical_and(jnp.logical_and(alive, hit), is_emis)
+        rr = rr + jnp.where(lit, tpr * alr, 0.0)
+        rg = rg + jnp.where(lit, tpg * alg, 0.0)
+        rb = rb + jnp.where(lit, tpb * alb, 0.0)
+        can = jnp.logical_and(can, jnp.logical_not(is_emis))
     if ablate == "noscatter":
         can = jnp.zeros_like(can)  # hit lanes retire; scatter code DCEs
     ox = jnp.where(can, px, ox)
@@ -955,7 +972,7 @@ def _bounce_core(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
                  n_blocks, n_tri_blocks, n_super=0, cull=True, ablate="full",
                  tri_hbm=False, tri_scr=None, box_scr=None, sem_tri=None,
                  sem_box=None, tri_hyp_ref=None, n_hyper=0, tri_t=False,
-                 key_scr=None):
+                 key_scr=None, emissive=False, bg=None):
     """One intersect+shade step for every live lane of a tile.
 
     The shared heart of the megakernels (persistent whole-frame,
@@ -984,13 +1001,14 @@ def _bounce_core(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
         (ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb),
         sph_params, tri_params, draws, best_t, best_k, alive, bounce,
         max_depth, n_blocks=n_blocks, n_tri_blocks=n_tri_blocks,
-        cull=cull, ablate=ablate,
+        cull=cull, ablate=ablate, emissive=emissive, bg=bg,
     )
 
 
 def _kernel(cam_ref, meta_ref, tbl_ref, sph_box_ref, tri_ref, tri_box_ref,
             tri_sup_ref, out_r, out_g, out_b, *, n_blocks, n_tri_blocks,
-            n_super=0, cull=True, ablate="full", fixed_iters=0):
+            n_super=0, cull=True, ablate="full", fixed_iters=0,
+            emissive=False, bg=None):
     # Global tile id: grid position + this shard's tile offset (meta[0,4])
     # — devices in a mesh each render a contiguous tile range.
     pid = pl.program_id(0) + meta_ref[0, 4]
@@ -1091,7 +1109,7 @@ def _kernel(cam_ref, meta_ref, tbl_ref, sph_box_ref, tri_ref, tri_box_ref,
             ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb,
             alive, bounce, lane_u32, salt, max_depth,
             n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, n_super=n_super,
-            cull=cull, ablate=ablate,
+            cull=cull, ablate=ablate, emissive=emissive, bg=bg,
         )
         return (ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb,
                 can.astype(jnp.int32), bounce, started, it + 1)
@@ -1114,7 +1132,8 @@ def _kernel(cam_ref, meta_ref, tbl_ref, sph_box_ref, tri_ref, tri_box_ref,
 def _flat_bounce_kernel(
     *refs,
     n_blocks, n_tri_blocks, n_super=0, cull=True, tri_hbm=False,
-    n_hyper=0, tri_t=False, f2b=True, stats=False,
+    n_hyper=0, tri_t=False, f2b=True, stats=False, emissive=False,
+    bg=None,
 ):
     """One bounce over a tile of pre-generated (sorted) rays.
 
@@ -1176,6 +1195,7 @@ def _flat_bounce_kernel(
             sem_tri=sem_tri, sem_box=sem_box, tri_hyp_ref=tri_hyp_ref,
             n_hyper=n_hyper, tri_t=tri_t,
             key_scr=key_scr if f2b else None,
+            emissive=emissive, bg=bg,
         )
         (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, rr, rg, rb, can, bo) = out
         return (ox, oy, oz, dx, dy, dz, tmv, tpr, tpg, tpb, rr, rg, rb,
@@ -1214,6 +1234,8 @@ def bounce_step_pallas(
     n_super: int = 0,
     cull: bool = True,
     stats: bool = False,
+    emissive: bool = False,
+    bg=None,
 ):
     """Advance L flat lanes one bounce through the megakernel core.
 
@@ -1264,7 +1286,7 @@ def bounce_step_pallas(
     kernel = functools.partial(
         _flat_bounce_kernel, n_blocks=n_blocks, n_tri_blocks=n_tri_blocks,
         n_super=n_super, cull=cull, tri_hbm=tri_hbm, n_hyper=n_hyper,
-        tri_t=tri_t, f2b=f2b, stats=stats,
+        tri_t=tri_t, f2b=f2b, stats=stats, emissive=emissive, bg=bg,
     )
     if n_super:
         # Pack each super's 16 block AABBs into one (1, SUPER*8) row so
@@ -1417,6 +1439,8 @@ def render_blocks_pallas(
     kernel = functools.partial(
         _kernel, n_blocks=n_blocks, n_tri_blocks=n_tri_blocks,
         n_super=n_super, cull=cull, ablate=ablate, fixed_iters=fixed_iters,
+        emissive=scene.has_emissive,
+        bg=None if scene.background == "sky" else scene.background,
     )
     out_shape = [
         jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, LANES), jnp.float32)

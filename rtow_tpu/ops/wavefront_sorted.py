@@ -165,6 +165,7 @@ def _scene_tables(scene: Scene):
 def _trace_lane_per_sample(
     camera, key, lane_pix, seed, *, L_raw, L, P, lpp, max_depth,
     width, height, cull_backfaces, tables, counts, bmin, inv_ext,
+    emissive=False, bg=None,
 ):
     """The default lane-per-sample fast path (one lane = one sample).
 
@@ -223,7 +224,7 @@ def _trace_lane_per_sample(
         st = bounce_step_pallas(
             st, it, seed, max_depth, tables,
             n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, n_super=n_super,
-            cull=cull_backfaces,
+            cull=cull_backfaces, emissive=emissive, bg=bg,
         )
         return st, it + 1
 
@@ -288,6 +289,8 @@ def trace_wavefront_sorted(
     bmin=None,
     inv_ext=None,
     lanes_per_pixel: int = 0,
+    emissive=None,
+    bg=None,
 ) -> jax.Array:
     """Radiance sums for a chunk of pixels -> (P, 3).
 
@@ -310,6 +313,10 @@ def trace_wavefront_sorted(
     """
     if tables is None:
         tables, counts, bmin, inv_ext = _scene_tables(scene)
+    if emissive is None:  # derive statics from the scene when present
+        emissive = scene.has_emissive if scene is not None else False
+        if scene is not None and scene.background != "sky":
+            bg = scene.background
     n_blocks, n_tri_blocks, n_super = counts
 
     P = pixel_ids.shape[0]
@@ -332,7 +339,7 @@ def trace_wavefront_sorted(
             camera, key, lane_pix, seed, L_raw=L_raw, L=L, P=P, lpp=lpp,
             max_depth=max_depth, width=width, height=height,
             cull_backfaces=cull_backfaces, tables=tables, counts=counts,
-            bmin=bmin, inv_ext=inv_ext,
+            bmin=bmin, inv_ext=inv_ext, emissive=emissive, bg=bg,
         )
 
     zero = jnp.zeros((L,), f32)
@@ -392,7 +399,7 @@ def trace_wavefront_sorted(
         st = bounce_step_pallas(
             st, it, seed, max_depth, tables,
             n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, n_super=n_super,
-            cull=cull_backfaces,
+            cull=cull_backfaces, emissive=emissive, bg=bg,
         )
         return st, started, lane_pix, it + 1
 
@@ -460,7 +467,7 @@ def trace_wavefront_sorted(
 @functools.lru_cache(maxsize=16)
 def _frame_fn(width: int, height: int, spp: int, max_depth: int,
               ppc: int, lpp: int, band_chunks: int, counts, cull: bool,
-              progress: bool = False):
+              progress: bool = False, emissive: bool = False, bg=None):
     """Cached jitted band renderer (re-jit per call costs seconds).
 
     Renders ``band_chunks`` consecutive pixel chunks starting at global
@@ -483,6 +490,7 @@ def _frame_fn(width: int, height: int, spp: int, max_depth: int,
                 spp=spp, max_depth=max_depth, width=width, height=height,
                 cull_backfaces=cull, tables=tables, counts=counts,
                 bmin=bmin, inv_ext=inv_ext, lanes_per_pixel=lpp,
+                emissive=emissive, bg=bg,
             )
             sums = jnp.where((pixel_ids < n_pixels)[:, None], sums, 0.0)
             if progress:
@@ -544,7 +552,9 @@ def render_wavefront(
 
     frame = _frame_fn(width, height, spp, cfg.max_child_rays, ppc, lpp,
                       band, counts, cull_backfaces,
-                      progress and callbacks_supported())
+                      progress and callbacks_supported(),
+                      scene.has_emissive,
+                      None if scene.background == "sky" else scene.background)
 
     t0 = _time.perf_counter()
     n_bands = -(-n_chunks // band)

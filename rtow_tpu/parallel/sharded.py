@@ -227,7 +227,8 @@ def render_sharded_pallas(
 @functools.lru_cache(maxsize=16)
 def _sharded_wavefront_step(flat_mesh, width: int, height: int, spp: int,
                             max_depth: int, ppd: int, ppc: int, lpp: int,
-                            n_chunks_local: int, counts, cull: bool):
+                            n_chunks_local: int, counts, cull: bool,
+                            emissive: bool = False, bg=None):
     """Cached jitted shard-mapped sorted-wavefront step: each device owns
     a contiguous pixel range and runs its own sort+bounce chunk loop."""
     from ..ops.wavefront_sorted import trace_wavefront_sorted
@@ -248,6 +249,7 @@ def _sharded_wavefront_step(flat_mesh, width: int, height: int, spp: int,
                 spp=spp, max_depth=max_depth, width=width, height=height,
                 cull_backfaces=cull, tables=tables, counts=counts,
                 bmin=bmin, inv_ext=inv_ext, lanes_per_pixel=lpp,
+                emissive=emissive, bg=bg,
             )
             sums = jnp.where((pixel_ids < n_pixels)[:, None], sums, 0.0)
             return jax.lax.dynamic_update_slice(fb, sums, (c * ppc, 0))
@@ -304,7 +306,8 @@ def render_sharded_wavefront(
     tables, counts, bmin, inv_ext = _scene_tables(scene)
     step = _sharded_wavefront_step(
         flat, width, height, spp, cfg.max_child_rays, ppd, ppc, lpp,
-        n_chunks_local, counts, cull_backfaces,
+        n_chunks_local, counts, cull_backfaces, scene.has_emissive,
+        None if scene.background == "sky" else scene.background,
     )
     t0 = _time.perf_counter()
     fb = step(tables, bmin, inv_ext, camera, key, jnp.int32(cfg.seed))

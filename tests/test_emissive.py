@@ -1,0 +1,180 @@
+"""Emissive materials (area lights) — a capability extension past the
+reference's sky-only lighting (its ray_color has no emitted term,
+src/render.cpp:112-129).  Semantics: a hit on an EMISSIVE winner adds
+``throughput * emitted`` and terminates the path (no scatter budget
+consumed); ``SceneBuilder.build(background=...)`` selects the miss
+radiance (the reference sky gradient, or a flat color — black for
+light-driven scenes).
+
+Covered paths: the jnp integrator, the persistent megakernel, the
+sorted-wavefront flat bounce kernel, and the gradient kernels
+(d loss / d emitted is exercised against finite differences — emission
+is linear in the emitted color, so FD is exact up to float noise).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from rtow_tpu.config import Config
+from rtow_tpu.models.builders import light_scene
+from rtow_tpu.models.camera import make_camera
+from rtow_tpu.models.scene import SceneBuilder
+from rtow_tpu.render import render
+
+KEY = jax.random.key(5)
+
+
+def _staring_at_light(emit=(2.0, 3.0, 4.0)):
+    """Camera inside a giant emissive sphere: every primary ray hits the
+    light first, so every pixel must equal ``emit`` exactly."""
+    cam = make_camera(lookfrom=(0.0, 0.0, 0.0), lookat=(0.0, 0.0, -1.0),
+                      fov_degrees=60.0, aspect_ratio=1.0, aperture=0.0,
+                      focus_dist=1.0)
+    b = SceneBuilder()
+    lamp = b.add_light(emit)
+    b.add_sphere((0.0, 0.0, -4.0), 3.5, lamp)
+    return b.build(background=(0.0, 0.0, 0.0)), cam
+
+
+def test_builder_flags():
+    scene, _ = _staring_at_light()
+    assert scene.has_emissive
+    assert scene.background == (0.0, 0.0, 0.0)
+    sky, _ = _staring_at_light()
+    b = SceneBuilder()
+    b.add_sphere((0, 0, -1), 0.5, b.add_lambertian((0.5, 0.5, 0.5)))
+    plain = b.build()
+    assert not plain.has_emissive and plain.background == "sky"
+    with pytest.raises(ValueError):
+        b.build(background=(1.0, 2.0))
+
+
+def test_direct_hit_is_exact_jnp():
+    emit = (2.0, 3.0, 4.0)
+    scene, cam = _staring_at_light(emit)
+    cfg = Config(image_width=8, aspect_ratio=1.0, samples_per_pixel=4,
+                 max_child_rays=3, backend="jnp", seed=1)
+    img = np.asarray(render(scene, cam, cfg))
+    np.testing.assert_allclose(img, np.broadcast_to(emit, img.shape),
+                               rtol=1e-5)
+
+
+def test_direct_hit_is_exact_kernel():
+    from rtow_tpu.ops.pallas_megakernel import render_spheres_pallas
+
+    emit = (2.0, 3.0, 4.0)
+    scene, cam = _staring_at_light(emit)
+    with pltpu.force_tpu_interpret_mode():
+        sums = render_spheres_pallas(scene, cam, 1, width=8, height=8,
+                                     spp=4, max_depth=3)
+    img = np.asarray(sums).reshape(8, 8, 3) / 4
+    np.testing.assert_allclose(img, np.broadcast_to(emit, img.shape),
+                               rtol=1e-5)
+
+
+def test_black_without_lights():
+    """Black background + no emissive -> the whole image is black, at
+    any depth (nothing adds radiance)."""
+    cam = make_camera(lookfrom=(0.0, 0.0, 0.0), lookat=(0.0, 0.0, -1.0),
+                      fov_degrees=60.0, aspect_ratio=1.0, aperture=0.0,
+                      focus_dist=1.0)
+    b = SceneBuilder()
+    b.add_sphere((0.0, 0.0, -2.0), 0.5, b.add_lambertian((0.7, 0.7, 0.7)))
+    scene = b.build(background=(0.0, 0.0, 0.0))
+    cfg = Config(image_width=8, aspect_ratio=1.0, samples_per_pixel=4,
+                 max_child_rays=4, backend="jnp", seed=2)
+    img = np.asarray(render(scene, cam, cfg))
+    np.testing.assert_allclose(img, 0.0, atol=1e-7)
+
+
+def test_kernel_matches_jnp_light_scene():
+    """Persistent megakernel vs jnp integrator on the demo light scene —
+    independent RNG streams, so agreement is statistical (means within
+    MC noise)."""
+    from rtow_tpu.ops.pallas_megakernel import render_spheres_pallas
+
+    scene, cam = light_scene(aspect_ratio=1.0)
+    W = H = 16
+    spp, depth = 64, 5
+    cfg = Config(image_width=W, aspect_ratio=1.0, samples_per_pixel=spp,
+                 max_child_rays=depth, backend="jnp", seed=3)
+    img_jnp = np.asarray(render(scene, cam, cfg))
+    with pltpu.force_tpu_interpret_mode():
+        sums = render_spheres_pallas(scene, cam, 3, width=W, height=H,
+                                     spp=spp, max_depth=depth)
+    img_k = np.asarray(sums).reshape(H, W, 3) / spp
+    assert abs(img_jnp.mean() - img_k.mean()) < 0.02
+    assert np.abs(img_jnp - img_k).mean() < 0.08
+
+
+def test_sorted_wavefront_emissive():
+    """The flat bounce kernel (sorted-wavefront path) applies emission:
+    direct light hits through trace_wavefront_sorted are exact."""
+    from rtow_tpu.ops.wavefront_sorted import trace_wavefront_sorted
+
+    emit = (2.0, 3.0, 4.0)
+    scene, cam = _staring_at_light(emit)
+    w = h = 8
+    spp = 4
+    pix = jnp.arange(w * h, dtype=jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        sums = trace_wavefront_sorted(
+            scene, cam, KEY, pix, 9, spp=spp, max_depth=3,
+            width=w, height=h,
+        )
+    img = np.asarray(sums) / spp
+    np.testing.assert_allclose(img, np.broadcast_to(emit, img.shape),
+                               rtol=1e-5)
+
+
+def test_emission_gradient_fd():
+    """d(MSE)/d(emitted color) through the GRADIENT kernels vs central
+    finite differences.  The camera stares at the light, so the loss is
+    exactly quadratic in emit and FD at any step is exact."""
+    import dataclasses
+
+    from rtow_tpu.ops.pallas_grad import loss_and_grad_kernel
+
+    emit = (2.0, 3.0, 4.0)
+    scene, cam = _staring_at_light(emit)
+    w = h = 4
+    pix = jnp.arange(w * h, dtype=jnp.int32)
+    target = jnp.full((w * h, 3), 1.0)
+    kw = dict(width=w, height=h, spp=2, max_depth=2, seed=13, jitter=False)
+
+    def with_emit(r):
+        mats = dataclasses.replace(
+            scene.materials,
+            albedo=scene.materials.albedo.at[0, 0].set(r),
+        )
+        return dataclasses.replace(scene, materials=mats)
+
+    with pltpu.force_tpu_interpret_mode():
+        _, grads = loss_and_grad_kernel(scene, cam, KEY, target, pix, **kw)
+
+    def loss_at(r):
+        with pltpu.force_tpu_interpret_mode():
+            loss, _ = loss_and_grad_kernel(with_emit(r), cam, KEY, target,
+                                           pix, **kw)
+        return float(loss)
+
+    eps = 0.05
+    fd = (loss_at(emit[0] + eps) - loss_at(emit[0] - eps)) / (2 * eps)
+    g = float(grads.materials.albedo[0, 0])
+    assert g == pytest.approx(fd, rel=1e-3)
+
+
+def test_jnp_gradients_flow_to_emission():
+    """The jnp path (diff.loss_and_grad) also differentiates emission."""
+    from rtow_tpu.diff import loss_and_grad
+
+    scene, cam = _staring_at_light()
+    w = h = 4
+    pix = jnp.arange(w * h, dtype=jnp.int32)
+    target = jnp.zeros((w * h, 3))
+    _, grads = loss_and_grad(scene, cam, KEY, target, pix, width=w,
+                             height=h, spp=2, max_depth=2)
+    g = np.asarray(grads.materials.albedo[0])
+    assert np.all(np.abs(g) > 0.0)
