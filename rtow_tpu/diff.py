@@ -195,10 +195,10 @@ def build_train_step(
 
     ``renderer`` defaults to the jnp :func:`render_pixels`; pass
     ``ops.pallas_grad.render_pixels_kernel`` for the kernel-speed
-    forward+backward (sphere AND triangle scenes; large meshes
-    auto-route through the sorted-lane path — 65k-tri knot fwd+bwd is
-    2.1x forward-only on v5e, while the jnp path OOMs at 90 GB at the
-    same size).
+    forward+backward (sphere AND triangle scenes to ~512k tris; large
+    meshes auto-route through the sorted-lane hierarchical path —
+    fwd+bwd is ~2.1x forward-only on v5e at 65k AND 360k tris, while
+    the jnp path OOMs at 90 GB at these sizes).
 
     ``overlap_grad_allreduce``: emit one partial scene-gradient ``psum``
     per bounce inside the backward scan (via :func:`psum_in_bwd`)

@@ -46,8 +46,10 @@ from jax.experimental.pallas import tpu as pltpu
 from ..models.camera import camera_rays, pixel_coords
 from ..models.scene import Scene
 from .pallas_megakernel import (
+    KEY_ROW,
     LANES,
     SPHERE_BLOCK,
+    SUPER,
     TILE,
     TILE_ROWS,
     _TBL_ROWS,
@@ -73,15 +75,21 @@ def _salt(seed, it):
 
 
 def _grad_fwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
-                     *refs, n_blocks, n_tri_blocks, cull):
+                     sup_ref, hyp_ref, *refs,
+                     n_blocks, n_tri_blocks, n_super, n_hyper, cull,
+                     emissive, bg):
     """Forward bounce for the gradient path (spheres + triangles).
 
-    refs = 16 inputs (13 cont f32 + alive i32 + bounce i32 + lid i32)
-    then 16 outputs.  The triangle hierarchy runs flat (per-block SMEM
-    boxes, no super level) — the gradient path targets training-scale
-    scenes, and flat boxes stay within SMEM to ~250k triangles.
+    refs = 16 inputs (13 cont f32 + alive i32 + bounce i32 + lid i32),
+    16 outputs, then (when ``n_super``) the hierarchy scratch
+    (box_scr SMEM, sem_box DMA, key_scr SMEM).  Small meshes
+    (< 2*SUPER blocks) sweep flat from SMEM boxes; larger ones use the
+    same super/hyper front-to-back descent as the forward pipeline.
     """
-    ins, outs = refs[:16], refs[16:]
+    ins, outs = refs[:16], refs[16:32]
+    box_scr = sem_box = key_scr = None
+    if n_super:
+        box_scr, sem_box, key_scr = refs[32:35]
     it = meta_ref[0, 0]
     seed = meta_ref[0, 1]
     max_depth = meta_ref[0, 2]
@@ -94,16 +102,18 @@ def _grad_fwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
 
     (ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb) = state
     best_t, best_k, sph_params, tri_params = _sweep_all(
-        tbl_ref, box_ref, tri_ref, tri_box_ref, None,
+        tbl_ref, box_ref, tri_ref, tri_box_ref, sup_ref,
         ox, oy, oz, dx, dy, dz, tm, alive,
-        n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, cull=cull,
-        tri_t=n_tri_blocks > 0,
+        n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, n_super=n_super,
+        cull=cull, tri_t=n_tri_blocks > 0,
+        box_scr=box_scr, sem_box=sem_box, key_scr=key_scr,
+        tri_hyp_ref=hyp_ref, n_hyper=n_hyper,
     )
     draws = _draw_scatter(lane, salt)
     out = _shade_pure(state, sph_params, tri_params, draws, best_t, best_k,
                       alive, bounce, max_depth,
                       n_blocks=n_blocks, n_tri_blocks=n_tri_blocks,
-                      cull=cull)
+                      cull=cull, emissive=emissive, bg=bg)
     (nox, noy, noz, ndx, ndy, ndz, ntpr, ntpg, ntpb, nrr, nrg, nrb, can,
      nbounce) = out
     new_vals = [nox, noy, noz, ndx, ndy, ndz, tm, ntpr, ntpg, ntpb,
@@ -113,19 +123,27 @@ def _grad_fwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
 
 
 def _grad_bwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
-                     *refs, n_blocks, n_tri_blocks, cull):
+                     sup_ref, hyp_ref, *refs,
+                     n_blocks, n_tri_blocks, n_super, n_hyper, cull,
+                     emissive, bg):
     """Backward bounce: replay forward, vjp the shade, one-hot the
-    parameter cotangents into this program's gradient-table slices.
+    parameter cotangents into the shared gradient-table accumulators.
 
     refs = 16 saved inputs + 13 output cotangents (cont only), then
-    13 input cotangents + per-program (1, 16, Npad) sphere and
-    (1, 16, Mpad) triangle table gradients.
+    13 input cotangents + the (1, 16, Npad) sphere and (1, 16, Mpad)
+    triangle gradient tables — mapped to the SAME block for every grid
+    step (zeroed at program 0, accumulated in VMEM across tiles, one
+    writeback), so memory is O(table), not O(tiles x table) — then
+    (when ``n_super``) the hierarchy scratch.
     """
     ins = refs[:16]
     cot_out = refs[16:16 + N_CONT]
     cot_in = refs[16 + N_CONT:16 + 2 * N_CONT]
     gtbl = refs[16 + 2 * N_CONT]
     gtri = refs[16 + 2 * N_CONT + 1]
+    box_scr = sem_box = key_scr = None
+    if n_super:
+        box_scr, sem_box, key_scr = refs[16 + 2 * N_CONT + 2:]
 
     it = meta_ref[0, 0]
     seed = meta_ref[0, 1]
@@ -140,10 +158,12 @@ def _grad_bwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
     (ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb) = state
     # Replay the discrete half exactly (counter RNG + same sweep).
     best_t, best_k, sph_params, tri_params = _sweep_all(
-        tbl_ref, box_ref, tri_ref, tri_box_ref, None,
+        tbl_ref, box_ref, tri_ref, tri_box_ref, sup_ref,
         ox, oy, oz, dx, dy, dz, tm, alive,
-        n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, cull=cull,
-        tri_t=n_tri_blocks > 0,
+        n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, n_super=n_super,
+        cull=cull, tri_t=n_tri_blocks > 0,
+        box_scr=box_scr, sem_box=sem_box, key_scr=key_scr,
+        tri_hyp_ref=hyp_ref, n_hyper=n_hyper,
     )
     draws = _draw_scatter(lane, salt)
 
@@ -152,7 +172,7 @@ def _grad_bwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
             out = _shade_pure(state_cont, sparams, tparams, draws, best_t,
                               best_k, alive, bounce, max_depth,
                               n_blocks=n_blocks, n_tri_blocks=n_tri_blocks,
-                              cull=cull)
+                              cull=cull, emissive=emissive, bg=bg)
             return tuple(out[:12])  # cont outputs (tm passes through)
 
         _, vjp_fn = jax.vjp(shade, state, sph_params, tri_params)
@@ -160,7 +180,8 @@ def _grad_bwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
         def shade(state_cont, sparams):
             out = _shade_pure(state_cont, sparams, tri_params, draws,
                               best_t, best_k, alive, bounce, max_depth,
-                              n_blocks=n_blocks, n_tri_blocks=0, cull=cull)
+                              n_blocks=n_blocks, n_tri_blocks=0, cull=cull,
+                              emissive=emissive, bg=bg)
             return tuple(out[:12])
 
         _, vjp_fn = jax.vjp(shade, state, sph_params)
@@ -188,8 +209,12 @@ def _grad_bwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
     bk3 = best_k[:, None, :]
     hit3 = (best_t < np.float32(3.0e38))[:, None, :]
 
-    gtbl[...] = jnp.zeros(gtbl.shape, jnp.float32)
-    gtri[...] = jnp.zeros(gtri.shape, jnp.float32)
+    # Shared accumulators: every grid step maps to the same output
+    # block, so zero once and accumulate across tiles.
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        gtbl[...] = jnp.zeros(gtbl.shape, jnp.float32)
+        gtri[...] = jnp.zeros(gtri.shape, jnp.float32)
 
     if n_blocks:
         k_iota = jax.lax.broadcasted_iota(
@@ -284,32 +309,54 @@ def _meta(it, seed, max_depth):
     ])[None, :]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def bounce_grad(cont, ints, tbl, boxes, tri, tri_boxes, statics, scalars):
+def _hier_specs(n_super):
+    """(tri_box spec, scratch_shapes) for the hierarchy mode.
+
+    Flat mode keeps per-block AABBs in SMEM; super mode packs them
+    (n_super, SUPER*8) in ANY memory and descended supers DMA one row
+    into SMEM scratch (the forward pipeline's scheme), with a key
+    scratch for the front-to-back ordered descent.
+    """
+    if not n_super:
+        return pl.BlockSpec(memory_space=pltpu.SMEM), []
+    return pl.BlockSpec(memory_space=pltpu.ANY), [
+        pltpu.SMEM((1, SUPER * 8), jnp.float32),
+        pltpu.SemaphoreType.DMA,
+        pltpu.SMEM((3, KEY_ROW), jnp.float32),
+    ]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def bounce_grad(cont, ints, tbl, boxes, tri, tri_boxes, tri_sup, tri_hyp,
+                statics, scalars):
     """One differentiable bounce: (cont 13-tuple, ints 3-tuple) advance.
 
     ``scalars`` = (it, seed, max_depth) int32 scalars; ``tbl``/``tri``
     are the sphere/triangle tables (differentiable), ``boxes``/
-    ``tri_boxes`` the block AABBs (cull decisions only — piecewise-
-    constant, no cotangent).  ``statics`` = (n_blocks, n_tri_blocks,
-    cull) python constants.
+    ``tri_boxes``/``tri_sup``/``tri_hyp`` the cull AABBs (decisions
+    only — piecewise-constant, no cotangent).  ``statics`` =
+    (n_blocks, n_tri_blocks, n_super, n_hyper, cull, emissive, bg)
+    python constants.
     """
     out, _ = _bounce_fwd_impl(cont, ints, tbl, boxes, tri, tri_boxes,
-                              statics, scalars)
+                              tri_sup, tri_hyp, statics, scalars)
     return out
 
 
-def _bounce_fwd_impl(cont, ints, tbl, boxes, tri, tri_boxes, statics,
-                     scalars):
-    n_blocks, n_tri_blocks, cull = statics
+def _bounce_fwd_impl(cont, ints, tbl, boxes, tri, tri_boxes, tri_sup,
+                     tri_hyp, statics, scalars):
+    n_blocks, n_tri_blocks, n_super, n_hyper, cull, emissive, bg = statics
     L = cont[0].shape[0]
     n_tiles = L // TILE
     it, seed, max_depth = scalars
     state = _blocked(list(cont) + list(ints), n_tiles)
     spec = _lane_spec()
+    tri_box_spec, scratch = _hier_specs(n_super)
     out = pl.pallas_call(
         functools.partial(_grad_fwd_kernel, n_blocks=n_blocks,
-                          n_tri_blocks=n_tri_blocks, cull=cull),
+                          n_tri_blocks=n_tri_blocks, n_super=n_super,
+                          n_hyper=n_hyper, cull=cull, emissive=emissive,
+                          bg=bg),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=32 * 1024 * 1024 + tri.size * 4
         ),
@@ -319,25 +366,30 @@ def _bounce_fwd_impl(cont, ints, tbl, boxes, tri, tri_boxes, statics,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            tri_box_spec,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ] + [spec] * 16,
         out_specs=[spec] * 16,
         out_shape=[jax.ShapeDtypeStruct(b.shape, b.dtype) for b in state],
-    )(_meta(it, seed, max_depth), tbl, boxes, tri, tri_boxes, *state)
+        scratch_shapes=scratch,
+    )(_meta(it, seed, max_depth), tbl, boxes, tri, tri_boxes, tri_sup,
+      tri_hyp, *state)
     flat = tuple(o.reshape(L) for o in out)
     return (flat[:N_CONT], flat[N_CONT:]), None
 
 
-def _bounce_grad_fwd(cont, ints, tbl, boxes, tri, tri_boxes, statics,
-                     scalars):
+def _bounce_grad_fwd(cont, ints, tbl, boxes, tri, tri_boxes, tri_sup,
+                     tri_hyp, statics, scalars):
     out, _ = _bounce_fwd_impl(cont, ints, tbl, boxes, tri, tri_boxes,
-                              statics, scalars)
-    return out, (cont, ints, tbl, boxes, tri, tri_boxes, scalars)
+                              tri_sup, tri_hyp, statics, scalars)
+    return out, (cont, ints, tbl, boxes, tri, tri_boxes, tri_sup,
+                 tri_hyp, scalars)
 
 
 def _bounce_grad_bwd(statics, res, cot):
-    cont, ints, tbl, boxes, tri, tri_boxes, scalars = res
-    n_blocks, n_tri_blocks, cull = statics
+    cont, ints, tbl, boxes, tri, tri_boxes, tri_sup, tri_hyp, scalars = res
+    n_blocks, n_tri_blocks, n_super, n_hyper, cull, emissive, bg = statics
     cot_cont, _cot_ints = cot
     it, seed, max_depth = scalars
     L = cont[0].shape[0]
@@ -348,17 +400,24 @@ def _bounce_grad_bwd(statics, res, cot):
     npad = tbl.shape[0]
     tri_transposed = tri.ndim == 3  # (NB, 16, TRI_BLOCK) VMEM layout
     mpad = tri.shape[0] * TRI_BLOCK if tri_transposed else tri.shape[0]
+    tri_box_spec, scratch = _hier_specs(n_super)
+    # Gradient tables are single shared accumulator blocks (constant
+    # index map): memory is O(table), not O(tiles x table) — a 360k-tri
+    # mesh's 23MB table stays 23MB instead of 23MB x n_tiles.
     out_shapes = (
         [jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, LANES), jnp.float32)]
         * N_CONT
-        + [jax.ShapeDtypeStruct((n_tiles, 16, npad), jnp.float32),
-           jax.ShapeDtypeStruct((n_tiles, 16, mpad), jnp.float32)]
+        + [jax.ShapeDtypeStruct((1, 16, npad), jnp.float32),
+           jax.ShapeDtypeStruct((1, 16, mpad), jnp.float32)]
     )
     out = pl.pallas_call(
         functools.partial(_grad_bwd_kernel, n_blocks=n_blocks,
-                          n_tri_blocks=n_tri_blocks, cull=cull),
+                          n_tri_blocks=n_tri_blocks, n_super=n_super,
+                          n_hyper=n_hyper, cull=cull, emissive=emissive,
+                          bg=bg),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=32 * 1024 * 1024 + tri.size * 4
+            vmem_limit_bytes=(32 * 1024 * 1024 + tri.size * 4
+                              + 16 * (npad + mpad) * 4)
         ),
         grid=(n_tiles,),
         in_specs=[
@@ -366,17 +425,20 @@ def _bounce_grad_bwd(statics, res, cot):
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            tri_box_spec,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ] + [spec] * 16 + [spec] * N_CONT,
         out_specs=[spec] * N_CONT
-        + [pl.BlockSpec((1, 16, npad), lambda i: (i, 0, 0)),
-           pl.BlockSpec((1, 16, mpad), lambda i: (i, 0, 0))],
+        + [pl.BlockSpec((1, 16, npad), lambda i: (0, 0, 0)),
+           pl.BlockSpec((1, 16, mpad), lambda i: (0, 0, 0))],
         out_shape=out_shapes,
-    )(_meta(it, seed, max_depth), tbl, boxes, tri, tri_boxes, *state,
-      *cots)
+        scratch_shapes=scratch,
+    )(_meta(it, seed, max_depth), tbl, boxes, tri, tri_boxes, tri_sup,
+      tri_hyp, *state, *cots)
     g_cont = tuple(o.reshape(L) for o in out[:N_CONT])
-    g_tbl = jnp.sum(out[N_CONT], axis=0).T  # (16, npad) -> (npad, 16)
-    g_tri = jnp.sum(out[N_CONT + 1], axis=0)  # (16, mpad)
+    g_tbl = out[N_CONT][0].T  # (16, npad) -> (npad, 16)
+    g_tri = out[N_CONT + 1][0]  # (16, mpad)
     if tri_transposed:
         # Match the (NB, 16, TRI_BLOCK) input layout.
         g_tri = g_tri.reshape(16, -1, TRI_BLOCK).transpose(1, 0, 2)
@@ -386,7 +448,8 @@ def _bounce_grad_bwd(statics, res, cot):
     g_ints = tuple(f0(x) for x in ints)
     g_scalars = tuple(f0(s) for s in scalars)
     return (g_cont, g_ints, g_tbl, jnp.zeros_like(boxes), g_tri,
-            jnp.zeros_like(tri_boxes), g_scalars)
+            jnp.zeros_like(tri_boxes), jnp.zeros_like(tri_sup),
+            jnp.zeros_like(tri_hyp), g_scalars)
 
 
 bounce_grad.defvjp(_bounce_grad_fwd, _bounce_grad_bwd)
@@ -442,6 +505,7 @@ def render_pixels_kernel(
     seed: int = 0,
     jitter: bool = True,
     sort_lanes=None,
+    _force_flat: bool = False,
 ) -> jax.Array:
     """Differentiable mean radiance of the given pixels -> (P, 3).
 
@@ -464,6 +528,11 @@ def render_pixels_kernel(
     so radiance and gradients match the unsorted path.  Default
     ``None`` auto-enables it past WAVEFRONT_MIN_TRIS — the same
     dispatch split as the forward pipeline.
+
+    Meshes of >= 2*SUPER blocks use the forward pipeline's super/hyper
+    front-to-back hierarchy inside both gradient kernels (the flat
+    block sweep is O(n_blocks) per tile-bounce — untenable past ~100
+    blocks); ``_force_flat`` pins the flat path for parity tests.
     """
     if sort_lanes is None:
         from .wavefront_sorted import WAVEFRONT_MIN_TRIS
@@ -475,21 +544,39 @@ def render_pixels_kernel(
     )
     n_blocks = tbl.shape[0] // SPHERE_BLOCK if scene.n_spheres else 0
     if scene.n_triangles:
-        tri, tri_boxes, _, _ = build_tri_table(scene)
+        tri, tri_boxes, tri_sup, tri_hyp = build_tri_table(scene)
         n_tri_blocks = tri.shape[0] // TRI_BLOCK
         # Transposed (NB, 16, TRI_BLOCK) VMEM layout — 64 B/tri instead
         # of the row-major form's 512 (lane-dim tile padding); the
         # transpose is differentiable, so the table cotangent flows
         # back to build_tri_table's row-major output for free.
         tri = tri.reshape(n_tri_blocks, TRI_BLOCK, 16).transpose(0, 2, 1)
-        # Flat per-block boxes live in SMEM (no super level in the
-        # gradient path) — bounded to training-scale meshes.
-        assert n_tri_blocks <= 1536, "gradient path caps at ~200k tris"
+        # VMEM budget: the backward holds the table AND its gradient
+        # accumulator resident (64 B/tri each) — caps around half a
+        # million triangles on a 128MB-VMEM chip.
+        assert n_tri_blocks <= 4096, "gradient path caps at ~512k tris"
+        n_super = (n_tri_blocks // SUPER if tri_sup.shape[0] > 1
+                   and not _force_flat else 0)
+        n_hyper = (tri_hyp.shape[0] if tri_hyp.shape[0] > 1
+                   and n_super else 0)
     else:
         tri = jnp.zeros((TRI_BLOCK, 16), jnp.float32)
         tri_boxes = jnp.zeros((1, 8), jnp.float32)
+        tri_sup = jnp.zeros((1, 8), jnp.float32)
+        tri_hyp = jnp.zeros((1, 8), jnp.float32)
         n_tri_blocks = 0
-    statics = (n_blocks, n_tri_blocks, True)
+        n_super = n_hyper = 0
+    tri_boxes_flat = tri_boxes  # cull-bounds source (pre-packing)
+    if n_super:
+        # Pack each super's 16 block AABBs into one row so a descended
+        # super DMAs a tile-aligned slice (the forward pipeline's
+        # layout, pallas_megakernel.bounce_step_pallas).
+        tri_boxes = tri_boxes[: n_super * SUPER].reshape(n_super, SUPER * 8)
+    else:
+        assert n_tri_blocks <= 1536, "flat gradient path caps at ~200k"
+    statics = (n_blocks, n_tri_blocks, n_super, n_hyper, True,
+               scene.has_emissive,
+               None if scene.background == "sky" else scene.background)
 
     P = pixel_ids.shape[0]
     L_raw = P * spp
@@ -540,7 +627,7 @@ def render_pixels_kernel(
         if n_blocks:
             parts.append(_bounds(boxes, n_blocks))
         if n_tri_blocks:
-            parts.append(_bounds(tri_boxes, n_tri_blocks))
+            parts.append(_bounds(tri_boxes_flat, n_tri_blocks))
         bmin = functools.reduce(jnp.minimum, [p[0] for p in parts])
         bmax = functools.reduce(jnp.maximum, [p[1] for p in parts])
         inv_ext = 1.0 / jnp.maximum(bmax - bmin, 1e-6)
@@ -551,7 +638,8 @@ def render_pixels_kernel(
             keys = sort_keys(cont[0], cont[1], cont[2], cont[3], cont[4],
                              cont[5], ints[0], bmin, inv_ext)
             cont, ints = _permute_by(keys, cont, ints)
-        out = bounce_grad(cont, ints, tbl, boxes, tri, tri_boxes, statics,
+        out = bounce_grad(cont, ints, tbl, boxes, tri, tri_boxes,
+                          tri_sup, tri_hyp, statics,
                           (it, jnp.int32(seed), jnp.int32(max_depth)))
         return out, None
 

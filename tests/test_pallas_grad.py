@@ -217,6 +217,44 @@ def test_kernel_grads_finite_everywhere(setup):
             assert np.isfinite(np.asarray(leaf)).all()
 
 
+def test_super_hierarchy_grads_match_flat():
+    """Meshes >= 2*SUPER blocks route the gradient kernels through the
+    forward pipeline's super-block front-to-back descent; the sweep
+    visits blocks in a different order but computes identical per-pair
+    intersections, so loss and every gradient leaf must be bit-equal
+    to the flat reference sweep."""
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from make_mesh import make_knot
+
+    cam = make_camera(lookfrom=(0.0, 0.0, 3.0), lookat=(0.0, 0.0, 0.0),
+                      fov_degrees=45.0, aspect_ratio=1.0, aperture=0.0,
+                      focus_dist=3.0)
+    verts, faces = make_knot(64, 32)  # 4096 tris -> 32 blocks, n_super=2
+    b = SceneBuilder()
+    b.add_mesh(verts[faces], b.add_lambertian((0.6, 0.5, 0.4)))
+    b.add_sphere((0.0, -101.0, 0.0), 100.0, b.add_lambertian((0.5, 0.5, 0.5)))
+    scene = b.build()
+    w = h = 4
+    pix = jnp.arange(w * h, dtype=jnp.int32)
+    target = jnp.zeros((w * h, 3))
+    out = {}
+    for force_flat in (True, False):
+        with pltpu.force_tpu_interpret_mode():
+            loss, grads = loss_and_grad_kernel(
+                scene, cam, KEY, target, pix, width=w, height=h, spp=4,
+                max_depth=2, seed=SEED, _force_flat=force_flat,
+            )
+        out[force_flat] = (float(loss), grads)
+    assert out[True][0] == out[False][0]
+    g_flat = jax.tree_util.tree_leaves(out[True][1])
+    g_sup = jax.tree_util.tree_leaves(out[False][1])
+    for a, b_ in zip(g_flat, g_sup):
+        if a.dtype == jax.dtypes.float0:
+            continue
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
 def test_sorted_lanes_grads_match_unsorted():
     """sort_lanes=True (the large-mesh sorted gradient path) must match
     the unsorted kernel path: the per-lane math is identical (counter
