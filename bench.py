@@ -29,9 +29,14 @@ config (e)'s dragon-class mesh) is reported as ``mesh360k_mrays``
 unless RTOW_BENCH_MESH360=0; both carry ``*_vs_baseline`` ratios
 against their same-workload CPU floors (baseline_measured.json).
 
+A kernel-gradient metric (cover train-step shapes, 400x267/16spp/
+depth8) is reported as ``grad_fwd_mrays``/``grad_fwdbwd_ratio`` unless
+RTOW_BENCH_GRAD=0 — the north-star "verified gradients at kernel
+speed" gate (target ratio <= 3x).
+
 Env overrides: RTOW_BENCH_SPP, RTOW_BENCH_WIDTH, RTOW_BENCH_DEPTH,
 RTOW_BENCH_BACKEND (jnp|pallas), RTOW_BENCH_REPEATS, RTOW_BENCH_NORTHSTAR,
-RTOW_BENCH_MESH.
+RTOW_BENCH_MESH, RTOW_BENCH_MESH360, RTOW_BENCH_GRAD.
 """
 from __future__ import annotations
 
@@ -151,6 +156,47 @@ def main() -> int:
             print(f"bench: mesh bench failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
 
+    grad_mrays = grad_ratio = None
+    if (os.environ.get("RTOW_BENCH_GRAD", "1") != "0"
+            and jax.devices()[0].platform == "tpu"):
+        # Kernel-gradient metric (north star: verified gradients at
+        # kernel speed, fwd+bwd <= 3x fwd): cover train-step shapes.
+        import jax.numpy as jnp
+
+        from rtow_tpu.ops.pallas_grad import (
+            loss_and_grad_kernel, render_pixels_kernel,
+        )
+
+        try:
+            gcfg = Config(image_width=400, aspect_ratio=1.5,
+                          samples_per_pixel=16, max_child_rays=8)
+            gscene, gcam = cover_scene(gcfg)
+            gw, gh = 400, 267
+            gpix = jnp.arange(gw * gh, dtype=jnp.int32)
+            gtarget = jnp.zeros((gw * gh, 3), jnp.float32)
+            gkey = jax.random.key(0)
+            fwd = jax.jit(lambda s: render_pixels_kernel(
+                s, gcam, gkey, gpix, width=gw, height=gh, spp=16,
+                max_depth=8))
+            lg = jax.jit(lambda s: loss_and_grad_kernel(
+                s, gcam, gkey, gtarget, gpix, width=gw, height=gh, spp=16,
+                max_depth=8))
+            jax.block_until_ready(fwd(gscene))  # compile
+            t0 = time.perf_counter()
+            jax.block_until_ready(fwd(gscene))
+            gf = time.perf_counter() - t0
+            jax.block_until_ready(lg(gscene))  # compile
+            t0 = time.perf_counter()
+            jax.block_until_ready(lg(gscene))
+            gfb = time.perf_counter() - t0
+            grad_mrays = gw * gh * 16 / gf / 1e6
+            grad_ratio = gfb / gf
+            print(f"bench: grad fwd {gf:.3f}s ({grad_mrays:.2f} Mrays/s), "
+                  f"fwd+bwd {gfb:.3f}s (x{grad_ratio:.2f})", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — report partial results
+            print(f"bench: grad bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
     floor = 0.0
     floor_path = os.path.join(os.path.dirname(__file__), "baseline_measured.json")
     if os.path.exists(floor_path):
@@ -190,6 +236,9 @@ def main() -> int:
             out["mesh360k_vs_baseline"] = (
                 round(mesh360_mrays / floor360, 3) if floor360 > 0 else 0.0
             )
+    if grad_mrays is not None:
+        out["grad_fwd_mrays"] = round(grad_mrays, 3)
+        out["grad_fwdbwd_ratio"] = round(grad_ratio, 3)
     print(json.dumps(out))
     return 0
 
