@@ -158,6 +158,48 @@ def test_sharded_kernel_train_step(setup):
     assert moved > 0.0, "SGD update did not move material parameters"
 
 
+def test_sharded_kernel_train_step_mesh():
+    """BASELINE config (e)'s gradient leg on the virtual mesh: sharded
+    training step with the kernel renderer on a TRIANGLE mesh,
+    pixel+spp sharded over 8 devices with gradient all-reduce.
+
+    Uses a flat-path mesh (< 2*SUPER blocks): interpret-mode DMA
+    scratch (the super hierarchy's box descent) hangs under shard_map
+    — an interpret-only artifact; on hardware the hierarchy compiles
+    under shard_map like any other kernel, and flat-vs-super parity is
+    bit-exact (test_super_hierarchy_grads_match_flat)."""
+    import sys
+
+    from rtow_tpu.diff import build_train_step
+    from rtow_tpu.parallel.mesh import make_mesh
+
+    sys.path.insert(0, "/root/repo/tools")
+    from make_mesh import make_knot
+
+    cam = make_camera(lookfrom=(0.0, 0.0, 3.0), lookat=(0.0, 0.0, 0.0),
+                      fov_degrees=45.0, aspect_ratio=2.0, aperture=0.0,
+                      focus_dist=3.0)
+    verts, faces = make_knot(16, 12)  # 384 tris -> 3 blocks, flat sweep
+    b = SceneBuilder()
+    b.add_mesh(verts[faces], b.add_lambertian((0.6, 0.5, 0.4)))
+    scene = b.build()
+    width, height, spp = 8, 4, 8
+    mesh = make_mesh(8, spp, tile_shards=4, spp_shards=2)
+    step = build_train_step(
+        mesh, cam, width=width, height=height, spp=spp, max_depth=2,
+        lr=1e-2, renderer=render_pixels_kernel,
+    )
+    target = jnp.zeros((width * height, 3), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        new_scene, loss = step(scene, jax.random.key(0), target)
+    assert np.isfinite(float(loss))
+    moved = np.abs(
+        np.asarray(new_scene.triangles.verts)
+        - np.asarray(scene.triangles.verts)
+    ).max()
+    assert moved > 0.0, "SGD update did not move mesh vertices"
+
+
 def test_kernel_triangle_grad_matches_fd():
     """FD gate for triangle vertex gradients through the kernel path
     (mirrors tests/test_diff.py::test_triangle_grad_matches_fd)."""
