@@ -34,6 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lights", action="store_true",
                    help="Emissive-material demo scene (area lights, "
                         "black background; no reference counterpart)")
+    p.add_argument("--cornell", action="store_true",
+                   help="Cornell box demo (emissive triangle ceiling "
+                        "light; no reference counterpart)")
     p.add_argument("--seed", type=int, default=d.seed)
     p.add_argument("--backend", choices=["auto", "jnp", "pallas"], default=d.backend)
     p.add_argument("--no-bvh", dest="use_bvh", action="store_false", default=d.use_bvh)
@@ -56,6 +59,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         max_child_rays=args.max_child_rays,
         model=args.load,
         lights_demo=args.lights,
+        cornell_demo=args.cornell,
         n_devices=args.devices,
         seed=args.seed,
         use_bvh=args.use_bvh,

@@ -25,6 +25,8 @@ class Config:
     #: emissive-material demo scene (area lights, black background) — a
     #: capability the reference lacks (its only light is the sky).
     lights_demo: bool = False
+    #: Cornell box demo (emissive triangle ceiling light, colored walls).
+    cornell_demo: bool = False
 
     # -- TPU-native knobs --------------------------------------------------
     #: devices used for rendering; the analogue of the reference's

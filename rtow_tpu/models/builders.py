@@ -170,11 +170,63 @@ def light_scene(aspect_ratio: float = 16.0 / 9.0, dtype=REAL) -> Tuple[Scene, Ca
     return b.build(dtype, background=(0.0, 0.0, 0.0)), cam
 
 
+def cornell_scene(aspect_ratio: float = 1.0, dtype=REAL) -> Tuple[Scene, Camera]:
+    """Cornell box: emissive TRIANGLES (ceiling area light), colored
+    walls, a mirror and a matte sphere — the classic global-illumination
+    test, beyond the reference's scope (sky-only lighting, no quads).
+
+    Walls are triangle pairs wound so face normals point INTO the box
+    (the kernel keeps the reference's backface cull, det >= 1e-6 — see
+    /root/reference/src/common-model.cpp:104-125 — so interior rays
+    always approach from the front side)."""
+    cam = make_camera(
+        lookfrom=(278.0, 278.0, -800.0),
+        lookat=(278.0, 278.0, 0.0),
+        fov_degrees=40.0,
+        aspect_ratio=aspect_ratio,
+        aperture=0.0,
+        focus_dist=10.0,
+        dtype=dtype,
+    )
+    b = SceneBuilder()
+    white = b.add_lambertian((0.73, 0.73, 0.73))
+    red = b.add_lambertian((0.65, 0.05, 0.05))
+    green = b.add_lambertian((0.12, 0.45, 0.15))
+    lamp = b.add_light((15.0, 15.0, 15.0))
+    mirror = b.add_metal((0.95, 0.95, 0.95), 0.0)
+
+    def quad(p00, p10, p11, p01, mat):
+        """Two triangles for corners in CCW order as seen from the
+        normal side (cross(e1, e2) points at the viewer)."""
+        b.add_triangle(p00, p10, p11, mat)
+        b.add_triangle(p00, p11, p01, mat)
+
+    s = 555.0
+    # Floor (normal +y), ceiling (normal -y), back wall (normal -z,
+    # toward the camera); x=s is image-LEFT from this camera (+x left
+    # when looking along +z with y up) -> red wall at x=s, green at
+    # x=0: the classic red-left/green-right Cornell orientation.
+    # (Windings verified numerically: cross(e1, e2) points inward.)
+    quad((0, 0, s), (s, 0, s), (s, 0, 0), (0, 0, 0), white)
+    quad((s, s, 0), (s, s, s), (0, s, s), (0, s, 0), white)
+    quad((0, s, s), (s, s, s), (s, 0, s), (0, 0, s), white)
+    quad((s, 0, s), (s, s, s), (s, s, 0), (s, 0, 0), red)
+    quad((0, s, 0), (0, s, s), (0, 0, s), (0, 0, 0), green)
+    # Ceiling light: a 130x105 emissive quad slightly below the ceiling.
+    quad((343, s - 1, 227), (343, s - 1, 332), (213, s - 1, 332),
+         (213, s - 1, 227), lamp)
+    b.add_sphere((190.0, 90.0, 190.0), 90.0, mirror)
+    b.add_sphere((370.0, 90.0, 350.0), 90.0, white)
+    return b.build(dtype, background=(0.0, 0.0, 0.0)), cam
+
+
 def scene_for_config(cfg: Config, dtype=REAL) -> Tuple[Scene, Camera]:
     """CLI dispatch mirroring reference main.cpp:165-169 (plus the
-    --lights demo, which has no reference counterpart)."""
+    --lights/--cornell demos, which have no reference counterpart)."""
     if getattr(cfg, "lights_demo", False):
         return light_scene(cfg.aspect_ratio, dtype)
+    if getattr(cfg, "cornell_demo", False):
+        return cornell_scene(cfg.aspect_ratio, dtype)
     if cfg.model:
         return mesh_scene(cfg, dtype)
     return cover_scene(cfg, dtype)
