@@ -105,9 +105,13 @@ def render_pixels(
         s = (col.astype(s.dtype) + 0.5) / (width - 1)
         t = ((height - 1 - row).astype(t.dtype) + 0.5) / (height - 1)
     rays = camera_rays(camera, k_cam, s, t)
+    # nee=False: the gradient path keeps the plain estimator — the
+    # NEE light-sample direction is not reparameterized, so its
+    # geometry gradients would be biased (ops/lights.py docstring).
     radiance = integrator.trace(scene, rays, k_trace, max_depth,
                                 nearest_hit=nearest_hit,
-                                grad_reduce_axes=grad_reduce_axes)
+                                grad_reduce_axes=grad_reduce_axes,
+                                nee=False)
     return radiance.reshape(n_pix, spp, 3).mean(axis=1)
 
 

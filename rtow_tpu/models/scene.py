@@ -76,7 +76,9 @@ class Triangles:
     material: jax.Array  # (M,) int32 index into Materials
 
 
-@functools.partial(_pytree_dataclass, meta=("background", "has_emissive"))
+@functools.partial(
+    _pytree_dataclass, meta=("background", "has_emissive", "light_ids")
+)
 class Scene:
     spheres: Spheres
     triangles: Triangles
@@ -89,6 +91,10 @@ class Scene:
     #: code as before EMISSIVE existed (no extra selects in the hot
     #: loop).
     has_emissive: bool = False
+    #: Static tuple of ("s"|"t", prim_index) for each emissive
+    #: primitive — drives next-event estimation's light table
+    #: (ops/lights.py) via static indexing into the traced leaves.
+    light_ids: tuple = ()
 
     @property
     def n_spheres(self) -> int:
@@ -219,6 +225,15 @@ class SceneBuilder:
             tv = np.zeros((0, 3, 3), np_real)
             tmat = np.zeros((0,), np.int32)
 
+        n_lights = sum(
+            1 for s in self._sph if self._mat_kind[s[3]] == EMISSIVE
+        ) + sum(1 for m in tmat if self._mat_kind[m] == EMISSIVE)
+        if n_lights > 16:
+            raise ValueError(
+                f"at most 16 emissive primitives supported (got {n_lights})"
+                " — NEE unrolls the light loop in-kernel"
+            )
+
         import jax.numpy as jnp
 
         as_real = lambda x: jnp.asarray(x, dtype=dtype)
@@ -238,4 +253,10 @@ class SceneBuilder:
             ),
             background=background,
             has_emissive=any(k == EMISSIVE for k in self._mat_kind),
+            light_ids=tuple(
+                [("s", i) for i, s in enumerate(self._sph)
+                 if self._mat_kind[s[3]] == EMISSIVE]
+                + [("t", i) for i, m in enumerate(tmat)
+                   if self._mat_kind[m] == EMISSIVE]
+            ),
         )

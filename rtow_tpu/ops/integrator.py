@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from ..models.camera import Rays
 from ..models.materials import background_color, emitted, scatter
-from ..models.scene import EMISSIVE, Scene
+from ..models.scene import EMISSIVE, LAMBERTIAN, Scene
 from . import intersect
 
 
@@ -38,6 +38,10 @@ class WavefrontState(NamedTuple):
     throughput: jax.Array  # (L, 3)
     radiance: jax.Array  # (L, 3)
     alive: jax.Array  # (L,) bool
+    #: NEE only: the previous scatter was Lambertian, so emission on
+    #: this ray's next hit is already accounted by that bounce's
+    #: direct-light sample.
+    from_diffuse: jax.Array
 
 
 NearestHitFn = Callable[..., "intersect.HitRecord"]
@@ -51,6 +55,7 @@ def trace(
     nearest_hit: Optional[NearestHitFn] = None,
     cull_backfaces: bool = True,
     grad_reduce_axes: tuple = (),
+    nee: Optional[bool] = None,
 ) -> jax.Array:
     """Trace a wavefront to completion -> per-lane radiance (L, 3).
 
@@ -64,9 +69,24 @@ def trace(
     all-reduce — see :func:`rtow_tpu.diff.psum_in_bwd`).  Only valid
     under ``shard_map`` with those axes; the resulting scene gradient is
     then already globally reduced.
+
+    ``nee``: next-event estimation (ops/lights.py) — sample a light
+    directly at every Lambertian hit and suppress emission on that
+    ray's next hit.  Same expectation as the plain estimator, far lower
+    variance for small lights.  Default: on for emissive scenes.  The
+    gradient path (diff.py) passes ``nee=False`` — light-sample
+    reparameterization is out of scope, and the plain estimator's
+    gradients are already exact.
     """
     if nearest_hit is None:
         nearest_hit = intersect.nearest_hit_bruteforce
+    if nee is None:
+        nee = scene.has_emissive and bool(scene.light_ids)
+    if nee:
+        from .lights import build_light_table, sample_light_dirs
+
+        ltable = build_light_table(scene)
+        lkinds = tuple(k for k, _ in scene.light_ids)
 
     dtype = rays.origin.dtype
     lanes = rays.time.shape
@@ -78,6 +98,7 @@ def trace(
         throughput=jnp.ones((*lanes, 3), dtype=dtype),
         radiance=jnp.zeros((*lanes, 3), dtype=dtype),
         alive=jnp.ones(lanes, dtype=bool),
+        from_diffuse=jnp.zeros(lanes, dtype=bool),
     )
 
     def bounce(st: WavefrontState, i: jax.Array):
@@ -103,13 +124,39 @@ def trace(
         can_scatter = st.alive & rec.hit & (i < max_depth)
         if scene.has_emissive:
             # Emission needs no scatter budget: add on every live hit,
-            # then retire the lane (diffuse_light semantics).
+            # then retire the lane (diffuse_light semantics).  Under NEE
+            # a ray that came off a Lambertian bounce skips it — that
+            # bounce's direct-light sample already counted this path.
             is_emis = rec.mat_kind == EMISSIVE
+            lit = st.alive & rec.hit & is_emis
+            if nee:
+                lit = lit & ~st.from_diffuse
             radiance = radiance + jnp.where(
-                (st.alive & rec.hit & is_emis)[..., None],
-                st.throughput * emitted(rec), 0.0,
+                lit[..., None], st.throughput * emitted(rec), 0.0,
             )
             can_scatter = can_scatter & ~is_emis
+
+        is_diffuse = rec.mat_kind == LAMBERTIAN
+        if nee:
+            k_nee = jax.random.fold_in(jax.random.fold_in(key, i), 7919)
+            pick, u1, u2 = jax.random.uniform(k_nee, (3, *lanes),
+                                              dtype=dtype)
+            ldx, ldy, ldz, t_l, (w0, w1, w2) = sample_light_dirs(
+                ltable, lkinds, pick, u1, u2,
+                rec.point[..., 0], rec.point[..., 1], rec.point[..., 2],
+                st.time,
+            )
+            ldir = jnp.stack([ldx, ldy, ldz], axis=-1)
+            srec = nearest_hit(scene_b, rec.point, ldir, st.time,
+                               cull_backfaces=cull_backfaces)
+            open_ = (~srec.hit) | (srec.t >= t_l * (1.0 - 1e-3))
+            cos_t = jnp.maximum(
+                jnp.sum(rec.normal * ldir, axis=-1), 0.0)
+            direct = (rec.albedo * jnp.stack([w0, w1, w2], axis=-1)
+                      * cos_t[..., None])
+            add = can_scatter & is_diffuse & open_
+            radiance = radiance + jnp.where(
+                add[..., None], st.throughput * direct, 0.0)
 
         sc = scatter(jax.random.fold_in(key, i), st.direction, rec)
         origin = jnp.where(can_scatter[..., None], rec.point, st.origin)
@@ -118,8 +165,10 @@ def trace(
             can_scatter[..., None], st.throughput * sc.attenuation, st.throughput
         )
         alive = can_scatter
+        from_diffuse = can_scatter & is_diffuse if nee else st.from_diffuse
         return (
-            WavefrontState(origin, direction, st.time, throughput, radiance, alive),
+            WavefrontState(origin, direction, st.time, throughput, radiance,
+                           alive, from_diffuse),
             None,
         )
 
@@ -163,6 +212,12 @@ def trace_progressive(
 
     if nearest_hit is None:
         nearest_hit = intersect.nearest_hit_bruteforce
+    nee = scene.has_emissive and bool(scene.light_ids)
+    if nee:
+        from .lights import build_light_table, sample_light_dirs
+
+        ltable = build_light_table(scene)
+        lkinds = tuple(k for k, _ in scene.light_ids)
 
     n_pix = pixel_ids.shape[0]
     dtype = camera.origin.dtype
@@ -178,6 +233,7 @@ def trace_progressive(
         bounce: jax.Array  # scatters used by the current sample
         started: jax.Array  # samples begun on this lane
         it: jax.Array
+        from_diffuse: jax.Array  # NEE: emission suppressed on next hit
 
     init = _St(
         origin=zeros3,
@@ -189,6 +245,7 @@ def trace_progressive(
         bounce=jnp.zeros((n_pix,), jnp.int32),
         started=jnp.zeros((n_pix,), jnp.int32),
         it=jnp.int32(0),
+        from_diffuse=jnp.zeros((n_pix,), dtype=bool),
     )
 
     def cond(st: _St):
@@ -210,6 +267,7 @@ def trace_progressive(
         bounce = jnp.where(need, 0, st.bounce)
         started = st.started + need.astype(jnp.int32)
         alive = st.alive | need
+        from_diffuse = st.from_diffuse & ~need
 
         # One bounce for every live lane (reference semantics: miss -> sky,
         # depth-exhausted hit -> black, src/render.cpp:112-129).
@@ -223,11 +281,33 @@ def trace_progressive(
         can = alive & rec.hit & (bounce < max_depth)
         if scene.has_emissive:
             is_emis = rec.mat_kind == EMISSIVE
+            lit = alive & rec.hit & is_emis
+            if nee:
+                lit = lit & ~from_diffuse
             radiance = radiance + jnp.where(
-                (alive & rec.hit & is_emis)[..., None],
-                throughput * emitted(rec), 0.0,
+                lit[..., None], throughput * emitted(rec), 0.0,
             )
             can = can & ~is_emis
+        is_diffuse = rec.mat_kind == LAMBERTIAN
+        if nee:
+            k_nee = jax.random.fold_in(k, 7919)
+            pick, u1, u2 = jax.random.uniform(k_nee, (3, n_pix),
+                                              dtype=dtype)
+            ldx, ldy, ldz, t_l, (w0, w1, w2) = sample_light_dirs(
+                ltable, lkinds, pick, u1, u2,
+                rec.point[..., 0], rec.point[..., 1], rec.point[..., 2],
+                time,
+            )
+            ldir = jnp.stack([ldx, ldy, ldz], axis=-1)
+            srec = nearest_hit(scene, rec.point, ldir, time,
+                               cull_backfaces=cull_backfaces)
+            open_ = (~srec.hit) | (srec.t >= t_l * (1.0 - 1e-3))
+            cos_t = jnp.maximum(jnp.sum(rec.normal * ldir, axis=-1), 0.0)
+            direct = (rec.albedo * jnp.stack([w0, w1, w2], axis=-1)
+                      * cos_t[..., None])
+            add = can & is_diffuse & open_
+            radiance = radiance + jnp.where(
+                add[..., None], throughput * direct, 0.0)
         sc = scatter(k_trace, direction, rec)
         cd = can[..., None]
         return _St(
@@ -240,6 +320,7 @@ def trace_progressive(
             bounce=bounce + can.astype(jnp.int32),
             started=started,
             it=st.it + 1,
+            from_diffuse=can & is_diffuse if nee else from_diffuse,
         )
 
     final = jax.lax.while_loop(cond, body, init)

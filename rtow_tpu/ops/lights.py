@@ -1,0 +1,212 @@
+"""Next-event estimation (NEE): direct light sampling for emissive scenes.
+
+The plain estimator finds lights only by randomly scattering into them —
+with a small area light the hit probability is tiny and images need
+thousands of samples (the classic Cornell-box noise).  NEE samples a
+point on a light explicitly at every diffuse hit, casts one shadow ray,
+and adds the direct contribution analytically; the scattered
+continuation ray then SUPPRESSES emission on its next hit (tracked by a
+came-from-diffuse flag) so no light path is counted twice.
+
+Estimator equivalence (what the tests assert): for a Lambertian hit at
+scatter budget b < max_depth, the plain estimator's paths that bounce
+once more and land on a light are replaced one-for-one by the NEE
+sample; specular (metal/dielectric) chains and direct camera->light
+hits keep collecting emission on hit.  Expectations match exactly;
+only the variance changes.
+
+Geometry terms (Lambertian BRDF albedo/pi, uniform light pick 1/K):
+ * sphere light: uniform direction in the subtended cone,
+   pdf = 1 / (2 pi (1 - cos_theta_max)), cos_theta_max =
+   sqrt(1 - r^2/d^2); contribution = albedo * emit * cos_theta * K *
+   2 (1 - cos_theta_max)  (the pi of the BRDF cancels the 2 pi).
+ * triangle light: uniform point on the triangle (area pdf),
+   solid-angle pdf = dist^2 / (cos_alpha * area); backface-culled
+   lights emit only from their front side (cos_alpha > 0), matching
+   the sweep's det >= 1e-6 cull.
+
+The occlusion test is distance-based: the shadow ray's nearest hit must
+lie at (or beyond) the sampled light point — no primitive-index
+bookkeeping survives the triangle table's Morton reordering, and a
+culled back-facing light is correctly "transparent" under this test
+(its contribution is zeroed by the cos_alpha term instead).
+
+Scope: forward rendering (jnp integrator + both megakernel paths).
+The gradient kernels keep the plain estimator — reparameterizing the
+light-sample direction is research-grade; emission/albedo gradients
+already flow through the plain path.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.scene import Scene
+
+#: light-table rows are (K, 16) f32:
+#: sphere:   1-3 center0, 4-6 dcenter, 7 radius
+#: triangle: 1-3 v0, 4-6 e1, 7-9 e2, 10 area
+#: cols 11-13: emitted radiance (col 0 unused; light KINDS are static —
+#: scene.light_ids metadata — so no kind column is consulted at trace).
+MAX_LIGHTS = 16
+
+
+def build_light_table(scene: Scene) -> jax.Array:
+    """(K, 16) f32 light table assembled from the scene's leaves.
+
+    ``scene.light_ids`` (static build-time metadata: a tuple of
+    ("s"|"t", prim_index)) drives STATIC indexing into the traced
+    scene arrays, so this works identically on concrete scenes and
+    under jit — and never goes stale, since rows are re-derived from
+    the current leaves every trace.
+    """
+    rows = []
+    f32 = jnp.float32
+    for kind, i in scene.light_ids:
+        if kind == "s":
+            c0 = scene.spheres.center0[i].astype(f32)
+            dc = scene.spheres.dcenter[i].astype(f32)
+            r = scene.spheres.radius[i].astype(f32)
+            emit = scene.materials.albedo[scene.spheres.material[i]]
+            rows.append(jnp.concatenate([
+                jnp.zeros((1,), f32), c0, dc, r[None],
+                jnp.zeros((3,), f32), emit.astype(f32),
+            ]))
+        else:
+            v = scene.triangles.verts[i].astype(f32)
+            v0, e1, e2 = v[0], v[1] - v[0], v[2] - v[0]
+            area = 0.5 * jnp.linalg.norm(jnp.cross(e1, e2))
+            emit = scene.materials.albedo[scene.triangles.material[i]]
+            rows.append(jnp.concatenate([
+                jnp.ones((1,), f32), v0, e1, e2, area[None].astype(f32),
+                emit.astype(f32),
+            ]))
+    if not rows:
+        return jnp.zeros((1, 16), jnp.float32)
+    return jnp.stack(rows)
+
+
+def _onb(wx, wy, wz):
+    """Branchless orthonormal basis around unit w (Frisvad/Duff)."""
+    sign = jnp.where(wz >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sign + wz)
+    b = wx * wy * a
+    ux = 1.0 + sign * wx * wx * a
+    uy = sign * b
+    uz = -sign * wx
+    vx = b
+    vy = sign + wy * wy * a
+    vz = -wy
+    return (ux, uy, uz), (vx, vy, vz)
+
+
+def sample_light_dirs(table, light_kinds, pick, u1, u2, px, py, pz, tm):
+    """Per-lane light sample -> (dx, dy, dz, t_light, weight3).
+
+    ``light_kinds`` is the static tuple of "s"/"t" from
+    ``scene.light_ids``; ``pick``/``u1``/``u2`` are per-lane uniforms
+    in [0, 1); ``p*`` the shading points; ``tm`` the ray times (moving
+    sphere lights).  ``weight3`` is emit * (geometry terms) * K —
+    multiply by the Lambertian albedo (the BRDF's pi is cancelled) and
+    cos_theta at the shading point, then gate on the shadow ray being
+    unoccluded.
+
+    All lanes evaluate all K light rows and select by the pick index
+    (K <= MAX_LIGHTS; masked selects, no gather) — the same
+    evaluate-all-and-select scheme as material dispatch.
+    """
+    n_lights = len(light_kinds)
+    k_idx = jnp.minimum((pick * n_lights).astype(jnp.int32), n_lights - 1)
+    shape = px.shape
+    dx = jnp.zeros(shape, jnp.float32)
+    dy = jnp.zeros(shape, jnp.float32)
+    dz = jnp.zeros(shape, jnp.float32)
+    tl = jnp.full(shape, 1e30, jnp.float32)
+    w0 = jnp.zeros(shape, jnp.float32)
+    w1 = jnp.zeros(shape, jnp.float32)
+    w2 = jnp.zeros(shape, jnp.float32)
+
+    for k, lkind in enumerate(light_kinds):
+        sel = k_idx == k
+        er, eg, eb = table[k, 11], table[k, 12], table[k, 13]
+        if lkind == "s":  # sphere light
+            cx = table[k, 1] + tm * table[k, 4]
+            cy = table[k, 2] + tm * table[k, 5]
+            cz = table[k, 3] + tm * table[k, 6]
+            r = jnp.abs(table[k, 7])
+            tox, toy, toz = cx - px, cy - py, cz - pz
+            d2 = tox * tox + toy * toy + toz * toz
+            d = jnp.sqrt(jnp.maximum(d2, 1e-12))
+            inv_d = 1.0 / d
+            wx_, wy_, wz_ = tox * inv_d, toy * inv_d, toz * inv_d
+            # Inside the sphere -> degenerate; zero the weight below.
+            cos_max = jnp.sqrt(jnp.maximum(1.0 - (r * r) / jnp.maximum(
+                d2, 1e-12), 0.0))
+            cos_t = 1.0 - u1 * (1.0 - cos_max)
+            sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+            phi = 2.0 * np.pi * u2
+            (ux, uy, uz), (vx, vy, vz) = _onb(wx_, wy_, wz_)
+            sx = (jnp.cos(phi) * sin_t * ux + jnp.sin(phi) * sin_t * vx
+                  + cos_t * wx_)
+            sy = (jnp.cos(phi) * sin_t * uy + jnp.sin(phi) * sin_t * vy
+                  + cos_t * wy_)
+            sz = (jnp.cos(phi) * sin_t * uz + jnp.sin(phi) * sin_t * vz
+                  + cos_t * wz_)
+            # Ray-sphere t along the sampled direction (near root).
+            oc_d = -(tox * sx + toy * sy + toz * sz)
+            disc = oc_d * oc_d - (d2 - r * r)
+            t_k = -oc_d - jnp.sqrt(jnp.maximum(disc, 0.0))
+            ok = (d2 > r * r) & (disc > 0.0)
+            # pdf = 1/(2 pi (1 - cos_max)); weight = emit/(pi*pdf)*K
+            # -> emit * 2 (1 - cos_max) * K.
+            geo = jnp.where(ok, 2.0 * (1.0 - cos_max) * n_lights, 0.0)
+            dx = jnp.where(sel, sx, dx)
+            dy = jnp.where(sel, sy, dy)
+            dz = jnp.where(sel, sz, dz)
+            tl = jnp.where(sel, jnp.maximum(t_k, 1e-4), tl)
+            w0 = jnp.where(sel, er * geo, w0)
+            w1 = jnp.where(sel, eg * geo, w1)
+            w2 = jnp.where(sel, eb * geo, w2)
+        else:  # triangle light
+            v0x, v0y, v0z = table[k, 1], table[k, 2], table[k, 3]
+            e1x, e1y, e1z = table[k, 4], table[k, 5], table[k, 6]
+            e2x, e2y, e2z = table[k, 7], table[k, 8], table[k, 9]
+            area = table[k, 10]
+            su = jnp.sqrt(jnp.maximum(u1, 1e-12))
+            bu = 1.0 - su
+            bv = u2 * su
+            qx = v0x + bu * e1x + bv * e2x
+            qy = v0y + bu * e1y + bv * e2y
+            qz = v0z + bu * e1z + bv * e2z
+            tox, toy, toz = qx - px, qy - py, qz - pz
+            d2 = tox * tox + toy * toy + toz * toz
+            d = jnp.sqrt(jnp.maximum(d2, 1e-12))
+            inv_d = 1.0 / d
+            sx, sy, sz = tox * inv_d, toy * inv_d, toz * inv_d
+            # Light normal (unnormalized cross, same orientation as the
+            # sweep's det test).
+            nx = e1y * e2z - e1z * e2y
+            ny = e1z * e2x - e1x * e2z
+            nz = e1x * e2y - e1y * e2x
+            nlen = jnp.sqrt(jnp.maximum(nx * nx + ny * ny + nz * nz,
+                                        1e-24))
+            # cos at the light: front side when the shadow ray opposes
+            # the normal (matches det = -(d . n) >= eps cull).
+            cos_a = -(sx * nx + sy * ny + sz * nz) / nlen
+            ok = cos_a > 1e-6
+            # pdf_solid = d^2/(cos_a * area);
+            # weight = emit * cos_a * area / (pi * ... ) * pi-cancel:
+            # BRDF albedo/pi x emit x cos_theta / pdf x K
+            # = albedo * emit * cos_theta * cos_a * area * K/(pi d^2).
+            geo = jnp.where(
+                ok, cos_a * area * n_lights / (np.pi * jnp.maximum(
+                    d2, 1e-12)), 0.0)
+            dx = jnp.where(sel, sx, dx)
+            dy = jnp.where(sel, sy, dy)
+            dz = jnp.where(sel, sz, dz)
+            tl = jnp.where(sel, jnp.maximum(d, 1e-4), tl)
+            w0 = jnp.where(sel, er * geo, w0)
+            w1 = jnp.where(sel, eg * geo, w1)
+            w2 = jnp.where(sel, eb * geo, w2)
+    return dx, dy, dz, tl, (w0, w1, w2)

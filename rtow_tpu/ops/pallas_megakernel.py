@@ -41,7 +41,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..models.scene import DIELECTRIC, EMISSIVE, METAL, Scene
+from ..models.scene import DIELECTRIC, EMISSIVE, LAMBERTIAN, METAL, Scene
 
 import os as _os
 
@@ -747,31 +747,18 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
     return best_t, best_k, sph_params, tri_params
 
 
-def _shade_pure(state, sph_params, tri_params, draws,
-                best_t, best_k, alive, bounce, max_depth, *,
-                n_blocks, n_tri_blocks, cull=True, ablate="full",
-                emissive=False, bg=None):
-    """The differentiable half of a bounce: winner params -> new state.
+def _hit_basics(state, sph_params, tri_params, best_t, best_k, *,
+                n_blocks, n_tri_blocks, cull=True):
+    """Re-derive the hit record from the winner's parameters.
 
-    ``state`` = 13-tuple (ox..dz, tm, tpr..tpb, rr..rb); ``sph_params``
-    the winner's 13 sphere-table values; ``tri_params`` the winner's 15
-    triangle-table values; ``draws`` = (uvx, uvy, uvz, choice) RNG
-    values.  The intersection t is RE-DERIVED here from the winner's
-    parameters (root selection pinned to the sweep's best_t), so
-    ``jax.vjp`` of this function gives the exact geometry gradient —
-    d(hit point)/d(center, radius, vertex) flows through the quadratic /
-    Moller-Trumbore root, while argmin winner choice and material
-    branches stay piecewise-constant (standard inverse rendering
-    practice; same convention as the jnp path, diff.py).
-
-    Discrete comparisons are computed inside; jax.vjp naturally assigns
-    them zero cotangent.  Reference semantics: ray_color
-    (src/render.cpp:112-129).
+    Shared by :func:`_shade_pure` (scatter) and the NEE direct-light
+    block (:func:`_bounce_core`): (hit, t_hit, p, n, front, albedo,
+    fuzz, ir, kind, |d|^2).  Differentiable — the t re-derivation is
+    what makes the gradient kernels exact (see _shade_pure docstring).
     """
-    (ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb) = state
+    (ox, oy, oz, dx, dy, dz, tm, _tpr, _tpg, _tpb, _rr, _rg, _rb) = state
     (c0x, c0y, c0z, dcx, dcy, dcz, r_, alr, alg, alb, fuzz, ir,
      kind) = sph_params
-    uvx, uvy, uvz, choice = draws
     hit = best_t < BIG
     a = dx * dx + dy * dy + dz * dz
 
@@ -790,6 +777,7 @@ def _shade_pure(state, sph_params, tri_params, draws,
     t_sph = jnp.where(root_is_near, near, far)
     t_hit = jnp.where(hit, t_sph, 1.0)
 
+    tnxb = tnyb = tnzb = None
     if n_tri_blocks:
         (tv0x, tv0y, tv0z, te1x, te1y, te1z, te2x, te2y, te2z,
          talr, talg, talb, tfuzz, tir, tkind) = tri_params
@@ -841,6 +829,40 @@ def _shade_pure(state, sph_params, tri_params, draws,
         ny = jnp.where(is_tri, tny, ny)
         nz = jnp.where(is_tri, tnz, nz)
         front = jnp.logical_or(is_tri, front)
+
+    return (hit, t_hit, px, py, pz, nx, ny, nz, front,
+            alr, alg, alb, fuzz, ir, kind, a)
+
+
+def _shade_pure(state, sph_params, tri_params, draws,
+                best_t, best_k, alive, bounce, max_depth, *,
+                n_blocks, n_tri_blocks, cull=True, ablate="full",
+                emissive=False, bg=None, basics=None, from_diffuse=None):
+    """The differentiable half of a bounce: winner params -> new state.
+
+    ``state`` = 13-tuple (ox..dz, tm, tpr..tpb, rr..rb); ``sph_params``
+    the winner's 13 sphere-table values; ``tri_params`` the winner's 15
+    triangle-table values; ``draws`` = (uvx, uvy, uvz, choice) RNG
+    values.  The intersection t is RE-DERIVED here from the winner's
+    parameters (root selection pinned to the sweep's best_t), so
+    ``jax.vjp`` of this function gives the exact geometry gradient —
+    d(hit point)/d(center, radius, vertex) flows through the quadratic /
+    Moller-Trumbore root, while argmin winner choice and material
+    branches stay piecewise-constant (standard inverse rendering
+    practice; same convention as the jnp path, diff.py).
+
+    Discrete comparisons are computed inside; jax.vjp naturally assigns
+    them zero cotangent.  Reference semantics: ray_color
+    (src/render.cpp:112-129).
+    """
+    (ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb) = state
+    uvx, uvy, uvz, choice = draws
+    if basics is None:
+        basics = _hit_basics(state, sph_params, tri_params, best_t, best_k,
+                             n_blocks=n_blocks, n_tri_blocks=n_tri_blocks,
+                             cull=cull)
+    (hit, t_hit, px, py, pz, nx, ny, nz, front,
+     alr, alg, alb, fuzz, ir, kind, a) = basics
 
     # Lambertian: n + unit (degenerate -> n).
     lamx, lamy, lamz = nx + uvx, ny + uvy, nz + uvz
@@ -927,6 +949,10 @@ def _shade_pure(state, sph_params, tri_params, draws,
         # Static-gated: lightless scenes compile the unchanged bounce.
         is_emis = kind == np.float32(EMISSIVE)
         lit = jnp.logical_and(jnp.logical_and(alive, hit), is_emis)
+        if from_diffuse is not None:
+            # NEE: the previous Lambertian bounce's direct-light sample
+            # already counted this path — skip emission-on-hit.
+            lit = jnp.logical_and(lit, jnp.logical_not(from_diffuse))
         rr = rr + jnp.where(lit, tpr * alr, 0.0)
         rg = rg + jnp.where(lit, tpg * alg, 0.0)
         rb = rb + jnp.where(lit, tpb * alb, 0.0)
@@ -943,6 +969,11 @@ def _shade_pure(state, sph_params, tri_params, draws,
     tpg = jnp.where(can, tpg * atg, tpg)
     tpb = jnp.where(can, tpb * atb, tpb)
     bounce = bounce + can.astype(jnp.int32)
+    if from_diffuse is not None:
+        # NEE: encode came-from-Lambertian in the alive code (0 dead,
+        # 1 specular-alive, 2 diffuse-alive) — no extra state array.
+        is_lam = kind == np.float32(LAMBERTIAN)
+        can = can.astype(jnp.int32) * jnp.where(is_lam, 2, 1)
     return (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, rr, rg, rb, can,
             bounce)
 
@@ -972,7 +1003,8 @@ def _bounce_core(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
                  n_blocks, n_tri_blocks, n_super=0, cull=True, ablate="full",
                  tri_hbm=False, tri_scr=None, box_scr=None, sem_tri=None,
                  sem_box=None, tri_hyp_ref=None, n_hyper=0, tri_t=False,
-                 key_scr=None, emissive=False, bg=None):
+                 key_scr=None, emissive=False, bg=None,
+                 lights_ref=None, nee_kinds=(), from_diffuse=None):
     """One intersect+shade step for every live lane of a tile.
 
     The shared heart of the megakernels (persistent whole-frame,
@@ -980,6 +1012,13 @@ def _bounce_core(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
     (discrete nearest hit + winner fetch) followed by _shade_pure
     (differentiable shade/advance).  Reference semantics are
     ``ray_color`` (src/render.cpp:112-129).
+
+    ``nee_kinds`` (static light-kind tuple) enables next-event
+    estimation: a second sweep traces one shadow ray per Lambertian
+    hit toward a sampled light (ops/lights.py) and adds the direct
+    contribution; the returned alive value is then a CODE (0 dead,
+    1 specular-alive, 2 diffuse-alive) and ``from_diffuse`` must carry
+    the previous bounce's flag so emission-on-hit is suppressed.
 
     All state is (rows, LANES) f32 except ``alive`` (bool) and
     ``bounce`` (int32).  Returns the advanced 14-tuple
@@ -997,18 +1036,57 @@ def _bounce_core(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
         zero = jnp.zeros(ox.shape, jnp.float32)
         sph_params = tuple(zero + 0.3 for _ in range(_TBL_ROWS))
     draws = _draw_scatter(lane_u32, salt, ablate)
+    basics = None
+    if nee_kinds:
+        from .lights import sample_light_dirs
+
+        basics = _hit_basics(
+            (ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb),
+            sph_params, tri_params, best_t, best_k,
+            n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, cull=cull,
+        )
+        (hit, _t_hit, px, py, pz, nx, ny, nz, _front,
+         alr, alg, alb, _fuzz, _ir, kind, _a) = basics
+        pick = _uniform(lane_u32, salt, 8)
+        u1 = _uniform(lane_u32, salt, 9)
+        u2 = _uniform(lane_u32, salt, 10)
+        ldx, ldy, ldz, t_l, (w0, w1, w2) = sample_light_dirs(
+            lights_ref, nee_kinds, pick, u1, u2, px, py, pz, tm)
+        nee_act = jnp.logical_and(
+            jnp.logical_and(jnp.logical_and(alive, hit),
+                            bounce < max_depth),
+            kind == np.float32(LAMBERTIAN),
+        )
+        # Shadow sweep: occlusion = anything nearer than the sampled
+        # light point (a culled back-facing light is transparent AND
+        # zero-weighted, consistently).
+        s_t, _sk, _sp, _tp = _sweep_all(
+            tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
+            px, py, pz, ldx, ldy, ldz, tm, nee_act,
+            n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, n_super=n_super,
+            cull=cull, tri_hbm=tri_hbm, tri_scr=tri_scr, box_scr=box_scr,
+            sem_tri=sem_tri, sem_box=sem_box, tri_hyp_ref=tri_hyp_ref,
+            n_hyper=n_hyper, tri_t=tri_t, key_scr=key_scr,
+        )
+        open_ = s_t >= t_l * np.float32(1.0 - 1e-3)
+        cos_t = jnp.maximum(nx * ldx + ny * ldy + nz * ldz, 0.0)
+        add = jnp.logical_and(nee_act, open_)
+        rr = rr + jnp.where(add, tpr * alr * w0 * cos_t, 0.0)
+        rg = rg + jnp.where(add, tpg * alg * w1 * cos_t, 0.0)
+        rb = rb + jnp.where(add, tpb * alb * w2 * cos_t, 0.0)
     return _shade_pure(
         (ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb),
         sph_params, tri_params, draws, best_t, best_k, alive, bounce,
         max_depth, n_blocks=n_blocks, n_tri_blocks=n_tri_blocks,
         cull=cull, ablate=ablate, emissive=emissive, bg=bg,
+        basics=basics, from_diffuse=from_diffuse if nee_kinds else None,
     )
 
 
 def _kernel(cam_ref, meta_ref, tbl_ref, sph_box_ref, tri_ref, tri_box_ref,
-            tri_sup_ref, out_r, out_g, out_b, *, n_blocks, n_tri_blocks,
-            n_super=0, cull=True, ablate="full", fixed_iters=0,
-            emissive=False, bg=None):
+            tri_sup_ref, lights_ref, out_r, out_g, out_b, *, n_blocks,
+            n_tri_blocks, n_super=0, cull=True, ablate="full",
+            fixed_iters=0, emissive=False, bg=None, nee_kinds=()):
     # Global tile id: grid position + this shard's tile offset (meta[0,4])
     # — devices in a mesh each render a contiguous tile range.
     pid = pl.program_id(0) + meta_ref[0, 4]
@@ -1063,6 +1141,7 @@ def _kernel(cam_ref, meta_ref, tbl_ref, sph_box_ref, tri_ref, tri_box_ref,
         (ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb,
          alive_i, bounce, started, it) = c
         alive = alive_i > 0
+        from_diffuse = alive_i > 1 if nee_kinds else None
         salt = (meta_ref[0, 0] + it * jnp.int32(40503)).astype(jnp.uint32)
         salt = _mix(salt)
 
@@ -1103,6 +1182,10 @@ def _kernel(cam_ref, meta_ref, tbl_ref, sph_box_ref, tri_ref, tri_box_ref,
         started = started + need.astype(jnp.int32)
         alive = jnp.logical_or(alive, need)
 
+        if nee_kinds:
+            # Regenerated lanes start a fresh camera path: no flag.
+            from_diffuse = jnp.logical_and(from_diffuse,
+                                           jnp.logical_not(need))
         (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, rr, rg, rb, can,
          bounce) = _bounce_core(
             tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
@@ -1110,6 +1193,8 @@ def _kernel(cam_ref, meta_ref, tbl_ref, sph_box_ref, tri_ref, tri_box_ref,
             alive, bounce, lane_u32, salt, max_depth,
             n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, n_super=n_super,
             cull=cull, ablate=ablate, emissive=emissive, bg=bg,
+            lights_ref=lights_ref, nee_kinds=nee_kinds,
+            from_diffuse=from_diffuse,
         )
         return (ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb,
                 can.astype(jnp.int32), bounce, started, it + 1)
@@ -1133,7 +1218,7 @@ def _flat_bounce_kernel(
     *refs,
     n_blocks, n_tri_blocks, n_super=0, cull=True, tri_hbm=False,
     n_hyper=0, tri_t=False, f2b=True, stats=False, emissive=False,
-    bg=None,
+    bg=None, nee_kinds=(),
 ):
     """One bounce over a tile of pre-generated (sorted) rays.
 
@@ -1152,8 +1237,8 @@ def _flat_bounce_kernel(
     workless.
     """
     (meta_ref, tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
-     tri_hyp_ref, st_i) = refs[:8]
-    idx = 8
+     tri_hyp_ref, lights_ref, st_i) = refs[:9]
+    idx = 9
     st_o = refs[idx]
     idx += 1
     stats_o = None
@@ -1196,6 +1281,8 @@ def _flat_bounce_kernel(
             n_hyper=n_hyper, tri_t=tri_t,
             key_scr=key_scr if f2b else None,
             emissive=emissive, bg=bg,
+            lights_ref=lights_ref, nee_kinds=nee_kinds,
+            from_diffuse=(al > 1) if nee_kinds else None,
         )
         (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, rr, rg, rb, can, bo) = out
         return (ox, oy, oz, dx, dy, dz, tmv, tpr, tpg, tpb, rr, rg, rb,
@@ -1236,6 +1323,7 @@ def bounce_step_pallas(
     stats: bool = False,
     emissive: bool = False,
     bg=None,
+    nee_kinds=(),
 ):
     """Advance L flat lanes one bounce through the megakernel core.
 
@@ -1246,13 +1334,16 @@ def bounce_step_pallas(
     ``state`` is the 16-tuple of (L,) arrays
     (ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb,
     alive:i32, bounce:i32, lane_id:i32); L must be a multiple of TILE.
+    Under NEE (``nee_kinds`` non-empty) alive is a CODE in {0, 1, 2}
+    (2 = alive, previous scatter was Lambertian).
     ``tables`` = (sphere_tbl, sphere_boxes, tri_tbl, tri_boxes,
-    tri_super, tri_hyper) from build_sphere_table/build_tri_table.
+    tri_super, tri_hyper, lights) from build_sphere_table/
+    build_tri_table/build_light_table.
     """
     L = state[0].shape[0]
     assert L % TILE == 0, f"lanes {L} not a multiple of tile {TILE}"
     n_tiles = L // TILE
-    tbl, sph_boxes, tri, tri_boxes, tri_super, tri_hyper = tables
+    tbl, sph_boxes, tri, tri_boxes, tri_super, tri_hyper, lights = tables
     n_hyper = tri_hyper.shape[0] if tri_hyper.shape[0] > 1 else 0
 
     meta = jnp.stack([
@@ -1287,6 +1378,7 @@ def bounce_step_pallas(
         _flat_bounce_kernel, n_blocks=n_blocks, n_tri_blocks=n_tri_blocks,
         n_super=n_super, cull=cull, tri_hbm=tri_hbm, n_hyper=n_hyper,
         tri_t=tri_t, f2b=f2b, stats=stats, emissive=emissive, bg=bg,
+        nee_kinds=nee_kinds,
     )
     if n_super:
         # Pack each super's 16 block AABBs into one (1, SUPER*8) row so
@@ -1354,12 +1446,14 @@ def bounce_step_pallas(
             tri_box_spec,                           # tri block AABBs
             pl.BlockSpec(memory_space=pltpu.SMEM),  # tri super AABBs
             pl.BlockSpec(memory_space=pltpu.SMEM),  # tri hyper AABBs
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # light table
             st_spec,
         ],
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch_shapes,
-    )(meta, tbl, sph_boxes, tri, tri_boxes, tri_super, tri_hyper, packed)
+    )(meta, tbl, sph_boxes, tri, tri_boxes, tri_super, tri_hyper, lights,
+      packed)
     flat = out[0].reshape(16, L)
     res = [flat[j] for j in range(13)]
     res.append(flat[13].astype(jnp.int32))
@@ -1436,11 +1530,23 @@ def render_blocks_pallas(
         jnp.asarray(spp, jnp.int32), jnp.asarray(max_depth, jnp.int32),
     ])[None, :]  # (1, 7)
 
+    # Next-event estimation for emissive scenes (static light-kind
+    # tuple + a small SMEM light table re-derived from the scene).
+    nee_kinds = (tuple(k for k, _ in scene.light_ids)
+                 if scene.has_emissive else ())
+    if nee_kinds:
+        from .lights import build_light_table
+
+        lights = build_light_table(scene)
+    else:
+        lights = jnp.zeros((1, 16), jnp.float32)
+
     kernel = functools.partial(
         _kernel, n_blocks=n_blocks, n_tri_blocks=n_tri_blocks,
         n_super=n_super, cull=cull, ablate=ablate, fixed_iters=fixed_iters,
         emissive=scene.has_emissive,
         bg=None if scene.background == "sky" else scene.background,
+        nee_kinds=nee_kinds,
     )
     out_shape = [
         jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, LANES), jnp.float32)
@@ -1457,6 +1563,7 @@ def render_blocks_pallas(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # triangle table
             pl.BlockSpec(memory_space=pltpu.SMEM),  # tri block AABBs
             pl.BlockSpec(memory_space=pltpu.SMEM),  # tri super-block AABBs
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # light table
         ],
         out_specs=[
             pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0)),
@@ -1464,7 +1571,7 @@ def render_blocks_pallas(
             pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0)),
         ],
         out_shape=out_shape,
-    )(cam_vec, meta, tbl, sph_boxes, tri, tri_boxes, tri_super)
+    )(cam_vec, meta, tbl, sph_boxes, tri, tri_boxes, tri_super, lights)
 
     return r, g, b
 

@@ -127,7 +127,11 @@ def sort_keys(
 
 
 def _scene_tables(scene: Scene):
-    """Megakernel tables + static block counts + scene bounds."""
+    """Megakernel tables + static block counts + scene bounds.
+
+    ``tables`` is the 7-tuple bounce_step_pallas expects (sphere table,
+    sphere boxes, tri table, tri boxes, tri supers, tri hypers, light
+    table)."""
     if scene.n_spheres:
         tbl, sph_boxes = build_sphere_table(scene)
         n_blocks = tbl.shape[0] // SPHERE_BLOCK
@@ -146,7 +150,13 @@ def _scene_tables(scene: Scene):
         tri_hyper = jnp.zeros((1, 8), jnp.float32)
         n_tri_blocks = 0
         n_super = 0
-    tables = (tbl, sph_boxes, tri, tri_boxes, tri_super, tri_hyper)
+    if scene.has_emissive and scene.light_ids:
+        from .lights import build_light_table
+
+        lights = build_light_table(scene)
+    else:
+        lights = jnp.zeros((1, 16), jnp.float32)
+    tables = (tbl, sph_boxes, tri, tri_boxes, tri_super, tri_hyper, lights)
 
     # Scene bounds for Morton quantization (valid block boxes only).
     def bounds(boxes, n):
@@ -165,7 +175,7 @@ def _scene_tables(scene: Scene):
 def _trace_lane_per_sample(
     camera, key, lane_pix, seed, *, L_raw, L, P, lpp, max_depth,
     width, height, cull_backfaces, tables, counts, bmin, inv_ext,
-    emissive=False, bg=None,
+    emissive=False, bg=None, nee_kinds=(),
 ):
     """The default lane-per-sample fast path (one lane = one sample).
 
@@ -225,6 +235,7 @@ def _trace_lane_per_sample(
             st, it, seed, max_depth, tables,
             n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, n_super=n_super,
             cull=cull_backfaces, emissive=emissive, bg=bg,
+            nee_kinds=nee_kinds,
         )
         return st, it + 1
 
@@ -244,7 +255,8 @@ def _trace_lane_per_sample(
 
         def cond(carry, nxt=nxt):
             st, _ = carry
-            n_live = jnp.sum(st[13])
+            # COUNT live lanes (alive is a {0,1,2} code under NEE).
+            n_live = jnp.sum((st[13] > 0).astype(jnp.int32))
             return jnp.logical_and(n_live > 0, n_live > nxt)
 
         def body(carry):
@@ -291,6 +303,7 @@ def trace_wavefront_sorted(
     lanes_per_pixel: int = 0,
     emissive=None,
     bg=None,
+    nee_kinds=(),
 ) -> jax.Array:
     """Radiance sums for a chunk of pixels -> (P, 3).
 
@@ -317,6 +330,8 @@ def trace_wavefront_sorted(
         emissive = scene.has_emissive if scene is not None else False
         if scene is not None and scene.background != "sky":
             bg = scene.background
+        if scene is not None and scene.has_emissive:
+            nee_kinds = tuple(k for k, _ in scene.light_ids)
     n_blocks, n_tri_blocks, n_super = counts
 
     P = pixel_ids.shape[0]
@@ -340,6 +355,7 @@ def trace_wavefront_sorted(
             max_depth=max_depth, width=width, height=height,
             cull_backfaces=cull_backfaces, tables=tables, counts=counts,
             bmin=bmin, inv_ext=inv_ext, emissive=emissive, bg=bg,
+            nee_kinds=nee_kinds,
         )
 
     zero = jnp.zeros((L,), f32)
@@ -400,6 +416,7 @@ def trace_wavefront_sorted(
             st, it, seed, max_depth, tables,
             n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, n_super=n_super,
             cull=cull_backfaces, emissive=emissive, bg=bg,
+            nee_kinds=nee_kinds,
         )
         return st, started, lane_pix, it + 1
 
@@ -467,7 +484,8 @@ def trace_wavefront_sorted(
 @functools.lru_cache(maxsize=16)
 def _frame_fn(width: int, height: int, spp: int, max_depth: int,
               ppc: int, lpp: int, band_chunks: int, counts, cull: bool,
-              progress: bool = False, emissive: bool = False, bg=None):
+              progress: bool = False, emissive: bool = False, bg=None,
+              nee_kinds=()):
     """Cached jitted band renderer (re-jit per call costs seconds).
 
     Renders ``band_chunks`` consecutive pixel chunks starting at global
@@ -490,7 +508,7 @@ def _frame_fn(width: int, height: int, spp: int, max_depth: int,
                 spp=spp, max_depth=max_depth, width=width, height=height,
                 cull_backfaces=cull, tables=tables, counts=counts,
                 bmin=bmin, inv_ext=inv_ext, lanes_per_pixel=lpp,
-                emissive=emissive, bg=bg,
+                emissive=emissive, bg=bg, nee_kinds=nee_kinds,
             )
             sums = jnp.where((pixel_ids < n_pixels)[:, None], sums, 0.0)
             if progress:
@@ -554,7 +572,9 @@ def render_wavefront(
                       band, counts, cull_backfaces,
                       progress and callbacks_supported(),
                       scene.has_emissive,
-                      None if scene.background == "sky" else scene.background)
+                      None if scene.background == "sky" else scene.background,
+                      tuple(k for k, _ in scene.light_ids)
+                      if scene.has_emissive else ())
 
     t0 = _time.perf_counter()
     n_bands = -(-n_chunks // band)

@@ -129,6 +129,134 @@ def test_sorted_wavefront_emissive():
                                rtol=1e-5)
 
 
+def test_emissive_triangle_direct_hit_exact():
+    """Emissive TRIANGLES: a camera staring at an emissive quad gets the
+    emitted color exactly, on both the jnp and kernel paths."""
+    from rtow_tpu.ops.pallas_megakernel import render_spheres_pallas
+
+    emit = (3.0, 2.0, 1.0)
+    cam = make_camera(lookfrom=(0.0, 0.0, 1.0), lookat=(0.0, 0.0, 0.0),
+                      fov_degrees=60.0, aspect_ratio=1.0, aperture=0.0,
+                      focus_dist=1.0)
+    b = SceneBuilder()
+    lamp = b.add_light(emit)
+    # Huge quad at z=-1 facing the camera (+z normal).
+    b.add_triangle((-9, -9, -1.0), (9, -9, -1.0), (9, 9, -1.0), lamp)
+    b.add_triangle((-9, -9, -1.0), (9, 9, -1.0), (-9, 9, -1.0), lamp)
+    # A dummy sphere behind the quad (scene needs its sphere table).
+    b.add_sphere((0.0, 0.0, 5.0), 0.5, b.add_lambertian((0.5, 0.5, 0.5)))
+    scene = b.build(background=(0.0, 0.0, 0.0))
+    cfg = Config(image_width=8, aspect_ratio=1.0, samples_per_pixel=4,
+                 max_child_rays=3, backend="jnp", seed=6)
+    img = np.asarray(render(scene, cam, cfg))
+    np.testing.assert_allclose(img, np.broadcast_to(emit, img.shape),
+                               rtol=1e-5)
+    with pltpu.force_tpu_interpret_mode():
+        sums = render_spheres_pallas(scene, cam, 6, width=8, height=8,
+                                     spp=4, max_depth=3)
+    img_k = np.asarray(sums).reshape(8, 8, 3) / 4
+    np.testing.assert_allclose(img_k, np.broadcast_to(emit, img_k.shape),
+                               rtol=1e-5)
+
+
+def test_cornell_box_kernel_matches_jnp():
+    """Cornell box (emissive triangle ceiling light): kernel vs jnp
+    statistical agreement — both paths run NEE here, so this also
+    gates the in-kernel shadow sweep + SMEM light table against the
+    jnp sampler — plus basic physical sanity (red/green wall bleed on
+    opposite halves)."""
+    from rtow_tpu.models.builders import cornell_scene
+    from rtow_tpu.ops.pallas_megakernel import render_spheres_pallas
+
+    scene, cam = cornell_scene(1.0)
+    W = H = 16
+    spp, depth = 64, 4
+    cfg = Config(image_width=W, aspect_ratio=1.0, samples_per_pixel=spp,
+                 max_child_rays=depth, backend="jnp", seed=8)
+    img_jnp = np.asarray(render(scene, cam, cfg))
+    with pltpu.force_tpu_interpret_mode():
+        sums = render_spheres_pallas(scene, cam, 8, width=W, height=H,
+                                     spp=spp, max_depth=depth)
+    img_k = np.asarray(sums).reshape(H, W, 3) / spp
+    assert abs(img_jnp.mean() - img_k.mean()) < 0.03
+    for img in (img_jnp, img_k):
+        left = img[:, : W // 3]
+        right = img[:, -W // 3:]
+        # Red wall on the image-left third, green on the right third.
+        assert left[..., 0].mean() > left[..., 1].mean()
+        assert right[..., 1].mean() > right[..., 0].mean()
+
+
+def test_nee_matches_plain_estimator():
+    """Next-event estimation is unbiased: on a LARGE-light scene where
+    the plain estimator converges fast, NEE and plain means agree
+    within MC noise (jnp integrator, both light kinds)."""
+    from rtow_tpu.models.camera import camera_rays, pixel_coords
+    from rtow_tpu.ops.integrator import trace
+
+    cam = make_camera(lookfrom=(0.0, 1.0, 4.0), lookat=(0.0, 0.5, 0.0),
+                      fov_degrees=50.0, aspect_ratio=1.0, aperture=0.0,
+                      focus_dist=4.0)
+    b = SceneBuilder()
+    ground = b.add_lambertian((0.6, 0.6, 0.6))
+    red = b.add_lambertian((0.7, 0.2, 0.2))
+    lamp = b.add_light((4.0, 4.0, 4.0))
+    tlamp = b.add_light((2.0, 2.0, 2.0))
+    b.add_sphere((0.0, -100.0, 0.0), 100.0, ground)
+    b.add_sphere((-0.8, 0.5, 0.0), 0.5, red)
+    b.add_sphere((1.5, 3.0, 1.0), 1.5, lamp)  # big sphere light
+    # Big triangle light overhead, wound to face down.
+    b.add_triangle((-4.0, 4.0, -4.0), (4.0, 4.0, -4.0), (4.0, 4.0, 4.0),
+                   tlamp)
+    scene = b.build(background=(0.0, 0.0, 0.0))
+    W = H = 8
+    spp, depth = 512, 4
+
+    def render_px(key, nee):
+        pix = jnp.arange(W * H, dtype=jnp.int32)
+        lane_pix = jnp.repeat(pix, spp)
+        k_pix, k_cam, k_tr = jax.random.split(key, 3)
+        s, t = pixel_coords(W, H, k_pix, lane_pix, dtype=jnp.float32)
+        rays = camera_rays(cam, k_cam, s, t)
+        rad = trace(scene, rays, k_tr, depth, nee=nee)
+        return np.asarray(rad.reshape(W * H, spp, 3))
+
+    samp_p = render_px(jax.random.key(0), False)
+    samp_n = render_px(jax.random.key(1), True)
+    img_p, img_n = samp_p.mean(axis=1), samp_n.mean(axis=1)
+    assert abs(img_p.mean() - img_n.mean()) < 0.02
+    assert np.abs(img_p - img_n).mean() < 0.05
+    # Variance reduction: NEE per-sample std must be lower.
+    assert samp_n.std(axis=1).mean() < samp_p.std(axis=1).mean()
+
+
+def test_nee_variance_reduction_cornell():
+    """On the small-light Cornell box NEE must substantially cut the
+    per-sample std (measured 1.8-3.1x depending on depth/crop; gate at
+    1.5x to stay seed-robust) — the reason NEE exists."""
+    from rtow_tpu.models.builders import cornell_scene
+    from rtow_tpu.models.camera import camera_rays, pixel_coords
+    from rtow_tpu.ops.integrator import trace
+
+    scene, cam = cornell_scene(1.0)
+    W = H = 8
+    spp, depth = 64, 4
+
+    def samples(nee):
+        pix = jnp.arange(W * H, dtype=jnp.int32)
+        lane_pix = jnp.repeat(pix, spp)
+        key = jax.random.key(9)
+        k_pix, k_cam, k_tr = jax.random.split(key, 3)
+        s, t = pixel_coords(W, H, k_pix, lane_pix, dtype=jnp.float32)
+        rays = camera_rays(cam, k_cam, s, t)
+        rad = trace(scene, rays, k_tr, depth, nee=nee)
+        return np.asarray(rad.reshape(W * H, spp, 3))
+
+    std_p = samples(False).std(axis=1).mean()
+    std_n = samples(True).std(axis=1).mean()
+    assert std_n < std_p / 1.5, (std_p, std_n)
+
+
 def test_emission_gradient_fd():
     """d(MSE)/d(emitted color) through the GRADIENT kernels vs central
     finite differences.  The camera stares at the light, so the loss is
