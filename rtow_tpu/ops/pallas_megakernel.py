@@ -301,7 +301,7 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
                n_blocks, n_tri_blocks, n_super=0, cull=True,
                tri_hbm=False, tri_scr=None, box_scr=None, sem_tri=None,
                sem_box=None, tri_hyp_ref=None, n_hyper=0, tri_t=False,
-               key_scr=None):
+               key_scr=None, t_init=None, fetch=True):
     """Nearest-hit sweep over Morton blocks with AABB culling and fused
     one-hot winner fetch.
 
@@ -490,7 +490,12 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
         params = _fused_fetch(blk, bk, upd, carry[2:], 0, _TBL_ROWS)
         return (best_t, best_k) + params
 
-    best_t = jnp.full(shape, BIG, jnp.float32)
+    # Occlusion sweeps (NEE shadow rays) seed best_t with the light
+    # distance: the f2b ordered descent then culls every box whose
+    # entry lies beyond the light, and ``fetch=False`` skips the
+    # winner-row fetch (only the final best_t is consumed).
+    best_t = (jnp.full(shape, BIG, jnp.float32) if t_init is None
+              else t_init)
     best_k = jnp.zeros(shape, jnp.int32)
     sph_params = tuple([zero] * _TBL_ROWS)
     if n_blocks:
@@ -698,6 +703,9 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
         best_t, best_k = tri_carry[0], tri_carry[1]
         if not defer:
             tri_params = tri_carry[2:]
+
+    if not fetch:  # occlusion-only sweep: callers consume best_t alone
+        return best_t, best_k, sph_params, tri_params
 
     if defer:
         hit = jnp.logical_and(alive, best_t < BIG)
@@ -1059,7 +1067,10 @@ def _bounce_core(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
         )
         # Shadow sweep: occlusion = anything nearer than the sampled
         # light point (a culled back-facing light is transparent AND
-        # zero-weighted, consistently).
+        # zero-weighted, consistently).  best_t is seeded with the
+        # light distance so the f2b descent culls boxes beyond the
+        # light, and the winner fetch is skipped entirely.
+        thresh = t_l * np.float32(1.0 - 1e-3)
         s_t, _sk, _sp, _tp = _sweep_all(
             tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
             px, py, pz, ldx, ldy, ldz, tm, nee_act,
@@ -1067,8 +1078,9 @@ def _bounce_core(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
             cull=cull, tri_hbm=tri_hbm, tri_scr=tri_scr, box_scr=box_scr,
             sem_tri=sem_tri, sem_box=sem_box, tri_hyp_ref=tri_hyp_ref,
             n_hyper=n_hyper, tri_t=tri_t, key_scr=key_scr,
+            t_init=thresh, fetch=False,
         )
-        open_ = s_t >= t_l * np.float32(1.0 - 1e-3)
+        open_ = s_t >= thresh
         cos_t = jnp.maximum(nx * ldx + ny * ldy + nz * ldz, 0.0)
         add = jnp.logical_and(nee_act, open_)
         rr = rr + jnp.where(add, tpr * alr * w0 * cos_t, 0.0)
