@@ -37,6 +37,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cornell", action="store_true",
                    help="Cornell box demo (emissive triangle ceiling "
                         "light; no reference counterpart)")
+    p.add_argument("--checker", action="store_true", dest="checker_ground",
+                   help="Checkered ground on the cover scene (book 2's "
+                        "first texture; no reference counterpart)")
     p.add_argument("--seed", type=int, default=d.seed)
     p.add_argument("--backend", choices=["auto", "jnp", "pallas"], default=d.backend)
     p.add_argument("--no-bvh", dest="use_bvh", action="store_false", default=d.use_bvh)
@@ -60,6 +63,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         model=args.load,
         lights_demo=args.lights,
         cornell_demo=args.cornell,
+        checker_ground=args.checker_ground,
         n_devices=args.devices,
         seed=args.seed,
         use_bvh=args.use_bvh,

@@ -27,6 +27,8 @@ class Config:
     lights_demo: bool = False
     #: Cornell box demo (emissive triangle ceiling light, colored walls).
     cornell_demo: bool = False
+    #: checkered ground sphere on the cover scene (book 2's first texture).
+    checker_ground: bool = False
 
     # -- TPU-native knobs --------------------------------------------------
     #: devices used for rendering; the analogue of the reference's

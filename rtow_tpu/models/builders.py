@@ -41,7 +41,12 @@ def cover_scene(cfg: Config, dtype=REAL) -> Tuple[Scene, Camera]:
     )
 
     b = SceneBuilder()
-    ground = b.add_lambertian((0.5, 0.5, 0.5))
+    if getattr(cfg, "checker_ground", False):
+        # Book 2's opening change to the cover: a checkered ground
+        # sphere (no reference counterpart — it stops at book 1).
+        ground = b.add_checker((0.2, 0.3, 0.1), (0.9, 0.9, 0.9), scale=3.2)
+    else:
+        ground = b.add_lambertian((0.5, 0.5, 0.5))
     b.add_sphere((0.0, -1000.0, 0.0), 1000.0, ground)
 
     n = cfg.number_of_balls_sqrt

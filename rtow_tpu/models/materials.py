@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from ..ops import vec
 from ..utils import rng
-from .scene import DIELECTRIC, EMISSIVE, LAMBERTIAN, METAL
+from .scene import CHECKER, DIELECTRIC, EMISSIVE, METAL
 
 
 class HitRecord(NamedTuple):
@@ -97,12 +97,14 @@ def scatter(key: jax.Array, in_direction: jax.Array, rec: HitRecord) -> ScatterR
     diel_dir = jnp.where(must_reflect[..., None], refl, refr)
     diel_dir = diel_dir + rec.fuzz[..., None] * unit
 
-    # --- select by kind ----------------------------------------------------
+    # --- select by kind (Lambertian-like kinds are the default branch,
+    # so CHECKER — a Lambertian with a point-dependent albedo resolved
+    # in hit_record_from — needs no case here) ------------------------
     kind = rec.mat_kind[..., None]
     direction = jnp.where(
-        kind == LAMBERTIAN,
-        lam_dir,
-        jnp.where(kind == METAL, metal_dir, diel_dir),
+        kind == METAL,
+        metal_dir,
+        jnp.where(kind == DIELECTRIC, diel_dir, lam_dir),
     )
     attenuation = jnp.where(
         kind == DIELECTRIC, jnp.ones_like(rec.albedo), rec.albedo
@@ -129,6 +131,18 @@ def background_color(scene, direction: jax.Array) -> jax.Array:
         jnp.asarray(scene.background, dtype=direction.dtype),
         direction.shape,
     )
+
+
+def checker_albedo(kind, point, scale, even, odd):
+    """Book-2 checker: sign of prod(sin(scale * p)) picks the color.
+
+    ``scale`` rides the ir column (unused by diffuse kinds); non-CHECKER
+    lanes keep ``even`` (their ordinary albedo)."""
+    s = scale[..., None] * point
+    odd_cell = (jnp.sin(s[..., 0]) * jnp.sin(s[..., 1])
+                * jnp.sin(s[..., 2])) < 0.0
+    use_odd = (kind == CHECKER) & odd_cell
+    return jnp.where(use_odd[..., None], odd, even)
 
 
 def emitted(rec: HitRecord) -> jax.Array:

@@ -37,6 +37,11 @@ LAMBERTIAN = 0
 METAL = 1
 DIELECTRIC = 2
 EMISSIVE = 3
+#: Checker texture (book 2's first texture, also beyond the reference):
+#: a Lambertian whose albedo alternates between ``albedo`` and
+#: ``albedo2`` by the sign of prod(sin(scale * p)) at the hit point;
+#: the scale rides the (otherwise dielectric-only) ``ir`` column.
+CHECKER = 4
 
 
 def _pytree_dataclass(cls, meta=()):
@@ -55,10 +60,11 @@ class Materials:
     subclasses (src/common-model.h:153-167) with one dense table.
     """
 
-    kind: jax.Array  # (K,)  int32 in {LAMBERTIAN, METAL, DIELECTRIC}
-    albedo: jax.Array  # (K, 3) lambertian/metal albedo; unused for dielectric
+    kind: jax.Array  # (K,)  int32 in {LAMBERTIAN..CHECKER}
+    albedo: jax.Array  # (K, 3) lambertian/metal albedo; checker even color
     fuzz: jax.Array  # (K,)  metal & dielectric fuzz (clamped [0,1] at build)
-    ir: jax.Array  # (K,)  dielectric index of refraction
+    ir: jax.Array  # (K,)  dielectric refraction index / checker scale
+    albedo2: jax.Array  # (K, 3) checker odd color (= albedo elsewhere)
 
 
 @_pytree_dataclass
@@ -77,7 +83,8 @@ class Triangles:
 
 
 @functools.partial(
-    _pytree_dataclass, meta=("background", "has_emissive", "light_ids")
+    _pytree_dataclass,
+    meta=("background", "has_emissive", "light_ids", "has_checker"),
 )
 class Scene:
     spheres: Spheres
@@ -95,6 +102,9 @@ class Scene:
     #: primitive — drives next-event estimation's light table
     #: (ops/lights.py) via static indexing into the traced leaves.
     light_ids: tuple = ()
+    #: Static flag: any CHECKER material present (gates the kernel's
+    #: extended 16-param winner fetch + the parity select).
+    has_checker: bool = False
 
     @property
     def n_spheres(self) -> int:
@@ -122,6 +132,7 @@ class SceneBuilder:
         self._mat_albedo: list[tuple] = []
         self._mat_fuzz: list[float] = []
         self._mat_ir: list[float] = []
+        self._mat_albedo2: list[tuple] = []
         self._sph: list[tuple] = []  # (c0, c1, radius, mat)
         self._tri: list[tuple] = []  # (a, b, c, mat)
         self._tri_blocks: list[tuple] = []  # ((M, 3, 3) array, mat)
@@ -142,13 +153,24 @@ class SceneBuilder:
         add ``throughput * emit`` and terminate (no scatter)."""
         return self._add_mat(EMISSIVE, emit, 0.0, 1.0)
 
-    def _add_mat(self, kind, albedo, fuzz, ir) -> int:
+    def add_checker(self, even, odd, scale: float = 10.0) -> int:
+        """Checkerboard Lambertian (book 2's first texture): albedo is
+        ``even`` or ``odd`` by the sign of prod(sin(scale * p)) at the
+        hit point.  ``scale`` is cells per unit length (stored in the
+        ``ir`` column, unused by diffuse materials)."""
+        return self._add_mat(CHECKER, even, 0.0, float(scale), albedo2=odd)
+
+    def _add_mat(self, kind, albedo, fuzz, ir, albedo2=None) -> int:
         self._mat_kind.append(kind)
         self._mat_albedo.append(tuple(float(x) for x in albedo))
         # Reference clamps fuzz into [0, 1] at construction
         # (src/common-model.h:133, :145).
         self._mat_fuzz.append(min(max(float(fuzz), 0.0), 1.0))
         self._mat_ir.append(float(ir))
+        self._mat_albedo2.append(
+            tuple(float(x) for x in albedo2) if albedo2 is not None
+            else self._mat_albedo[-1]
+        )
         return len(self._mat_kind) - 1
 
     # -- primitives --------------------------------------------------------
@@ -225,6 +247,11 @@ class SceneBuilder:
             tv = np.zeros((0, 3, 3), np_real)
             tmat = np.zeros((0,), np.int32)
 
+        if any(self._mat_kind[m] == CHECKER for m in tmat):
+            raise ValueError(
+                "checker materials are sphere-only: the kernel's triangle"
+                " table has no spare columns for the odd color"
+            )
         n_lights = sum(
             1 for s in self._sph if self._mat_kind[s[3]] == EMISSIVE
         ) + sum(1 for m in tmat if self._mat_kind[m] == EMISSIVE)
@@ -250,6 +277,7 @@ class SceneBuilder:
                 albedo=as_real(np.array(self._mat_albedo, np_real)),
                 fuzz=as_real(np.array(self._mat_fuzz, np_real)),
                 ir=as_real(np.array(self._mat_ir, np_real)),
+                albedo2=as_real(np.array(self._mat_albedo2, np_real)),
             ),
             background=background,
             has_emissive=any(k == EMISSIVE for k in self._mat_kind),
@@ -259,4 +287,5 @@ class SceneBuilder:
                 + [("t", i) for i, m in enumerate(tmat)
                    if self._mat_kind[m] == EMISSIVE]
             ),
+            has_checker=any(k == CHECKER for k in self._mat_kind),
         )

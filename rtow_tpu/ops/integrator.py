@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from ..models.camera import Rays
 from ..models.materials import background_color, emitted, scatter
-from ..models.scene import EMISSIVE, LAMBERTIAN, Scene
+from ..models.scene import CHECKER, EMISSIVE, LAMBERTIAN, Scene
 from . import intersect
 
 
@@ -136,7 +136,8 @@ def trace(
             )
             can_scatter = can_scatter & ~is_emis
 
-        is_diffuse = rec.mat_kind == LAMBERTIAN
+        is_diffuse = ((rec.mat_kind == LAMBERTIAN)
+                      | (rec.mat_kind == CHECKER))
         if nee:
             k_nee = jax.random.fold_in(jax.random.fold_in(key, i), 7919)
             pick, u1, u2 = jax.random.uniform(k_nee, (3, *lanes),
@@ -288,7 +289,8 @@ def trace_progressive(
                 lit[..., None], throughput * emitted(rec), 0.0,
             )
             can = can & ~is_emis
-        is_diffuse = rec.mat_kind == LAMBERTIAN
+        is_diffuse = ((rec.mat_kind == LAMBERTIAN)
+                      | (rec.mat_kind == CHECKER))
         if nee:
             k_nee = jax.random.fold_in(k, 7919)
             pick, u1, u2 = jax.random.uniform(k_nee, (3, n_pix),

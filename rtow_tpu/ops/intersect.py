@@ -149,16 +149,18 @@ def hit_record_from(
     mats = scene.materials
 
     def mat_cols(mat_ids):
-        """Per-primitive material param block (K, 6): albedo, fuzz, ir, kind."""
-        return jnp.concatenate(
-            [
-                mats.albedo[mat_ids],
-                mats.fuzz[mat_ids, None],
-                mats.ir[mat_ids, None],
-                mats.kind[mat_ids, None].astype(dtype),
-            ],
-            axis=1,
-        )
+        """Per-primitive material param block (K, 6): albedo, fuzz, ir,
+        kind — plus the checker odd color (K, 9) when the scene has
+        checker materials (static gate, normal scenes stay at 6)."""
+        cols = [
+            mats.albedo[mat_ids],
+            mats.fuzz[mat_ids, None],
+            mats.ir[mat_ids, None],
+            mats.kind[mat_ids, None].astype(dtype),
+        ]
+        if scene.has_checker:
+            cols.append(mats.albedo2[mat_ids])
+        return jnp.concatenate(cols, axis=1)
 
     if n_sph:
         sph_table = jnp.concatenate(
@@ -181,7 +183,7 @@ def hit_record_from(
         n_s = (point - center) / r_safe[..., None]
         front_s = (vec.dot(direction, n_s) < 0.0) ^ (r < 0.0)
         n_s = jnp.where(front_s[..., None], n_s, -n_s)
-        mat_s = ps[..., 7:13]
+        mat_s = ps[..., 7:]
     if n_tri:
         tri_table = jnp.concatenate(
             [
@@ -200,7 +202,7 @@ def hit_record_from(
         # Reference reports triangles as always front-facing
         # (src/common-model.cpp:122).
         front_t = jnp.ones_like(hit)
-        mat_t = pt[..., 9:15]
+        mat_t = pt[..., 9:]
 
     if n_sph and n_tri:
         is_sph = (prim_idx < n_sph)[..., None]
@@ -212,14 +214,23 @@ def hit_record_from(
     else:
         normal, front, mat = n_t, front_t, mat_t
 
+    kind = jnp.round(mat[..., 5]).astype(jnp.int32)
+    albedo = mat[..., 0:3]
+    if scene.has_checker:
+        from ..models.materials import checker_albedo
+
+        # Resolve the checker color here so every consumer (scatter
+        # attenuation, NEE direct term) sees the effective albedo.
+        albedo = checker_albedo(kind, point, mat[..., 4], albedo,
+                                mat[..., 6:9])
     return HitRecord(
         t=t,
         hit=hit,
         point=point,
         normal=normal,
         front=front,
-        mat_kind=jnp.round(mat[..., 5]).astype(jnp.int32),
-        albedo=mat[..., 0:3],
+        mat_kind=kind,
+        albedo=albedo,
         fuzz=mat[..., 3],
         ir=mat[..., 4],
     )

@@ -77,7 +77,7 @@ def _salt(seed, it):
 def _grad_fwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
                      sup_ref, hyp_ref, *refs,
                      n_blocks, n_tri_blocks, n_super, n_hyper, cull,
-                     emissive, bg):
+                     emissive, bg, checker):
     """Forward bounce for the gradient path (spheres + triangles).
 
     refs = 16 inputs (13 cont f32 + alive i32 + bounce i32 + lid i32),
@@ -107,13 +107,14 @@ def _grad_fwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
         n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, n_super=n_super,
         cull=cull, tri_t=n_tri_blocks > 0,
         box_scr=box_scr, sem_box=sem_box, key_scr=key_scr,
-        tri_hyp_ref=hyp_ref, n_hyper=n_hyper,
+        tri_hyp_ref=hyp_ref, n_hyper=n_hyper, checker=checker,
     )
     draws = _draw_scatter(lane, salt)
     out = _shade_pure(state, sph_params, tri_params, draws, best_t, best_k,
                       alive, bounce, max_depth,
                       n_blocks=n_blocks, n_tri_blocks=n_tri_blocks,
-                      cull=cull, emissive=emissive, bg=bg)
+                      cull=cull, emissive=emissive, bg=bg,
+                      checker=checker)
     (nox, noy, noz, ndx, ndy, ndz, ntpr, ntpg, ntpb, nrr, nrg, nrb, can,
      nbounce) = out
     new_vals = [nox, noy, noz, ndx, ndy, ndz, tm, ntpr, ntpg, ntpb,
@@ -125,7 +126,7 @@ def _grad_fwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
 def _grad_bwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
                      sup_ref, hyp_ref, *refs,
                      n_blocks, n_tri_blocks, n_super, n_hyper, cull,
-                     emissive, bg):
+                     emissive, bg, checker):
     """Backward bounce: replay forward, vjp the shade, one-hot the
     parameter cotangents into the shared gradient-table accumulators.
 
@@ -163,7 +164,7 @@ def _grad_bwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
         n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, n_super=n_super,
         cull=cull, tri_t=n_tri_blocks > 0,
         box_scr=box_scr, sem_box=sem_box, key_scr=key_scr,
-        tri_hyp_ref=hyp_ref, n_hyper=n_hyper,
+        tri_hyp_ref=hyp_ref, n_hyper=n_hyper, checker=checker,
     )
     draws = _draw_scatter(lane, salt)
 
@@ -172,7 +173,8 @@ def _grad_bwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
             out = _shade_pure(state_cont, sparams, tparams, draws, best_t,
                               best_k, alive, bounce, max_depth,
                               n_blocks=n_blocks, n_tri_blocks=n_tri_blocks,
-                              cull=cull, emissive=emissive, bg=bg)
+                              cull=cull, emissive=emissive, bg=bg,
+                              checker=checker)
             return tuple(out[:12])  # cont outputs (tm passes through)
 
         _, vjp_fn = jax.vjp(shade, state, sph_params, tri_params)
@@ -181,7 +183,7 @@ def _grad_bwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
             out = _shade_pure(state_cont, sparams, tri_params, draws,
                               best_t, best_k, alive, bounce, max_depth,
                               n_blocks=n_blocks, n_tri_blocks=0, cull=cull,
-                              emissive=emissive, bg=bg)
+                              emissive=emissive, bg=bg, checker=checker)
             return tuple(out[:12])
 
         _, vjp_fn = jax.vjp(shade, state, sph_params)
@@ -224,7 +226,7 @@ def _grad_bwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
         def accum_block(b, _):
             oh = jnp.where(hit3, (bk3 - b * SPHERE_BLOCK == k_iota)
                            .astype(jnp.float32), 0.0)
-            for p in range(_TBL_ROWS):
+            for p in range(16 if checker else _TBL_ROWS):
                 # (rows, prims, lanes): rows reduce (sublane, cheap)
                 # then lanes -> per-primitive contribution.
                 contrib = jnp.sum(
@@ -345,7 +347,8 @@ def bounce_grad(cont, ints, tbl, boxes, tri, tri_boxes, tri_sup, tri_hyp,
 
 def _bounce_fwd_impl(cont, ints, tbl, boxes, tri, tri_boxes, tri_sup,
                      tri_hyp, statics, scalars):
-    n_blocks, n_tri_blocks, n_super, n_hyper, cull, emissive, bg = statics
+    (n_blocks, n_tri_blocks, n_super, n_hyper, cull, emissive, bg,
+     checker) = statics
     L = cont[0].shape[0]
     n_tiles = L // TILE
     it, seed, max_depth = scalars
@@ -356,7 +359,7 @@ def _bounce_fwd_impl(cont, ints, tbl, boxes, tri, tri_boxes, tri_sup,
         functools.partial(_grad_fwd_kernel, n_blocks=n_blocks,
                           n_tri_blocks=n_tri_blocks, n_super=n_super,
                           n_hyper=n_hyper, cull=cull, emissive=emissive,
-                          bg=bg),
+                          bg=bg, checker=checker),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=32 * 1024 * 1024 + tri.size * 4
         ),
@@ -389,7 +392,8 @@ def _bounce_grad_fwd(cont, ints, tbl, boxes, tri, tri_boxes, tri_sup,
 
 def _bounce_grad_bwd(statics, res, cot):
     cont, ints, tbl, boxes, tri, tri_boxes, tri_sup, tri_hyp, scalars = res
-    n_blocks, n_tri_blocks, n_super, n_hyper, cull, emissive, bg = statics
+    (n_blocks, n_tri_blocks, n_super, n_hyper, cull, emissive, bg,
+     checker) = statics
     cot_cont, _cot_ints = cot
     it, seed, max_depth = scalars
     L = cont[0].shape[0]
@@ -414,7 +418,7 @@ def _bounce_grad_bwd(statics, res, cot):
         functools.partial(_grad_bwd_kernel, n_blocks=n_blocks,
                           n_tri_blocks=n_tri_blocks, n_super=n_super,
                           n_hyper=n_hyper, cull=cull, emissive=emissive,
-                          bg=bg),
+                          bg=bg, checker=checker),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=(32 * 1024 * 1024 + tri.size * 4
                               + 16 * (npad + mpad) * 4)
@@ -576,7 +580,8 @@ def render_pixels_kernel(
         assert n_tri_blocks <= 1536, "flat gradient path caps at ~200k"
     statics = (n_blocks, n_tri_blocks, n_super, n_hyper, True,
                scene.has_emissive,
-               None if scene.background == "sky" else scene.background)
+               None if scene.background == "sky" else scene.background,
+               scene.has_checker)
 
     P = pixel_ids.shape[0]
     L_raw = P * spp

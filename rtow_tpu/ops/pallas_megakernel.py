@@ -41,7 +41,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..models.scene import DIELECTRIC, EMISSIVE, LAMBERTIAN, METAL, Scene
+from ..models.scene import (
+    CHECKER, DIELECTRIC, EMISSIVE, LAMBERTIAN, METAL, Scene,
+)
 
 import os as _os
 
@@ -123,7 +125,9 @@ def build_sphere_table(scene: Scene) -> Tuple[jax.Array, jax.Array]:
         rad,
         mats.albedo[mid, 0], mats.albedo[mid, 1], mats.albedo[mid, 2],
         mats.fuzz[mid], mats.ir[mid], mats.kind[mid].astype(f32),
-        jnp.zeros((n,), f32), jnp.zeros((n,), f32), jnp.zeros((n,), f32),
+        # Checker odd color (cols 13-15; = albedo for other kinds) —
+        # fetched only when the scene's static has_checker flag is set.
+        mats.albedo2[mid, 0], mats.albedo2[mid, 1], mats.albedo2[mid, 2],
     ], axis=1).astype(f32)  # (n, 16)
     # Padding spheres: r = 0 -> discriminant h^2 - a*|oc|^2 < 0 unless the
     # ray passes exactly through the origin; also force far-away center.
@@ -301,7 +305,7 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
                n_blocks, n_tri_blocks, n_super=0, cull=True,
                tri_hbm=False, tri_scr=None, box_scr=None, sem_tri=None,
                sem_box=None, tri_hyp_ref=None, n_hyper=0, tri_t=False,
-               key_scr=None, t_init=None, fetch=True):
+               key_scr=None, t_init=None, fetch=True, checker=False):
     """Nearest-hit sweep over Morton blocks with AABB culling and fused
     one-hot winner fetch.
 
@@ -487,7 +491,7 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
         best_k = jnp.where(upd, bk + b * SPHERE_BLOCK, best_k)
         if defer:
             return (best_t, best_k)
-        params = _fused_fetch(blk, bk, upd, carry[2:], 0, _TBL_ROWS)
+        params = _fused_fetch(blk, bk, upd, carry[2:], 0, n_sp)
         return (best_t, best_k) + params
 
     # Occlusion sweeps (NEE shadow rays) seed best_t with the light
@@ -497,7 +501,8 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
     best_t = (jnp.full(shape, BIG, jnp.float32) if t_init is None
               else t_init)
     best_k = jnp.zeros(shape, jnp.int32)
-    sph_params = tuple([zero] * _TBL_ROWS)
+    n_sp = 16 if checker else _TBL_ROWS
+    sph_params = tuple([zero] * n_sp)
     if n_blocks:
         init = (best_t, best_k) if defer else (best_t, best_k) + sph_params
         carry = jax.lax.fori_loop(0, n_blocks, sweep_block, init)
@@ -743,7 +748,7 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
                     pl.ds(pl.multiple_of(b * SPHERE_BLOCK, SPHERE_BLOCK),
                           SPHERE_BLOCK), :
                 ],
-                0, SPHERE_BLOCK, sph_params, _TBL_ROWS,
+                0, SPHERE_BLOCK, sph_params, n_sp,
             )
         if n_tri_blocks:
             tri_params = _winner_fetch(
@@ -756,7 +761,7 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
 
 
 def _hit_basics(state, sph_params, tri_params, best_t, best_k, *,
-                n_blocks, n_tri_blocks, cull=True):
+                n_blocks, n_tri_blocks, cull=True, checker=False):
     """Re-derive the hit record from the winner's parameters.
 
     Shared by :func:`_shade_pure` (scatter) and the NEE direct-light
@@ -766,7 +771,7 @@ def _hit_basics(state, sph_params, tri_params, best_t, best_k, *,
     """
     (ox, oy, oz, dx, dy, dz, tm, _tpr, _tpg, _tpb, _rr, _rg, _rb) = state
     (c0x, c0y, c0z, dcx, dcy, dcz, r_, alr, alg, alb, fuzz, ir,
-     kind) = sph_params
+     kind) = sph_params[:13]
     hit = best_t < BIG
     a = dx * dx + dy * dy + dz * dz
 
@@ -838,6 +843,17 @@ def _hit_basics(state, sph_params, tri_params, best_t, best_k, *,
         nz = jnp.where(is_tri, tnz, nz)
         front = jnp.logical_or(is_tri, front)
 
+    if checker:
+        # Book-2 checker (sphere-only; build() rejects checker on
+        # triangles): sign of prod(sin(scale * p)) picks the odd color
+        # from the sphere table's cols 13-15; scale rides the ir column.
+        al2r, al2g, al2b = sph_params[13:16]
+        sp = (jnp.sin(ir * px) * jnp.sin(ir * py) * jnp.sin(ir * pz))
+        use_odd = jnp.logical_and(kind == np.float32(CHECKER), sp < 0.0)
+        alr = jnp.where(use_odd, al2r, alr)
+        alg = jnp.where(use_odd, al2g, alg)
+        alb = jnp.where(use_odd, al2b, alb)
+
     return (hit, t_hit, px, py, pz, nx, ny, nz, front,
             alr, alg, alb, fuzz, ir, kind, a)
 
@@ -845,7 +861,8 @@ def _hit_basics(state, sph_params, tri_params, best_t, best_k, *,
 def _shade_pure(state, sph_params, tri_params, draws,
                 best_t, best_k, alive, bounce, max_depth, *,
                 n_blocks, n_tri_blocks, cull=True, ablate="full",
-                emissive=False, bg=None, basics=None, from_diffuse=None):
+                emissive=False, bg=None, basics=None, from_diffuse=None,
+                checker=False):
     """The differentiable half of a bounce: winner params -> new state.
 
     ``state`` = 13-tuple (ox..dz, tm, tpr..tpb, rr..rb); ``sph_params``
@@ -868,7 +885,7 @@ def _shade_pure(state, sph_params, tri_params, draws,
     if basics is None:
         basics = _hit_basics(state, sph_params, tri_params, best_t, best_k,
                              n_blocks=n_blocks, n_tri_blocks=n_tri_blocks,
-                             cull=cull)
+                             cull=cull, checker=checker)
     (hit, t_hit, px, py, pz, nx, ny, nz, front,
      alr, alg, alb, fuzz, ir, kind, a) = basics
 
@@ -980,7 +997,9 @@ def _shade_pure(state, sph_params, tri_params, draws,
     if from_diffuse is not None:
         # NEE: encode came-from-Lambertian in the alive code (0 dead,
         # 1 specular-alive, 2 diffuse-alive) — no extra state array.
-        is_lam = kind == np.float32(LAMBERTIAN)
+        # CHECKER is a Lambertian with a point-dependent albedo.
+        is_lam = jnp.logical_or(kind == np.float32(LAMBERTIAN),
+                                kind == np.float32(CHECKER))
         can = can.astype(jnp.int32) * jnp.where(is_lam, 2, 1)
     return (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, rr, rg, rb, can,
             bounce)
@@ -1012,7 +1031,8 @@ def _bounce_core(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
                  tri_hbm=False, tri_scr=None, box_scr=None, sem_tri=None,
                  sem_box=None, tri_hyp_ref=None, n_hyper=0, tri_t=False,
                  key_scr=None, emissive=False, bg=None,
-                 lights_ref=None, nee_kinds=(), from_diffuse=None):
+                 lights_ref=None, nee_kinds=(), from_diffuse=None,
+                 checker=False):
     """One intersect+shade step for every live lane of a tile.
 
     The shared heart of the megakernels (persistent whole-frame,
@@ -1038,7 +1058,7 @@ def _bounce_core(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
         n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, n_super=n_super,
         cull=cull, tri_hbm=tri_hbm, tri_scr=tri_scr, box_scr=box_scr,
         sem_tri=sem_tri, sem_box=sem_box, tri_hyp_ref=tri_hyp_ref,
-        n_hyper=n_hyper, tri_t=tri_t, key_scr=key_scr,
+        n_hyper=n_hyper, tri_t=tri_t, key_scr=key_scr, checker=checker,
     )
     if ablate == "nofetch":
         zero = jnp.zeros(ox.shape, jnp.float32)
@@ -1052,6 +1072,7 @@ def _bounce_core(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
             (ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb),
             sph_params, tri_params, best_t, best_k,
             n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, cull=cull,
+            checker=checker,
         )
         (hit, _t_hit, px, py, pz, nx, ny, nz, _front,
          alr, alg, alb, _fuzz, _ir, kind, _a) = basics
@@ -1063,7 +1084,8 @@ def _bounce_core(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
         nee_act = jnp.logical_and(
             jnp.logical_and(jnp.logical_and(alive, hit),
                             bounce < max_depth),
-            kind == np.float32(LAMBERTIAN),
+            jnp.logical_or(kind == np.float32(LAMBERTIAN),
+                           kind == np.float32(CHECKER)),
         )
         # Shadow sweep: occlusion = anything nearer than the sampled
         # light point (a culled back-facing light is transparent AND
@@ -1092,13 +1114,15 @@ def _bounce_core(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
         max_depth, n_blocks=n_blocks, n_tri_blocks=n_tri_blocks,
         cull=cull, ablate=ablate, emissive=emissive, bg=bg,
         basics=basics, from_diffuse=from_diffuse if nee_kinds else None,
+        checker=checker,
     )
 
 
 def _kernel(cam_ref, meta_ref, tbl_ref, sph_box_ref, tri_ref, tri_box_ref,
             tri_sup_ref, lights_ref, out_r, out_g, out_b, *, n_blocks,
             n_tri_blocks, n_super=0, cull=True, ablate="full",
-            fixed_iters=0, emissive=False, bg=None, nee_kinds=()):
+            fixed_iters=0, emissive=False, bg=None, nee_kinds=(),
+            checker=False):
     # Global tile id: grid position + this shard's tile offset (meta[0,4])
     # — devices in a mesh each render a contiguous tile range.
     pid = pl.program_id(0) + meta_ref[0, 4]
@@ -1206,7 +1230,7 @@ def _kernel(cam_ref, meta_ref, tbl_ref, sph_box_ref, tri_ref, tri_box_ref,
             n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, n_super=n_super,
             cull=cull, ablate=ablate, emissive=emissive, bg=bg,
             lights_ref=lights_ref, nee_kinds=nee_kinds,
-            from_diffuse=from_diffuse,
+            from_diffuse=from_diffuse, checker=checker,
         )
         return (ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb,
                 can.astype(jnp.int32), bounce, started, it + 1)
@@ -1230,7 +1254,7 @@ def _flat_bounce_kernel(
     *refs,
     n_blocks, n_tri_blocks, n_super=0, cull=True, tri_hbm=False,
     n_hyper=0, tri_t=False, f2b=True, stats=False, emissive=False,
-    bg=None, nee_kinds=(),
+    bg=None, nee_kinds=(), checker=False,
 ):
     """One bounce over a tile of pre-generated (sorted) rays.
 
@@ -1295,6 +1319,7 @@ def _flat_bounce_kernel(
             emissive=emissive, bg=bg,
             lights_ref=lights_ref, nee_kinds=nee_kinds,
             from_diffuse=(al > 1) if nee_kinds else None,
+            checker=checker,
         )
         (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, rr, rg, rb, can, bo) = out
         return (ox, oy, oz, dx, dy, dz, tmv, tpr, tpg, tpb, rr, rg, rb,
@@ -1336,6 +1361,7 @@ def bounce_step_pallas(
     emissive: bool = False,
     bg=None,
     nee_kinds=(),
+    checker: bool = False,
 ):
     """Advance L flat lanes one bounce through the megakernel core.
 
@@ -1390,7 +1416,7 @@ def bounce_step_pallas(
         _flat_bounce_kernel, n_blocks=n_blocks, n_tri_blocks=n_tri_blocks,
         n_super=n_super, cull=cull, tri_hbm=tri_hbm, n_hyper=n_hyper,
         tri_t=tri_t, f2b=f2b, stats=stats, emissive=emissive, bg=bg,
-        nee_kinds=nee_kinds,
+        nee_kinds=nee_kinds, checker=checker,
     )
     if n_super:
         # Pack each super's 16 block AABBs into one (1, SUPER*8) row so
@@ -1558,7 +1584,7 @@ def render_blocks_pallas(
         n_super=n_super, cull=cull, ablate=ablate, fixed_iters=fixed_iters,
         emissive=scene.has_emissive,
         bg=None if scene.background == "sky" else scene.background,
-        nee_kinds=nee_kinds,
+        nee_kinds=nee_kinds, checker=scene.has_checker,
     )
     out_shape = [
         jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, LANES), jnp.float32)

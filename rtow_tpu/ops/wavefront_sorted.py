@@ -175,7 +175,7 @@ def _scene_tables(scene: Scene):
 def _trace_lane_per_sample(
     camera, key, lane_pix, seed, *, L_raw, L, P, lpp, max_depth,
     width, height, cull_backfaces, tables, counts, bmin, inv_ext,
-    emissive=False, bg=None, nee_kinds=(),
+    emissive=False, bg=None, nee_kinds=(), checker=False,
 ):
     """The default lane-per-sample fast path (one lane = one sample).
 
@@ -235,7 +235,7 @@ def _trace_lane_per_sample(
             st, it, seed, max_depth, tables,
             n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, n_super=n_super,
             cull=cull_backfaces, emissive=emissive, bg=bg,
-            nee_kinds=nee_kinds,
+            nee_kinds=nee_kinds, checker=checker,
         )
         return st, it + 1
 
@@ -304,6 +304,7 @@ def trace_wavefront_sorted(
     emissive=None,
     bg=None,
     nee_kinds=(),
+    checker=False,
 ) -> jax.Array:
     """Radiance sums for a chunk of pixels -> (P, 3).
 
@@ -332,6 +333,8 @@ def trace_wavefront_sorted(
             bg = scene.background
         if scene is not None and scene.has_emissive:
             nee_kinds = tuple(k for k, _ in scene.light_ids)
+        if scene is not None:
+            checker = scene.has_checker
     n_blocks, n_tri_blocks, n_super = counts
 
     P = pixel_ids.shape[0]
@@ -355,7 +358,7 @@ def trace_wavefront_sorted(
             max_depth=max_depth, width=width, height=height,
             cull_backfaces=cull_backfaces, tables=tables, counts=counts,
             bmin=bmin, inv_ext=inv_ext, emissive=emissive, bg=bg,
-            nee_kinds=nee_kinds,
+            nee_kinds=nee_kinds, checker=checker,
         )
 
     zero = jnp.zeros((L,), f32)
@@ -416,7 +419,7 @@ def trace_wavefront_sorted(
             st, it, seed, max_depth, tables,
             n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, n_super=n_super,
             cull=cull_backfaces, emissive=emissive, bg=bg,
-            nee_kinds=nee_kinds,
+            nee_kinds=nee_kinds, checker=checker,
         )
         return st, started, lane_pix, it + 1
 
@@ -485,7 +488,7 @@ def trace_wavefront_sorted(
 def _frame_fn(width: int, height: int, spp: int, max_depth: int,
               ppc: int, lpp: int, band_chunks: int, counts, cull: bool,
               progress: bool = False, emissive: bool = False, bg=None,
-              nee_kinds=()):
+              nee_kinds=(), checker: bool = False):
     """Cached jitted band renderer (re-jit per call costs seconds).
 
     Renders ``band_chunks`` consecutive pixel chunks starting at global
@@ -509,6 +512,7 @@ def _frame_fn(width: int, height: int, spp: int, max_depth: int,
                 cull_backfaces=cull, tables=tables, counts=counts,
                 bmin=bmin, inv_ext=inv_ext, lanes_per_pixel=lpp,
                 emissive=emissive, bg=bg, nee_kinds=nee_kinds,
+                checker=checker,
             )
             sums = jnp.where((pixel_ids < n_pixels)[:, None], sums, 0.0)
             if progress:
@@ -574,7 +578,8 @@ def render_wavefront(
                       scene.has_emissive,
                       None if scene.background == "sky" else scene.background,
                       tuple(k for k, _ in scene.light_ids)
-                      if scene.has_emissive else ())
+                      if scene.has_emissive else (),
+                      scene.has_checker)
 
     t0 = _time.perf_counter()
     n_bands = -(-n_chunks // band)
