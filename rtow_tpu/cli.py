@@ -40,6 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checker", action="store_true", dest="checker_ground",
                    help="Checkered ground on the cover scene (book 2's "
                         "first texture; no reference counterpart)")
+    p.add_argument("--textures", action="store_true", dest="textures_demo",
+                   help="Procedural-texture demo scene: checker ground + "
+                        "marble sphere (book 2; no reference counterpart)")
     p.add_argument("--seed", type=int, default=d.seed)
     p.add_argument("--backend", choices=["auto", "jnp", "pallas"], default=d.backend)
     p.add_argument("--no-bvh", dest="use_bvh", action="store_false", default=d.use_bvh)
@@ -64,6 +67,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         lights_demo=args.lights,
         cornell_demo=args.cornell,
         checker_ground=args.checker_ground,
+        textures_demo=args.textures_demo,
         n_devices=args.devices,
         seed=args.seed,
         use_bvh=args.use_bvh,

@@ -29,6 +29,8 @@ class Config:
     cornell_demo: bool = False
     #: checkered ground sphere on the cover scene (book 2's first texture).
     checker_ground: bool = False
+    #: procedural-texture demo scene (checker ground + marble sphere).
+    textures_demo: bool = False
 
     # -- TPU-native knobs --------------------------------------------------
     #: devices used for rendering; the analogue of the reference's

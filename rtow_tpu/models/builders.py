@@ -175,10 +175,36 @@ def light_scene(aspect_ratio: float = 16.0 / 9.0, dtype=REAL) -> Tuple[Scene, Ca
     return b.build(dtype, background=(0.0, 0.0, 0.0)), cam
 
 
+def textures_scene(aspect_ratio: float = 1.5, dtype=REAL) -> Tuple[Scene, Camera]:
+    """Procedural-texture demo (book 2's texture chapters; no reference
+    counterpart — it stops at book 1): checkered ground, a marble
+    (hash value-noise) sphere, and a near-mirror metal sphere that
+    reflects both.  Rendered as ``samples/textures.png``."""
+    cam = make_camera(
+        lookfrom=(0.0, 1.2, 3.2),
+        lookat=(0.0, 0.4, 0.0),
+        fov_degrees=40.0,
+        aspect_ratio=aspect_ratio,
+        aperture=0.0,
+        focus_dist=3.2,
+        dtype=dtype,
+    )
+    b = SceneBuilder()
+    ground = b.add_checker((0.2, 0.3, 0.1), (0.9, 0.9, 0.9), scale=6.0)
+    marble = b.add_noise((0.92, 0.92, 0.92), (0.25, 0.1, 0.05), scale=3.0)
+    mirror = b.add_metal((0.85, 0.85, 0.9), 0.03)
+    b.add_sphere((0.0, -100.0, 0.0), 100.0, ground)
+    b.add_sphere((-0.7, 0.55, 0.0), 0.55, marble)
+    b.add_sphere((0.75, 0.45, 0.6), 0.45, mirror)
+    return b.build(dtype), cam
+
+
 def cornell_scene(aspect_ratio: float = 1.0, dtype=REAL) -> Tuple[Scene, Camera]:
     """Cornell box: emissive TRIANGLES (ceiling area light), colored
-    walls, a mirror and a matte sphere — the classic global-illumination
-    test, beyond the reference's scope (sky-only lighting, no quads).
+    walls, a mirror sphere and the classic tall rotated box (book 2's
+    rotate_y/translate instances, baked into the vertex table by
+    ``SceneBuilder.add_box``) — the classic global-illumination test,
+    beyond the reference's scope (sky-only lighting, no quads).
 
     Walls are triangle pairs wound so face normals point INTO the box
     (the kernel keeps the reference's backface cull, det >= 1e-6 — see
@@ -200,12 +226,7 @@ def cornell_scene(aspect_ratio: float = 1.0, dtype=REAL) -> Tuple[Scene, Camera]
     lamp = b.add_light((15.0, 15.0, 15.0))
     mirror = b.add_metal((0.95, 0.95, 0.95), 0.0)
 
-    def quad(p00, p10, p11, p01, mat):
-        """Two triangles for corners in CCW order as seen from the
-        normal side (cross(e1, e2) points at the viewer)."""
-        b.add_triangle(p00, p10, p11, mat)
-        b.add_triangle(p00, p11, p01, mat)
-
+    quad = b.add_quad  # corners CCW as seen from the normal side
     s = 555.0
     # Floor (normal +y), ceiling (normal -y), back wall (normal -z,
     # toward the camera); x=s is image-LEFT from this camera (+x left
@@ -221,7 +242,10 @@ def cornell_scene(aspect_ratio: float = 1.0, dtype=REAL) -> Tuple[Scene, Camera]
     quad((343, s - 1, 227), (343, s - 1, 332), (213, s - 1, 332),
          (213, s - 1, 227), lamp)
     b.add_sphere((190.0, 90.0, 190.0), 90.0, mirror)
-    b.add_sphere((370.0, 90.0, 350.0), 90.0, white)
+    # The book's tall box (165x330x165, rotated 15 deg) — instanced by
+    # the build-time vertex bake, not per-ray inverse transforms.
+    b.add_box((0.0, 0.0, 0.0), (165.0, 330.0, 165.0), white,
+              rotate_y=15.0, translate=(265.0, 0.0, 295.0))
     return b.build(dtype, background=(0.0, 0.0, 0.0)), cam
 
 
@@ -232,6 +256,8 @@ def scene_for_config(cfg: Config, dtype=REAL) -> Tuple[Scene, Camera]:
         return light_scene(cfg.aspect_ratio, dtype)
     if getattr(cfg, "cornell_demo", False):
         return cornell_scene(cfg.aspect_ratio, dtype)
+    if getattr(cfg, "textures_demo", False):
+        return textures_scene(cfg.aspect_ratio, dtype)
     if cfg.model:
         return mesh_scene(cfg, dtype)
     return cover_scene(cfg, dtype)

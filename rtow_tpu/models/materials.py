@@ -28,10 +28,11 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import vec
 from ..utils import rng
-from .scene import CHECKER, DIELECTRIC, EMISSIVE, METAL
+from .scene import CHECKER, DIELECTRIC, EMISSIVE, METAL, NOISE
 
 
 class HitRecord(NamedTuple):
@@ -133,16 +134,75 @@ def background_color(scene, direction: jax.Array) -> jax.Array:
     )
 
 
-def checker_albedo(kind, point, scale, even, odd):
-    """Book-2 checker: sign of prod(sin(scale * p)) picks the color.
+def _hash01(xi, yi, zi):
+    """Lattice hash -> uniform [0, 1): murmur3-style finalizer over the
+    three integer coordinates.  Pure uint32 arithmetic — no permutation
+    tables, so it runs identically in jnp and inside Pallas kernels
+    (TPU gathers would serialize; the book's Perlin tables cannot)."""
+    h = (xi.astype(jnp.uint32) * np.uint32(0x9E3779B1)
+         ^ yi.astype(jnp.uint32) * np.uint32(0x85EBCA77)
+         ^ zi.astype(jnp.uint32) * np.uint32(0xC2B2AE3D))
+    h = h ^ (h >> 16)
+    h = h * np.uint32(0x7FEB352D)
+    h = h ^ (h >> 15)
+    h = h * np.uint32(0x846CA68B)
+    h = h ^ (h >> 16)
+    # Mosaic has no uint32->f32 cast; (h >> 8) < 2^24 fits int32 exactly.
+    return ((h >> 8).astype(jnp.int32).astype(jnp.float32)
+            * np.float32(1.0 / (1 << 24)))
 
-    ``scale`` rides the ir column (unused by diffuse kinds); non-CHECKER
-    lanes keep ``even`` (their ordinary albedo)."""
+
+def value_noise(px, py, pz):
+    """Trilinear hash value noise -> [0, 1) (book 2's Perlin analogue)."""
+    ix = jnp.floor(px)
+    iy = jnp.floor(py)
+    iz = jnp.floor(pz)
+    fx, fy, fz = px - ix, py - iy, pz - iz
+    # Hermite smoothing (the book's smoothstep fade).
+    ux = fx * fx * (3.0 - 2.0 * fx)
+    uy = fy * fy * (3.0 - 2.0 * fy)
+    uz = fz * fz * (3.0 - 2.0 * fz)
+    xi, yi, zi = ix.astype(jnp.int32), iy.astype(jnp.int32), iz.astype(
+        jnp.int32)
+
+    def corner(dx, dy, dz):
+        return _hash01(xi + dx, yi + dy, zi + dz)
+
+    def lerp(a, b, t):
+        return a + (b - a) * t
+
+    c00 = lerp(corner(0, 0, 0), corner(1, 0, 0), ux)
+    c10 = lerp(corner(0, 1, 0), corner(1, 1, 0), ux)
+    c01 = lerp(corner(0, 0, 1), corner(1, 0, 1), ux)
+    c11 = lerp(corner(0, 1, 1), corner(1, 1, 1), ux)
+    return lerp(lerp(c00, c10, uy), lerp(c01, c11, uy), uz)
+
+
+def marble_t(px, py, pz, scale):
+    """Marble mix weight in [0, 1]: a z-stripe displaced by 3-octave
+    value-noise turbulence (the book's `sin(scale*z + 10*turb)`)."""
+    turb = (value_noise(px * scale, py * scale, pz * scale)
+            + 0.5 * value_noise(px * scale * 2.0 + 17.0,
+                                py * scale * 2.0, pz * scale * 2.0)
+            + 0.25 * value_noise(px * scale * 4.0,
+                                 py * scale * 4.0 + 31.0,
+                                 pz * scale * 4.0)) / 1.75
+    return 0.5 * (1.0 + jnp.sin(scale * pz + 10.0 * turb))
+
+
+def checker_albedo(kind, point, scale, even, odd):
+    """Textured albedo: CHECKER picks even/odd by cell parity, NOISE
+    lerps even <-> odd by the marble weight; other kinds keep ``even``
+    (their ordinary albedo).  ``scale`` rides the ir column."""
     s = scale[..., None] * point
     odd_cell = (jnp.sin(s[..., 0]) * jnp.sin(s[..., 1])
                 * jnp.sin(s[..., 2])) < 0.0
     use_odd = (kind == CHECKER) & odd_cell
-    return jnp.where(use_odd[..., None], odd, even)
+    out = jnp.where(use_odd[..., None], odd, even)
+    is_noise = kind == NOISE
+    t = marble_t(point[..., 0], point[..., 1], point[..., 2], scale)
+    return jnp.where(is_noise[..., None],
+                     even + (odd - even) * t[..., None], out)
 
 
 def emitted(rec: HitRecord) -> jax.Array:

@@ -42,6 +42,11 @@ EMISSIVE = 3
 #: ``albedo2`` by the sign of prod(sin(scale * p)) at the hit point;
 #: the scale rides the (otherwise dielectric-only) ``ir`` column.
 CHECKER = 4
+#: Marble/noise texture (book 2's Perlin chapter, gather-free): a
+#: Lambertian whose albedo lerps albedo<->albedo2 by a sine stripe
+#: displaced by hash-based value-noise turbulence (TPU-friendly: pure
+#: arithmetic, no permutation-table gathers).  Same columns as CHECKER.
+NOISE = 5
 
 
 def _pytree_dataclass(cls, meta=()):
@@ -102,8 +107,9 @@ class Scene:
     #: primitive — drives next-event estimation's light table
     #: (ops/lights.py) via static indexing into the traced leaves.
     light_ids: tuple = ()
-    #: Static flag: any CHECKER material present (gates the kernel's
-    #: extended 16-param winner fetch + the parity select).
+    #: Static flag: any textured material (CHECKER/NOISE) present —
+    #: gates the kernel's extended 16-param winner fetch + the texture
+    #: selects.
     has_checker: bool = False
 
     @property
@@ -117,6 +123,22 @@ class Scene:
     @property
     def n_primitives(self) -> int:
         return self.n_spheres + self.n_triangles
+
+
+def _instance_transform(verts: np.ndarray, rotate_y: float,
+                        translate) -> np.ndarray:
+    """Rotate (P, 3) points about the world y-axis by ``rotate_y``
+    degrees, then translate — the book's instance transforms (RTW book 2
+    ch. 8) baked into geometry instead of inverse-transforming rays."""
+    if rotate_y != 0.0:
+        th = np.radians(float(rotate_y))
+        c, s = np.cos(th), np.sin(th)
+        # Book convention: +angle takes +z toward +x.
+        verts = verts @ np.array(
+            [[c, 0.0, -s], [0.0, 1.0, 0.0], [s, 0.0, c]], np.float64
+        )
+    return verts + np.asarray(tuple(float(t) for t in translate),
+                              np.float64)
 
 
 class SceneBuilder:
@@ -160,6 +182,13 @@ class SceneBuilder:
         ``ir`` column, unused by diffuse materials)."""
         return self._add_mat(CHECKER, even, 0.0, float(scale), albedo2=odd)
 
+    def add_noise(self, base, vein, scale: float = 4.0) -> int:
+        """Marble Lambertian (book 2's Perlin texture, hash-based): the
+        albedo lerps ``base`` <-> ``vein`` by a sine stripe displaced
+        with value-noise turbulence at ``scale`` (models/materials.py
+        marble_t)."""
+        return self._add_mat(NOISE, base, 0.0, float(scale), albedo2=vein)
+
     def _add_mat(self, kind, albedo, fuzz, ir, albedo2=None) -> int:
         self._mat_kind.append(kind)
         self._mat_albedo.append(tuple(float(x) for x in albedo))
@@ -198,14 +227,59 @@ class SceneBuilder:
             )
         )
 
-    def add_mesh(self, tri_verts: np.ndarray, material: int) -> None:
-        """Bulk-append (M, 3, 3) triangle vertices (OBJ ingestion path).
+    def add_quad(self, p00, p10, p11, p01, material: int) -> None:
+        """Quadrilateral = two triangles (book 2's quad primitive; no
+        separate kind needed — the tables stay uniform).  Corners in CCW
+        order as seen from the normal side: ``cross(p10-p00, p11-p00)``
+        faces the viewer, and the kernel keeps the reference's backface
+        cull (src/common-model.cpp:116)."""
+        self.add_triangle(p00, p10, p11, material)
+        self.add_triangle(p00, p11, p01, material)
+
+    def add_box(self, p_min, p_max, material: int, *,
+                rotate_y: float = 0.0, translate=(0.0, 0.0, 0.0)) -> None:
+        """Axis-aligned box baked to 12 outward-wound triangles, with
+        book 2's instance transforms (rotate_y degrees about the world
+        y-axis, then translate) applied to the VERTICES at build time.
+
+        The book wraps primitives in ``translate``/``rotate_y`` nodes
+        that inverse-transform every ray (RTW book 2 ch. 8); on a TPU
+        per-ray indirection is control flow in the hot loop, while a
+        static pre-transformed vertex table is free — instancing is a
+        build-time bake here."""
+        x0, y0, z0 = (float(v) for v in p_min)
+        x1, y1, z1 = (float(v) for v in p_max)
+        quads = [
+            # +z, -z, +x, -x, +y, -y faces, CCW from outside.
+            ((x0, y0, z1), (x1, y0, z1), (x1, y1, z1), (x0, y1, z1)),
+            ((x1, y0, z0), (x0, y0, z0), (x0, y1, z0), (x1, y1, z0)),
+            ((x1, y0, z1), (x1, y0, z0), (x1, y1, z0), (x1, y1, z1)),
+            ((x0, y0, z0), (x0, y0, z1), (x0, y1, z1), (x0, y1, z0)),
+            ((x0, y1, z1), (x1, y1, z1), (x1, y1, z0), (x0, y1, z0)),
+            ((x0, y0, z0), (x1, y0, z0), (x1, y0, z1), (x0, y0, z1)),
+        ]
+        verts = np.array(quads, dtype=np.float64).reshape(-1, 3)
+        verts = _instance_transform(verts, rotate_y, translate)
+        for q in verts.reshape(6, 4, 3):
+            self.add_quad(q[0], q[1], q[2], q[3], material)
+
+    def add_mesh(self, tri_verts: np.ndarray, material: int, *,
+                 scale=1.0, rotate_y: float = 0.0,
+                 translate=(0.0, 0.0, 0.0)) -> None:
+        """Bulk-append (M, 3, 3) triangle vertices (OBJ ingestion path),
+        optionally instanced by scale -> rotate_y -> translate (baked
+        into the vertex table; see ``add_box``).
 
         Stored as one array block — a python loop over a 360k-triangle
         dragon-class mesh would take seconds."""
         block = np.ascontiguousarray(tri_verts, dtype=np.float64)
         if block.ndim != 3 or block.shape[1:] != (3, 3):
             raise ValueError(f"expected (M, 3, 3) vertices, got {block.shape}")
+        if (np.any(np.asarray(scale) != 1.0) or rotate_y != 0.0
+                or any(float(t) != 0.0 for t in translate)):
+            flat = block.reshape(-1, 3) * np.asarray(scale, np.float64)
+            block = _instance_transform(flat, rotate_y,
+                                        translate).reshape(-1, 3, 3)
         self._tri_blocks.append((block, int(material)))
 
     # -- freeze --------------------------------------------------------------
@@ -247,10 +321,10 @@ class SceneBuilder:
             tv = np.zeros((0, 3, 3), np_real)
             tmat = np.zeros((0,), np.int32)
 
-        if any(self._mat_kind[m] == CHECKER for m in tmat):
+        if any(self._mat_kind[m] in (CHECKER, NOISE) for m in tmat):
             raise ValueError(
-                "checker materials are sphere-only: the kernel's triangle"
-                " table has no spare columns for the odd color"
+                "textured materials are sphere-only: the kernel's triangle"
+                " table has no spare columns for the second color"
             )
         n_lights = sum(
             1 for s in self._sph if self._mat_kind[s[3]] == EMISSIVE
@@ -287,5 +361,6 @@ class SceneBuilder:
                 + [("t", i) for i, m in enumerate(tmat)
                    if self._mat_kind[m] == EMISSIVE]
             ),
-            has_checker=any(k == CHECKER for k in self._mat_kind),
+            has_checker=any(k in (CHECKER, NOISE)
+                            for k in self._mat_kind),
         )

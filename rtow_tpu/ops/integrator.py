@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from ..models.camera import Rays
 from ..models.materials import background_color, emitted, scatter
-from ..models.scene import CHECKER, EMISSIVE, LAMBERTIAN, Scene
+from ..models.scene import CHECKER, EMISSIVE, LAMBERTIAN, NOISE, Scene
 from . import intersect
 
 
@@ -137,7 +137,8 @@ def trace(
             can_scatter = can_scatter & ~is_emis
 
         is_diffuse = ((rec.mat_kind == LAMBERTIAN)
-                      | (rec.mat_kind == CHECKER))
+                      | (rec.mat_kind == CHECKER)
+                      | (rec.mat_kind == NOISE))
         if nee:
             k_nee = jax.random.fold_in(jax.random.fold_in(key, i), 7919)
             pick, u1, u2 = jax.random.uniform(k_nee, (3, *lanes),
@@ -290,7 +291,8 @@ def trace_progressive(
             )
             can = can & ~is_emis
         is_diffuse = ((rec.mat_kind == LAMBERTIAN)
-                      | (rec.mat_kind == CHECKER))
+                      | (rec.mat_kind == CHECKER)
+                      | (rec.mat_kind == NOISE))
         if nee:
             k_nee = jax.random.fold_in(k, 7919)
             pick, u1, u2 = jax.random.uniform(k_nee, (3, n_pix),

@@ -42,7 +42,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..models.scene import (
-    CHECKER, DIELECTRIC, EMISSIVE, LAMBERTIAN, METAL, Scene,
+    CHECKER, DIELECTRIC, EMISSIVE, LAMBERTIAN, METAL, NOISE, Scene,
 )
 
 import os as _os
@@ -844,15 +844,24 @@ def _hit_basics(state, sph_params, tri_params, best_t, best_k, *,
         front = jnp.logical_or(is_tri, front)
 
     if checker:
-        # Book-2 checker (sphere-only; build() rejects checker on
-        # triangles): sign of prod(sin(scale * p)) picks the odd color
-        # from the sphere table's cols 13-15; scale rides the ir column.
+        # Textured albedos (sphere-only; build() rejects textures on
+        # triangles): the second color rides the sphere table's cols
+        # 13-15, the scale the ir column.  CHECKER picks by cell
+        # parity; NOISE lerps by the marble weight (hash value noise —
+        # pure arithmetic, kernel-safe).
+        from ..models.materials import marble_t
+
         al2r, al2g, al2b = sph_params[13:16]
         sp = (jnp.sin(ir * px) * jnp.sin(ir * py) * jnp.sin(ir * pz))
         use_odd = jnp.logical_and(kind == np.float32(CHECKER), sp < 0.0)
         alr = jnp.where(use_odd, al2r, alr)
         alg = jnp.where(use_odd, al2g, alg)
         alb = jnp.where(use_odd, al2b, alb)
+        is_noise = kind == np.float32(NOISE)
+        t = marble_t(px, py, pz, ir)
+        alr = jnp.where(is_noise, alr + (al2r - alr) * t, alr)
+        alg = jnp.where(is_noise, alg + (al2g - alg) * t, alg)
+        alb = jnp.where(is_noise, alb + (al2b - alb) * t, alb)
 
     return (hit, t_hit, px, py, pz, nx, ny, nz, front,
             alr, alg, alb, fuzz, ir, kind, a)
@@ -997,9 +1006,11 @@ def _shade_pure(state, sph_params, tri_params, draws,
     if from_diffuse is not None:
         # NEE: encode came-from-Lambertian in the alive code (0 dead,
         # 1 specular-alive, 2 diffuse-alive) — no extra state array.
-        # CHECKER is a Lambertian with a point-dependent albedo.
-        is_lam = jnp.logical_or(kind == np.float32(LAMBERTIAN),
-                                kind == np.float32(CHECKER))
+        # CHECKER/NOISE are Lambertians with point-dependent albedo.
+        is_lam = jnp.logical_or(
+            kind == np.float32(LAMBERTIAN),
+            jnp.logical_or(kind == np.float32(CHECKER),
+                           kind == np.float32(NOISE)))
         can = can.astype(jnp.int32) * jnp.where(is_lam, 2, 1)
     return (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, rr, rg, rb, can,
             bounce)
@@ -1084,8 +1095,10 @@ def _bounce_core(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
         nee_act = jnp.logical_and(
             jnp.logical_and(jnp.logical_and(alive, hit),
                             bounce < max_depth),
-            jnp.logical_or(kind == np.float32(LAMBERTIAN),
-                           kind == np.float32(CHECKER)),
+            jnp.logical_or(
+                kind == np.float32(LAMBERTIAN),
+                jnp.logical_or(kind == np.float32(CHECKER),
+                               kind == np.float32(NOISE))),
         )
         # Shadow sweep: occlusion = anything nearer than the sampled
         # light point (a culled back-facing light is transparent AND

@@ -113,3 +113,70 @@ def test_add_mesh_bulk_block():
     assert scene.n_triangles == 3
     np.testing.assert_allclose(np.asarray(scene.triangles.verts)[1:], block)
     assert (np.asarray(scene.triangles.material) == m).all()
+
+
+def test_add_quad_and_box_geometry():
+    """add_quad splits into two triangles sharing the diagonal; add_box
+    emits 12 outward-wound triangles (the kernel backface-culls, so
+    winding is load-bearing)."""
+    from rtow_tpu.models.scene import SceneBuilder
+
+    b = SceneBuilder()
+    m = b.add_lambertian((0.5, 0.5, 0.5))
+    b.add_quad((0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0), m)
+    b.add_box((0, 0, 0), (2, 3, 4), m)
+    scene = b.build()
+    assert scene.n_triangles == 2 + 12
+    v = np.asarray(scene.triangles.verts, dtype=np.float64)
+    # Quad normal: cross(e1, e2) -> +z for both triangles.
+    for tri in v[:2]:
+        n = np.cross(tri[1] - tri[0], tri[2] - tri[0])
+        assert n[2] > 0 and abs(n[0]) < 1e-12 and abs(n[1]) < 1e-12
+    # Box: every face normal points OUT of the box center.
+    center = np.array([1.0, 1.5, 2.0])
+    for tri in v[2:]:
+        n = np.cross(tri[1] - tri[0], tri[2] - tri[0])
+        assert np.dot(n, tri.mean(0) - center) > 0
+    # Box vertices span exactly the requested extent.
+    assert np.allclose(v[2:].reshape(-1, 3).min(0), 0.0)
+    assert np.allclose(v[2:].reshape(-1, 3).max(0), (2, 3, 4))
+
+
+def test_instance_transforms_bake():
+    """rotate_y/translate bake into vertices: +15 deg takes +z toward
+    +x (the book's rotate_y convention, RTW book 2 ch. 8), translation
+    adds, y is preserved; add_mesh applies scale -> rotate -> translate."""
+    from rtow_tpu.models.scene import SceneBuilder
+
+    b = SceneBuilder()
+    m = b.add_lambertian((0.5, 0.5, 0.5))
+    b.add_box((0, 0, 0), (1, 1, 1), m, rotate_y=90.0,
+              translate=(10.0, 20.0, 30.0))
+    v = np.asarray(b.build().triangles.verts, np.float64).reshape(-1, 3)
+    # Unit cube corners under 90 deg: (x, z) -> (z, -x); then translate.
+    assert np.allclose(v[:, 1].min(), 20.0) and np.allclose(v[:, 1].max(), 21.0)
+    assert np.allclose(sorted({round(x, 6) for x in v[:, 0]}), [10.0, 11.0])
+    assert np.allclose(sorted({round(z, 6) for z in v[:, 2]}), [29.0, 30.0])
+
+    b2 = SceneBuilder()
+    m2 = b2.add_lambertian((0.5, 0.5, 0.5))
+    tri = np.array([[[1.0, 0, 0], [0, 1, 0], [0, 0, 1]]])
+    b2.add_mesh(tri, m2, scale=2.0, rotate_y=90.0, translate=(0, 0, -5))
+    got = np.asarray(b2.build().triangles.verts, np.float64)[0]
+    #  scale: (2,0,0),(0,2,0),(0,0,2); rotate 90: (x,z)->(z,-x); translate.
+    np.testing.assert_allclose(
+        got, [[0, 0, -7], [0, 2, -5], [2, 0, -5]], atol=1e-12)
+
+
+def test_cornell_scene_has_tall_box():
+    from rtow_tpu.models.builders import cornell_scene
+
+    scene, _ = cornell_scene()
+    # 5 walls + light = 12 tris, tall box = 12 more.
+    assert scene.n_triangles == 24
+    assert scene.n_spheres == 1  # the mirror
+    v = np.asarray(scene.triangles.verts, np.float64).reshape(-1, 3)
+    box = v[36:]  # the box's 12 triangles come last
+    assert np.allclose(box[:, 1].min(), 0.0)
+    assert np.allclose(box[:, 1].max(), 330.0)
+    assert box[:, 0].min() > 200.0 and box[:, 2].min() > 250.0

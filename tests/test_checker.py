@@ -87,6 +87,36 @@ def test_checker_kernel_matches_jnp():
     assert img_jnp[-6:, :, 0].max() - img_jnp[-6:, :, 0].min() > 0.2
 
 
+def test_marble_kernel_matches_jnp():
+    """NOISE (hash-based marble) agrees between the jnp integrator and
+    the megakernel; the hash lattice is pure arithmetic, so both paths
+    evaluate the exact same texture."""
+    from rtow_tpu.ops.pallas_megakernel import render_spheres_pallas
+
+    cam = make_camera(lookfrom=(0.0, 1.5, 3.0), lookat=(0.0, 0.3, 0.0),
+                      fov_degrees=45.0, aspect_ratio=1.0, aperture=0.0,
+                      focus_dist=3.0)
+    b = SceneBuilder()
+    marble = b.add_noise((0.9, 0.9, 0.9), (0.25, 0.1, 0.05), scale=3.0)
+    b.add_sphere((0.0, -100.0, 0.0), 100.0, marble)
+    b.add_sphere((0.0, 0.5, 0.0), 0.5, marble)
+    scene = b.build()
+    assert scene.has_checker  # the textured flag covers NOISE too
+    W = H = 24
+    spp, depth = 32, 3
+    cfg = Config(image_width=W, aspect_ratio=1.0, samples_per_pixel=spp,
+                 max_child_rays=depth, backend="jnp", seed=7)
+    img_jnp = np.asarray(render(scene, cam, cfg))
+    with pltpu.force_tpu_interpret_mode():
+        sums = render_spheres_pallas(scene, cam, 7, width=W, height=H,
+                                     spp=spp, max_depth=depth)
+    img_k = np.asarray(sums).reshape(H, W, 3) / spp
+    assert abs(img_jnp.mean() - img_k.mean()) < 0.02
+    assert np.abs(img_jnp - img_k).mean() < 0.06
+    # Veins must actually show: red channel varies over the ground.
+    assert img_jnp[-8:, :, 0].std() > 0.03
+
+
 def test_checker_grads_flow_to_both_colors():
     """Kernel-path gradients reach albedo AND albedo2 (the odd color
     rides the sphere table's cols 13-15 through the one-hot fetch and

@@ -39,6 +39,26 @@ def test_render_mesh_to_file(tmp_path):
     assert np.isfinite(decode_ppm(img)).all()
 
 
+def test_render_demo_scenes(tmp_path):
+    """--lights / --cornell / --checker render end-to-end (jnp, tiny)."""
+    for flag, check in [
+        # black background somewhere + a bright light somewhere
+        ("--lights", lambda lin: lin.min() < 1e-3 and lin.max() > 0.5),
+        ("--cornell", lambda lin: lin.max() > 0.5),       # lit interior
+        ("--checker", lambda lin: lin[0].mean() > 0.3),   # normal sky
+        ("--textures", lambda lin: lin[0].mean() > 0.3),  # normal sky
+    ]:
+        out = tmp_path / f"{flag[2:]}.ppm"
+        rc = cli.main([
+            flag, "-w", "24", "-s", "2", "-c", "3", "-n", "1",
+            "--static-spheres", "--backend", "jnp", "-o", str(out),
+        ])
+        assert rc == 0, flag
+        lin = decode_ppm(read_ppm(open(out)))
+        assert np.isfinite(lin).all(), flag
+        assert check(lin), flag
+
+
 def test_render_png_output(tmp_path):
     out = tmp_path / "c.png"
     rc = cli.main([
