@@ -31,6 +31,8 @@ class Config:
     checker_ground: bool = False
     #: procedural-texture demo scene (checker ground + marble sphere).
     textures_demo: bool = False
+    #: Cornell-smoke demo scene (book 2 ch. 9 constant-density media).
+    smoke_demo: bool = False
 
     # -- TPU-native knobs --------------------------------------------------
     #: devices used for rendering; the analogue of the reference's

@@ -249,6 +249,43 @@ def cornell_scene(aspect_ratio: float = 1.0, dtype=REAL) -> Tuple[Scene, Camera]
     return b.build(dtype, background=(0.0, 0.0, 0.0)), cam
 
 
+def smoke_scene(aspect_ratio: float = 1.0, dtype=REAL) -> Tuple[Scene, Camera]:
+    """Cornell smoke (book 2 ch. 9's closing scene): the box interior
+    with two constant-density media in place of the solid boxes — dark
+    smoke where the tall box stood, white fog where the short one was
+    (axis-aligned boundaries; the book's rotations don't survive the
+    analytic-boundary representation and read identically in fog)."""
+    cam = make_camera(
+        lookfrom=(278.0, 278.0, -800.0),
+        lookat=(278.0, 278.0, 0.0),
+        fov_degrees=40.0,
+        aspect_ratio=aspect_ratio,
+        aperture=0.0,
+        focus_dist=10.0,
+        dtype=dtype,
+    )
+    b = SceneBuilder()
+    white = b.add_lambertian((0.73, 0.73, 0.73))
+    red = b.add_lambertian((0.65, 0.05, 0.05))
+    green = b.add_lambertian((0.12, 0.45, 0.15))
+    lamp = b.add_light((7.0, 7.0, 7.0))
+    s = 555.0
+    quad = b.add_quad
+    quad((0, 0, s), (s, 0, s), (s, 0, 0), (0, 0, 0), white)
+    quad((s, s, 0), (s, s, s), (0, s, s), (0, s, 0), white)
+    quad((0, s, s), (s, s, s), (s, 0, s), (0, 0, s), white)
+    quad((s, 0, s), (s, s, s), (s, s, 0), (s, 0, 0), red)
+    quad((0, s, 0), (0, s, s), (0, 0, s), (0, 0, 0), green)
+    # Bigger light than the solid Cornell: fog eats most paths.
+    quad((443, s - 1, 127), (443, s - 1, 432), (113, s - 1, 432),
+         (113, s - 1, 127), lamp)
+    b.add_fog_box((265.0, 0.0, 295.0), (430.0, 330.0, 460.0), 0.01,
+                  albedo=(0.0, 0.0, 0.0))
+    b.add_fog_box((130.0, 0.0, 65.0), (295.0, 165.0, 230.0), 0.01,
+                  albedo=(1.0, 1.0, 1.0))
+    return b.build(dtype, background=(0.0, 0.0, 0.0)), cam
+
+
 def scene_for_config(cfg: Config, dtype=REAL) -> Tuple[Scene, Camera]:
     """CLI dispatch mirroring reference main.cpp:165-169 (plus the
     --lights/--cornell demos, which have no reference counterpart)."""
@@ -258,6 +295,8 @@ def scene_for_config(cfg: Config, dtype=REAL) -> Tuple[Scene, Camera]:
         return cornell_scene(cfg.aspect_ratio, dtype)
     if getattr(cfg, "textures_demo", False):
         return textures_scene(cfg.aspect_ratio, dtype)
+    if getattr(cfg, "smoke_demo", False):
+        return smoke_scene(cfg.aspect_ratio, dtype)
     if cfg.model:
         return mesh_scene(cfg, dtype)
     return cover_scene(cfg, dtype)

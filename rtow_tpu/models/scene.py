@@ -87,14 +87,37 @@ class Triangles:
     material: jax.Array  # (M,) int32 index into Materials
 
 
+@_pytree_dataclass
+class Volumes:
+    """Constant-density participating media (book 2 ch. 9 smoke/fog),
+    restated for a wavefront: each volume is an ANALYTIC boundary
+    (sphere or axis-aligned box — entry/exit in closed form, no table
+    sweep) with an exponential free-flight distance and an isotropic
+    phase function.  The book wraps a boundary primitive and fakes the
+    medium inside ``hit()``; here media are a separate static table so
+    the surface sweep stays untouched and volume-free scenes compile
+    identical code.  Kinds are carried statically (Scene.volume_kinds)
+    like the light table's."""
+
+    p0: jax.Array  # (V, 3) sphere center / box min corner
+    p1: jax.Array  # (V, 3) (radius, 0, 0) / box max corner
+    density: jax.Array  # (V,) sigma (1/length); scatter pdf sigma*e^-sigma*s
+    albedo: jax.Array  # (V, 3) scatter albedo (0 -> pure absorption)
+
+
 @functools.partial(
     _pytree_dataclass,
-    meta=("background", "has_emissive", "light_ids", "has_checker"),
+    meta=("background", "has_emissive", "light_ids", "has_checker",
+          "volume_kinds"),
 )
 class Scene:
     spheres: Spheres
     triangles: Triangles
     materials: Materials
+    #: Constant-density media; ``volume_kinds`` (static "s"/"b" tuple)
+    #: gates the bounce-loop volume code exactly like light_ids does
+    #: for NEE — scenes without media compile the unchanged kernels.
+    volumes: Volumes = None
     #: "sky" (the reference's gradient) or an (r, g, b) tuple — static
     #: metadata, not a traced leaf: background choice changes compiled
     #: control flow in the kernels, never carries gradients.
@@ -111,6 +134,9 @@ class Scene:
     #: gates the kernel's extended 16-param winner fetch + the texture
     #: selects.
     has_checker: bool = False
+    #: Static tuple of "s" (sphere) / "b" (box) per volume row — the
+    #: volume analogue of ``light_ids``.
+    volume_kinds: tuple = ()
 
     @property
     def n_spheres(self) -> int:
@@ -158,6 +184,7 @@ class SceneBuilder:
         self._sph: list[tuple] = []  # (c0, c1, radius, mat)
         self._tri: list[tuple] = []  # (a, b, c, mat)
         self._tri_blocks: list[tuple] = []  # ((M, 3, 3) array, mat)
+        self._vol: list[tuple] = []  # (kind, p0, p1, density, albedo)
 
     # -- materials (the "boutique") ---------------------------------------
     def add_lambertian(self, albedo) -> int:
@@ -282,6 +309,28 @@ class SceneBuilder:
                                         translate).reshape(-1, 3, 3)
         self._tri_blocks.append((block, int(material)))
 
+    # -- constant-density media (book 2 ch. 9) -----------------------------
+    def add_fog_sphere(self, center, radius: float, density: float,
+                       albedo=(1.0, 1.0, 1.0)) -> None:
+        """Constant-density medium inside a sphere boundary: rays
+        free-flight an Exp(density) distance through it and scatter
+        isotropically with ``albedo`` (0 = pure absorption — black
+        smoke).  The boundary itself is invisible (no surface)."""
+        self._vol.append(
+            ("s", tuple(float(x) for x in center),
+             (float(radius), 0.0, 0.0), float(density),
+             tuple(float(x) for x in albedo)))
+
+    def add_fog_box(self, p_min, p_max, density: float,
+                    albedo=(1.0, 1.0, 1.0)) -> None:
+        """Constant-density medium inside an axis-aligned box (the
+        book's Cornell-smoke boxes; rotations would need per-ray
+        inverse transforms — bake geometry or use a sphere instead)."""
+        self._vol.append(
+            ("b", tuple(float(x) for x in p_min),
+             tuple(float(x) for x in p_max), float(density),
+             tuple(float(x) for x in albedo)))
+
     # -- freeze --------------------------------------------------------------
     def build(self, dtype=REAL, background="sky") -> Scene:
         """``background``: "sky" (reference gradient) or an (r, g, b)
@@ -338,7 +387,24 @@ class SceneBuilder:
         import jax.numpy as jnp
 
         as_real = lambda x: jnp.asarray(x, dtype=dtype)
+        if self._vol:
+            if len(self._vol) > 8:
+                raise ValueError(
+                    f"at most 8 volumes supported (got {len(self._vol)})"
+                    " — the bounce loops unroll the volume table")
+            volumes = Volumes(
+                p0=as_real(np.array([v[1] for v in self._vol], np_real)),
+                p1=as_real(np.array([v[2] for v in self._vol], np_real)),
+                density=as_real(np.array([v[3] for v in self._vol],
+                                         np_real)),
+                albedo=as_real(np.array([v[4] for v in self._vol],
+                                        np_real)),
+            )
+        else:
+            volumes = None
         return Scene(
+            volumes=volumes,
+            volume_kinds=tuple(v[0] for v in self._vol),
             spheres=Spheres(
                 center0=as_real(c0),
                 dcenter=as_real(c1 - c0),

@@ -24,6 +24,7 @@ from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models.camera import Rays
 from ..models.materials import background_color, emitted, scatter
@@ -38,10 +39,12 @@ class WavefrontState(NamedTuple):
     throughput: jax.Array  # (L, 3)
     radiance: jax.Array  # (L, 3)
     alive: jax.Array  # (L,) bool
-    #: NEE only: the previous scatter was Lambertian, so emission on
-    #: this ray's next hit is already accounted by that bounce's
-    #: direct-light sample.
-    from_diffuse: jax.Array
+    #: NEE/MIS only: solid-angle pdf of the previous (Lambertian)
+    #: scatter, 0 for camera/specular rays — emission on this ray's
+    #: next hit is weighted by the balance heuristic
+    #: prev_pdf / (prev_pdf + light_pdf) so the path is shared with
+    #: that bounce's direct-light sample instead of double-counted.
+    prev_pdf: jax.Array
 
 
 NearestHitFn = Callable[..., "intersect.HitRecord"]
@@ -83,10 +86,18 @@ def trace(
     if nee is None:
         nee = scene.has_emissive and bool(scene.light_ids)
     if nee:
-        from .lights import build_light_table, sample_light_dirs
+        from .lights import (
+            build_light_table, light_pdf_toward, sample_light_dirs,
+        )
 
         ltable = build_light_table(scene)
         lkinds = tuple(k for k, _ in scene.light_ids)
+    vkinds = scene.volume_kinds
+    if vkinds:
+        from ..utils import rng as _rng
+        from .volumes import build_volume_table, sample_volume_event
+
+        vtable, valbedo = build_volume_table(scene)
 
     dtype = rays.origin.dtype
     lanes = rays.time.shape
@@ -98,7 +109,7 @@ def trace(
         throughput=jnp.ones((*lanes, 3), dtype=dtype),
         radiance=jnp.zeros((*lanes, 3), dtype=dtype),
         alive=jnp.ones(lanes, dtype=bool),
-        from_diffuse=jnp.zeros(lanes, dtype=bool),
+        prev_pdf=jnp.zeros(lanes, dtype=dtype),
     )
 
     def bounce(st: WavefrontState, i: jax.Array):
@@ -113,7 +124,30 @@ def trace(
             cull_backfaces=cull_backfaces
         )
 
-        missed = st.alive & ~rec.hit
+        if vkinds:
+            # Constant-density media (ops/volumes.py): a free-flight
+            # scatter before the surface hit overrides the surface
+            # interaction (and the sky on misses).
+            k_vol = jax.random.fold_in(jax.random.fold_in(key, i), 104729)
+            us = jax.random.uniform(k_vol, (len(vkinds), *lanes),
+                                    dtype=dtype)
+            v_hit, t_v, (var_, vag_, vab_) = sample_volume_event(
+                vtable, valbedo, vkinds, us,
+                st.origin[..., 0], st.origin[..., 1], st.origin[..., 2],
+                st.direction[..., 0], st.direction[..., 1],
+                st.direction[..., 2],
+                jnp.where(rec.hit, rec.t, jnp.inf),
+            )
+            v_hit = v_hit & st.alive
+            v_can = v_hit & (i < max_depth)
+            v_point = st.origin + t_v[..., None] * st.direction
+            v_alb = jnp.stack([var_, vag_, vab_], axis=-1).astype(dtype)
+            k_iso = jax.random.fold_in(jax.random.fold_in(key, i), 60013)
+            v_dir = _rng.unit_vectors(k_iso, lanes, dtype=dtype)
+        else:
+            v_hit = v_can = jnp.zeros(lanes, dtype=bool)
+
+        missed = st.alive & ~rec.hit & ~v_hit
         radiance = st.radiance + jnp.where(
             missed[..., None],
             st.throughput * background_color(scene, st.direction), 0.0,
@@ -121,18 +155,34 @@ def trace(
 
         # A hit on the final iteration has no scatter budget left -> black
         # (reference src/render.cpp:114-115).
-        can_scatter = st.alive & rec.hit & (i < max_depth)
+        can_scatter = st.alive & rec.hit & (i < max_depth) & ~v_hit
         if scene.has_emissive:
             # Emission needs no scatter budget: add on every live hit,
             # then retire the lane (diffuse_light semantics).  Under NEE
             # a ray that came off a Lambertian bounce skips it — that
             # bounce's direct-light sample already counted this path.
             is_emis = rec.mat_kind == EMISSIVE
-            lit = st.alive & rec.hit & is_emis
+            lit = st.alive & rec.hit & is_emis & ~v_hit
+            w_emit = jnp.ones(lanes, dtype=dtype)
             if nee:
-                lit = lit & ~st.from_diffuse
+                # MIS balance heuristic: a BRDF-sampled emissive hit
+                # shares its path with the previous bounce's light
+                # sample; weight by pdf_brdf/(pdf_brdf + pdf_light).
+                p_light = light_pdf_toward(
+                    ltable, lkinds,
+                    st.origin[..., 0], st.origin[..., 1],
+                    st.origin[..., 2],
+                    st.direction[..., 0], st.direction[..., 1],
+                    st.direction[..., 2], rec.t, st.time,
+                ).astype(dtype)
+                w_emit = jnp.where(
+                    st.prev_pdf > 0.0,
+                    st.prev_pdf / jnp.maximum(st.prev_pdf + p_light,
+                                              1e-12),
+                    1.0)
             radiance = radiance + jnp.where(
-                lit[..., None], st.throughput * emitted(rec), 0.0,
+                lit[..., None],
+                st.throughput * emitted(rec) * w_emit[..., None], 0.0,
             )
             can_scatter = can_scatter & ~is_emis
 
@@ -143,20 +193,42 @@ def trace(
             k_nee = jax.random.fold_in(jax.random.fold_in(key, i), 7919)
             pick, u1, u2 = jax.random.uniform(k_nee, (3, *lanes),
                                               dtype=dtype)
-            ldx, ldy, ldz, t_l, (w0, w1, w2) = sample_light_dirs(
+            # Shading point: the volume event's when one fired.
+            spoint = (jnp.where(v_can[..., None], v_point, rec.point)
+                      if vkinds else rec.point)
+            ldx, ldy, ldz, t_l, (w0, w1, w2), l_pdf = sample_light_dirs(
                 ltable, lkinds, pick, u1, u2,
-                rec.point[..., 0], rec.point[..., 1], rec.point[..., 2],
+                spoint[..., 0], spoint[..., 1], spoint[..., 2],
                 st.time,
             )
             ldir = jnp.stack([ldx, ldy, ldz], axis=-1)
-            srec = nearest_hit(scene_b, rec.point, ldir, st.time,
+            srec = nearest_hit(scene_b, spoint, ldir, st.time,
                                cull_backfaces=cull_backfaces)
             open_ = (~srec.hit) | (srec.t >= t_l * (1.0 - 1e-3))
             cos_t = jnp.maximum(
                 jnp.sum(rec.normal * ldir, axis=-1), 0.0)
-            direct = (rec.albedo * jnp.stack([w0, w1, w2], axis=-1)
-                      * cos_t[..., None])
-            add = can_scatter & is_diffuse & open_
+            # Balance heuristic vs the BRDF strategy: cosine pdf at
+            # surfaces, the constant 1/(4 pi) phase at volume events
+            # (where the cos factor becomes 1/4 — see ops/volumes.py).
+            phase = cos_t / jnp.pi
+            factor = cos_t
+            calbedo = rec.albedo
+            if vkinds:
+                inv4pi = jnp.asarray(1.0 / (4.0 * np.pi), dtype)
+                phase = jnp.where(v_can, inv4pi, phase)
+                factor = jnp.where(v_can, 0.25, factor)
+                calbedo = jnp.where(v_can[..., None], v_alb, calbedo)
+            w_l = l_pdf / jnp.maximum(l_pdf + phase, 1e-12)
+            if vkinds:
+                from .volumes import volume_transmittance
+
+                factor = factor * volume_transmittance(
+                    vtable, vkinds,
+                    spoint[..., 0], spoint[..., 1], spoint[..., 2],
+                    ldx, ldy, ldz, t_l).astype(dtype)
+            direct = (calbedo * jnp.stack([w0, w1, w2], axis=-1)
+                      * (factor * w_l)[..., None])
+            add = ((can_scatter & is_diffuse) | v_can) & open_
             radiance = radiance + jnp.where(
                 add[..., None], st.throughput * direct, 0.0)
 
@@ -167,10 +239,31 @@ def trace(
             can_scatter[..., None], st.throughput * sc.attenuation, st.throughput
         )
         alive = can_scatter
-        from_diffuse = can_scatter & is_diffuse if nee else st.from_diffuse
+        if nee:
+            # True scatter cosine: directions are raw n + unit.
+            dlen = jnp.sqrt(jnp.maximum(
+                jnp.sum(sc.direction * sc.direction, axis=-1), 1e-24))
+            cos_new = jnp.maximum(
+                jnp.sum(rec.normal * sc.direction, axis=-1), 0.0) / dlen
+            prev_pdf = jnp.where(can_scatter & is_diffuse,
+                                 cos_new / jnp.pi, 0.0)
+        else:
+            prev_pdf = st.prev_pdf
+        if vkinds:
+            # Volume event: isotropic scatter from the free-flight
+            # point; throughput picks up the medium's albedo.
+            origin = jnp.where(v_can[..., None], v_point, origin)
+            direction = jnp.where(v_can[..., None], v_dir, direction)
+            throughput = jnp.where(v_can[..., None],
+                                   st.throughput * v_alb, throughput)
+            alive = alive | v_can
+            if nee:
+                prev_pdf = jnp.where(
+                    v_can, jnp.asarray(1.0 / (4.0 * np.pi), dtype),
+                    prev_pdf)
         return (
             WavefrontState(origin, direction, st.time, throughput, radiance,
-                           alive, from_diffuse),
+                           alive, prev_pdf),
             None,
         )
 
@@ -216,10 +309,18 @@ def trace_progressive(
         nearest_hit = intersect.nearest_hit_bruteforce
     nee = scene.has_emissive and bool(scene.light_ids)
     if nee:
-        from .lights import build_light_table, sample_light_dirs
+        from .lights import (
+            build_light_table, light_pdf_toward, sample_light_dirs,
+        )
 
         ltable = build_light_table(scene)
         lkinds = tuple(k for k, _ in scene.light_ids)
+    vkinds = scene.volume_kinds
+    if vkinds:
+        from ..utils import rng as _rng
+        from .volumes import build_volume_table, sample_volume_event
+
+        vtable, valbedo = build_volume_table(scene)
 
     n_pix = pixel_ids.shape[0]
     dtype = camera.origin.dtype
@@ -235,7 +336,7 @@ def trace_progressive(
         bounce: jax.Array  # scatters used by the current sample
         started: jax.Array  # samples begun on this lane
         it: jax.Array
-        from_diffuse: jax.Array  # NEE: emission suppressed on next hit
+        prev_pdf: jax.Array  # NEE/MIS: previous scatter's pdf (0 = specular)
 
     init = _St(
         origin=zeros3,
@@ -247,7 +348,7 @@ def trace_progressive(
         bounce=jnp.zeros((n_pix,), jnp.int32),
         started=jnp.zeros((n_pix,), jnp.int32),
         it=jnp.int32(0),
-        from_diffuse=jnp.zeros((n_pix,), dtype=bool),
+        prev_pdf=jnp.zeros((n_pix,), dtype=dtype),
     )
 
     def cond(st: _St):
@@ -269,25 +370,56 @@ def trace_progressive(
         bounce = jnp.where(need, 0, st.bounce)
         started = st.started + need.astype(jnp.int32)
         alive = st.alive | need
-        from_diffuse = st.from_diffuse & ~need
+        prev_pdf = jnp.where(need, 0.0, st.prev_pdf)
 
         # One bounce for every live lane (reference semantics: miss -> sky,
         # depth-exhausted hit -> black, src/render.cpp:112-129).
         rec = nearest_hit(scene, origin, direction, time,
                           cull_backfaces=cull_backfaces)
-        missed = alive & ~rec.hit
+        if vkinds:
+            k_vol = jax.random.fold_in(k, 104729)
+            us = jax.random.uniform(k_vol, (len(vkinds), n_pix),
+                                    dtype=dtype)
+            v_hit, t_v, (var_, vag_, vab_) = sample_volume_event(
+                vtable, valbedo, vkinds, us,
+                origin[..., 0], origin[..., 1], origin[..., 2],
+                direction[..., 0], direction[..., 1], direction[..., 2],
+                jnp.where(rec.hit, rec.t, jnp.inf),
+            )
+            v_hit = v_hit & alive
+            v_can = v_hit & (bounce < max_depth)
+            v_point = origin + t_v[..., None] * direction
+            v_alb = jnp.stack([var_, vag_, vab_], axis=-1).astype(dtype)
+            v_dir = _rng.unit_vectors(jax.random.fold_in(k, 60013),
+                                      (n_pix,), dtype=dtype)
+        else:
+            v_hit = v_can = jnp.zeros((n_pix,), dtype=bool)
+        missed = alive & ~rec.hit & ~v_hit
         radiance = st.radiance + jnp.where(
             missed[..., None],
             throughput * background_color(scene, direction), 0.0,
         )
-        can = alive & rec.hit & (bounce < max_depth)
+        can = alive & rec.hit & (bounce < max_depth) & ~v_hit
         if scene.has_emissive:
             is_emis = rec.mat_kind == EMISSIVE
-            lit = alive & rec.hit & is_emis
+            lit = alive & rec.hit & is_emis & ~v_hit
+            w_emit = jnp.ones((n_pix,), dtype=dtype)
             if nee:
-                lit = lit & ~from_diffuse
+                # MIS: weight BRDF-sampled emission by the balance
+                # heuristic against the light strategy (see trace()).
+                p_light = light_pdf_toward(
+                    ltable, lkinds,
+                    origin[..., 0], origin[..., 1], origin[..., 2],
+                    direction[..., 0], direction[..., 1],
+                    direction[..., 2], rec.t, time,
+                ).astype(dtype)
+                w_emit = jnp.where(
+                    prev_pdf > 0.0,
+                    prev_pdf / jnp.maximum(prev_pdf + p_light, 1e-12),
+                    1.0)
             radiance = radiance + jnp.where(
-                lit[..., None], throughput * emitted(rec), 0.0,
+                lit[..., None],
+                throughput * emitted(rec) * w_emit[..., None], 0.0,
             )
             can = can & ~is_emis
         is_diffuse = ((rec.mat_kind == LAMBERTIAN)
@@ -297,34 +429,73 @@ def trace_progressive(
             k_nee = jax.random.fold_in(k, 7919)
             pick, u1, u2 = jax.random.uniform(k_nee, (3, n_pix),
                                               dtype=dtype)
-            ldx, ldy, ldz, t_l, (w0, w1, w2) = sample_light_dirs(
+            spoint = (jnp.where(v_can[..., None], v_point, rec.point)
+                      if vkinds else rec.point)
+            ldx, ldy, ldz, t_l, (w0, w1, w2), l_pdf = sample_light_dirs(
                 ltable, lkinds, pick, u1, u2,
-                rec.point[..., 0], rec.point[..., 1], rec.point[..., 2],
+                spoint[..., 0], spoint[..., 1], spoint[..., 2],
                 time,
             )
             ldir = jnp.stack([ldx, ldy, ldz], axis=-1)
-            srec = nearest_hit(scene, rec.point, ldir, time,
+            srec = nearest_hit(scene, spoint, ldir, time,
                                cull_backfaces=cull_backfaces)
             open_ = (~srec.hit) | (srec.t >= t_l * (1.0 - 1e-3))
             cos_t = jnp.maximum(jnp.sum(rec.normal * ldir, axis=-1), 0.0)
-            direct = (rec.albedo * jnp.stack([w0, w1, w2], axis=-1)
-                      * cos_t[..., None])
-            add = can & is_diffuse & open_
+            phase = cos_t / jnp.pi
+            factor = cos_t
+            calbedo = rec.albedo
+            if vkinds:
+                inv4pi = jnp.asarray(1.0 / (4.0 * np.pi), dtype)
+                phase = jnp.where(v_can, inv4pi, phase)
+                factor = jnp.where(v_can, 0.25, factor)
+                calbedo = jnp.where(v_can[..., None], v_alb, calbedo)
+            w_l = l_pdf / jnp.maximum(l_pdf + phase, 1e-12)
+            if vkinds:
+                from .volumes import volume_transmittance
+
+                factor = factor * volume_transmittance(
+                    vtable, vkinds,
+                    spoint[..., 0], spoint[..., 1], spoint[..., 2],
+                    ldx, ldy, ldz, t_l).astype(dtype)
+            direct = (calbedo * jnp.stack([w0, w1, w2], axis=-1)
+                      * (factor * w_l)[..., None])
+            add = ((can & is_diffuse) | v_can) & open_
             radiance = radiance + jnp.where(
                 add[..., None], throughput * direct, 0.0)
         sc = scatter(k_trace, direction, rec)
         cd = can[..., None]
+        n_origin = jnp.where(cd, rec.point, origin)
+        n_dir = jnp.where(cd, sc.direction, direction)
+        n_tp = jnp.where(cd, throughput * sc.attenuation, throughput)
+        n_alive = can
+        n_pdf = (jnp.where(
+            can & is_diffuse,
+            jnp.maximum(jnp.sum(rec.normal * sc.direction, axis=-1),
+                        0.0) / (jnp.pi * jnp.sqrt(jnp.maximum(
+                            jnp.sum(sc.direction * sc.direction,
+                                    axis=-1), 1e-24))),
+            0.0) if nee else prev_pdf)
+        if vkinds:
+            vc = v_can[..., None]
+            n_origin = jnp.where(vc, v_point, n_origin)
+            n_dir = jnp.where(vc, v_dir, n_dir)
+            n_tp = jnp.where(vc, throughput * v_alb, n_tp)
+            n_alive = n_alive | v_can
+            if nee:
+                n_pdf = jnp.where(
+                    v_can, jnp.asarray(1.0 / (4.0 * np.pi), dtype),
+                    n_pdf)
         return _St(
-            origin=jnp.where(cd, rec.point, origin),
-            direction=jnp.where(cd, sc.direction, direction),
+            origin=n_origin,
+            direction=n_dir,
             time=time,
-            throughput=jnp.where(cd, throughput * sc.attenuation, throughput),
+            throughput=n_tp,
             radiance=radiance,
-            alive=can,
-            bounce=bounce + can.astype(jnp.int32),
+            alive=n_alive,
+            bounce=bounce + (can | v_can).astype(jnp.int32),
             started=started,
             it=st.it + 1,
-            from_diffuse=can & is_diffuse if nee else from_diffuse,
+            prev_pdf=n_pdf,
         )
 
     final = jax.lax.while_loop(cond, body, init)

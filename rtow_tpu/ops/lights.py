@@ -44,11 +44,13 @@ import numpy as np
 
 from ..models.scene import Scene
 
-#: light-table rows are (K, 16) f32:
+#: light-table rows are (K, 14) f32:
 #: sphere:   1-3 center0, 4-6 dcenter, 7 radius
 #: triangle: 1-3 v0, 4-6 e1, 7-9 e2, 10 area
 #: cols 11-13: emitted radiance (col 0 unused; light KINDS are static —
 #: scene.light_ids metadata — so no kind column is consulted at trace).
+#: Volume rows (ops/volumes.pack_volume_rows, also 14 wide) ride BEHIND
+#: these rows in the kernels' SMEM operand.
 MAX_LIGHTS = 16
 
 
@@ -83,7 +85,7 @@ def build_light_table(scene: Scene) -> jax.Array:
                 emit.astype(f32),
             ]))
     if not rows:
-        return jnp.zeros((1, 16), jnp.float32)
+        return jnp.zeros((1, 14), jnp.float32)
     return jnp.stack(rows)
 
 
@@ -102,7 +104,7 @@ def _onb(wx, wy, wz):
 
 
 def sample_light_dirs(table, light_kinds, pick, u1, u2, px, py, pz, tm):
-    """Per-lane light sample -> (dx, dy, dz, t_light, weight3).
+    """Per-lane light sample -> (dx, dy, dz, t_light, weight3, pdf).
 
     ``light_kinds`` is the static tuple of "s"/"t" from
     ``scene.light_ids``; ``pick``/``u1``/``u2`` are per-lane uniforms
@@ -110,7 +112,9 @@ def sample_light_dirs(table, light_kinds, pick, u1, u2, px, py, pz, tm):
     sphere lights).  ``weight3`` is emit * (geometry terms) * K —
     multiply by the Lambertian albedo (the BRDF's pi is cancelled) and
     cos_theta at the shading point, then gate on the shadow ray being
-    unoccluded.
+    unoccluded.  ``pdf`` is the EFFECTIVE solid-angle density of the
+    whole strategy (picked light's pdf / K; 0 where the sample is
+    degenerate) — the MIS balance weight's light-side term.
 
     All lanes evaluate all K light rows and select by the pick index
     (K <= MAX_LIGHTS; masked selects, no gather) — the same
@@ -126,6 +130,7 @@ def sample_light_dirs(table, light_kinds, pick, u1, u2, px, py, pz, tm):
     w0 = jnp.zeros(shape, jnp.float32)
     w1 = jnp.zeros(shape, jnp.float32)
     w2 = jnp.zeros(shape, jnp.float32)
+    pdf = jnp.zeros(shape, jnp.float32)
 
     for k, lkind in enumerate(light_kinds):
         sel = k_idx == k
@@ -161,6 +166,8 @@ def sample_light_dirs(table, light_kinds, pick, u1, u2, px, py, pz, tm):
             # pdf = 1/(2 pi (1 - cos_max)); weight = emit/(pi*pdf)*K
             # -> emit * 2 (1 - cos_max) * K.
             geo = jnp.where(ok, 2.0 * (1.0 - cos_max) * n_lights, 0.0)
+            pdf_k = jnp.where(ok, 1.0 / jnp.maximum(
+                2.0 * np.pi * (1.0 - cos_max) * n_lights, 1e-12), 0.0)
             dx = jnp.where(sel, sx, dx)
             dy = jnp.where(sel, sy, dy)
             dz = jnp.where(sel, sz, dz)
@@ -168,6 +175,7 @@ def sample_light_dirs(table, light_kinds, pick, u1, u2, px, py, pz, tm):
             w0 = jnp.where(sel, er * geo, w0)
             w1 = jnp.where(sel, eg * geo, w1)
             w2 = jnp.where(sel, eb * geo, w2)
+            pdf = jnp.where(sel, pdf_k, pdf)
         else:  # triangle light
             v0x, v0y, v0z = table[k, 1], table[k, 2], table[k, 3]
             e1x, e1y, e1z = table[k, 4], table[k, 5], table[k, 6]
@@ -202,6 +210,8 @@ def sample_light_dirs(table, light_kinds, pick, u1, u2, px, py, pz, tm):
             geo = jnp.where(
                 ok, cos_a * area * n_lights / (np.pi * jnp.maximum(
                     d2, 1e-12)), 0.0)
+            pdf_k = jnp.where(ok, d2 / jnp.maximum(
+                cos_a * area * n_lights, 1e-12), 0.0)
             dx = jnp.where(sel, sx, dx)
             dy = jnp.where(sel, sy, dy)
             dz = jnp.where(sel, sz, dz)
@@ -209,4 +219,77 @@ def sample_light_dirs(table, light_kinds, pick, u1, u2, px, py, pz, tm):
             w0 = jnp.where(sel, er * geo, w0)
             w1 = jnp.where(sel, eg * geo, w1)
             w2 = jnp.where(sel, eb * geo, w2)
-    return dx, dy, dz, tl, (w0, w1, w2)
+            pdf = jnp.where(sel, pdf_k, pdf)
+    return dx, dy, dz, tl, (w0, w1, w2), pdf
+
+
+def light_pdf_toward(table, light_kinds, ox, oy, oz, dx, dy, dz, t_hit,
+                     tm):
+    """Effective light-strategy pdf of direction d from origin o, given
+    the path's nearest hit lies at ``t_hit`` — the MIS balance weight's
+    light-side term at a BRDF-sampled emissive hit.
+
+    Sums each light's solid-angle pdf / K over the lights whose first
+    intersection along d matches ``t_hit`` (only the light actually hit
+    matches; the sum form needs no hit-primitive id and is exactly the
+    density with which :func:`sample_light_dirs` generates this path).
+    ``d`` may be unnormalized (scatter directions are raw ``n + unit``,
+    reference semantics) as long as ``t_hit`` parameterizes the same
+    ray — both are rescaled to unit length here.
+    """
+    n_lights = len(light_kinds)
+    dlen = jnp.sqrt(jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-24))
+    inv_l = 1.0 / dlen
+    dx, dy, dz = dx * inv_l, dy * inv_l, dz * inv_l
+    t_hit = t_hit * dlen
+    pdf = jnp.zeros(ox.shape, jnp.float32)
+    for k, lkind in enumerate(light_kinds):
+        if lkind == "s":
+            cx = table[k, 1] + tm * table[k, 4]
+            cy = table[k, 2] + tm * table[k, 5]
+            cz = table[k, 3] + tm * table[k, 6]
+            r = jnp.abs(table[k, 7])
+            tox, toy, toz = cx - ox, cy - oy, cz - oz
+            d2 = tox * tox + toy * toy + toz * toz
+            oc_d = -(tox * dx + toy * dy + toz * dz)
+            disc = oc_d * oc_d - (d2 - r * r)
+            t_k = -oc_d - jnp.sqrt(jnp.maximum(disc, 0.0))
+            cos_max = jnp.sqrt(jnp.maximum(
+                1.0 - (r * r) / jnp.maximum(d2, 1e-12), 0.0))
+            ok = (d2 > r * r) & (disc > 0.0) & (t_k > 0.0)
+            pdf_k = 1.0 / jnp.maximum(
+                2.0 * np.pi * (1.0 - cos_max) * n_lights, 1e-12)
+        else:
+            v0x, v0y, v0z = table[k, 1], table[k, 2], table[k, 3]
+            e1x, e1y, e1z = table[k, 4], table[k, 5], table[k, 6]
+            e2x, e2y, e2z = table[k, 7], table[k, 8], table[k, 9]
+            area = table[k, 10]
+            # Moeller-Trumbore against the light triangle (front side
+            # only, matching the sweep's det >= 1e-6 cull).
+            px_ = dy * e2z - dz * e2y
+            py_ = dz * e2x - dx * e2z
+            pz_ = dx * e2y - dy * e2x
+            det = e1x * px_ + e1y * py_ + e1z * pz_
+            inv = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+            sx_, sy_, sz_ = ox - v0x, oy - v0y, oz - v0z
+            u = (sx_ * px_ + sy_ * py_ + sz_ * pz_) * inv
+            qx_ = sy_ * e1z - sz_ * e1y
+            qy_ = sz_ * e1x - sx_ * e1z
+            qz_ = sx_ * e1y - sy_ * e1x
+            v = (dx * qx_ + dy * qy_ + dz * qz_) * inv
+            t_k = (e2x * qx_ + e2y * qy_ + e2z * qz_) * inv
+            ok = ((det >= 1e-6) & (u >= 0.0) & (v >= 0.0)
+                  & (u + v <= 1.0) & (t_k > 0.0))
+            nx = e1y * e2z - e1z * e2y
+            ny = e1z * e2x - e1x * e2z
+            nz = e1x * e2y - e1y * e2x
+            nlen = jnp.sqrt(jnp.maximum(nx * nx + ny * ny + nz * nz,
+                                        1e-24))
+            cos_a = -(dx * nx + dy * ny + dz * nz) / nlen
+            d2 = t_k * t_k
+            pdf_k = d2 / jnp.maximum(
+                cos_a * area * n_lights, 1e-12)
+        match = ok & (jnp.abs(t_k - t_hit)
+                      <= 1e-3 * jnp.maximum(t_hit, 1.0))
+        pdf = pdf + jnp.where(match, pdf_k, 0.0)
+    return pdf

@@ -871,8 +871,17 @@ def _shade_pure(state, sph_params, tri_params, draws,
                 best_t, best_k, alive, bounce, max_depth, *,
                 n_blocks, n_tri_blocks, cull=True, ablate="full",
                 emissive=False, bg=None, basics=None, from_diffuse=None,
-                checker=False):
+                checker=False, lights_ref=None, nee_kinds=(),
+                v_event=None):
     """The differentiable half of a bounce: winner params -> new state.
+
+    ``v_event`` (constant-density media, ops/volumes.py): a
+    (v_hit, t_v, albedo_r, g, b, dir_x, y, z) tuple — a volume scatter
+    at t_v OVERRIDES the surface interaction (and the sky on misses):
+    the lane advances to the free-flight point with the isotropic
+    direction and picks up the medium's albedo.  The volume direction
+    is u_hat/2, so the stateless MIS pdf recovery sqrt(a)/(2 pi) in the
+    emissive block yields exactly the isotropic phase pdf 1/(4 pi).
 
     ``state`` = 13-tuple (ox..dz, tm, tpr..tpb, rr..rb); ``sph_params``
     the winner's 13 sphere-table values; ``tri_params`` the winner's 15
@@ -958,8 +967,21 @@ def _shade_pure(state, sph_params, tri_params, draws,
     atg = jnp.where(is_diel, 1.0, alg)
     atb = jnp.where(is_diel, 1.0, alb)
 
+    if v_event is not None:
+        (v_hit, v_t, v_ar, v_ag, v_ab, v_dx, v_dy, v_dz) = v_event
+        v_hit = jnp.logical_and(v_hit, alive)
+        v_can = jnp.logical_and(v_hit, bounce < max_depth)
+        # Free-flight point from the INCOMING ray (before the advance
+        # selects overwrite o/d below).
+        vpx = ox + v_t * dx
+        vpy = oy + v_t * dy
+        vpz = oz + v_t * dz
+    else:
+        v_hit = v_can = jnp.zeros_like(alive)
+
     # ---- background for missed live lanes ---------------------------
-    missed = jnp.logical_and(alive, jnp.logical_not(hit))
+    missed = jnp.logical_and(jnp.logical_and(alive, jnp.logical_not(hit)),
+                             jnp.logical_not(v_hit))
     if bg is None:  # reference sky gradient
         inv_len = 1.0 / jnp.sqrt(a)
         sky_t = 0.5 * (dy * inv_len + 1.0)
@@ -976,6 +998,7 @@ def _shade_pure(state, sph_params, tri_params, draws,
 
     # ---- advance ----------------------------------------------------
     can = jnp.logical_and(jnp.logical_and(alive, hit), bounce < max_depth)
+    can = jnp.logical_and(can, jnp.logical_not(v_hit))
     if emissive:
         # Area lights: a hit on an EMISSIVE winner adds throughput *
         # emitted (the albedo columns) and retires the lane — no
@@ -983,13 +1006,28 @@ def _shade_pure(state, sph_params, tri_params, draws,
         # Static-gated: lightless scenes compile the unchanged bounce.
         is_emis = kind == np.float32(EMISSIVE)
         lit = jnp.logical_and(jnp.logical_and(alive, hit), is_emis)
+        lit = jnp.logical_and(lit, jnp.logical_not(v_hit))
         if from_diffuse is not None:
-            # NEE: the previous Lambertian bounce's direct-light sample
-            # already counted this path — skip emission-on-hit.
-            lit = jnp.logical_and(lit, jnp.logical_not(from_diffuse))
-        rr = rr + jnp.where(lit, tpr * alr, 0.0)
-        rg = rg + jnp.where(lit, tpg * alg, 0.0)
-        rb = rb + jnp.where(lit, tpb * alb, 0.0)
+            # MIS balance heuristic: a BRDF-sampled emissive hit shares
+            # its path with the previous Lambertian bounce's light
+            # sample; weight by pdf_brdf/(pdf_brdf + pdf_light).  The
+            # scatter cosine needs NO extra state: a diffuse direction
+            # is the raw n_hat + u_hat, so cos = |d|/2 = sqrt(a)/2 and
+            # pdf_brdf = sqrt(a)/(2 pi).  Specular/camera lanes
+            # (from_diffuse False) keep full weight.
+            from .lights import light_pdf_toward
+
+            p_l = light_pdf_toward(lights_ref, nee_kinds,
+                                   ox, oy, oz, dx, dy, dz, t_hit, tm)
+            p_b = jnp.sqrt(a) * np.float32(0.5 / np.pi)
+            w_emit = jnp.where(
+                from_diffuse,
+                p_b / jnp.maximum(p_b + p_l, 1e-12), 1.0)
+        else:
+            w_emit = 1.0
+        rr = rr + jnp.where(lit, tpr * alr * w_emit, 0.0)
+        rg = rg + jnp.where(lit, tpg * alg * w_emit, 0.0)
+        rb = rb + jnp.where(lit, tpb * alb * w_emit, 0.0)
         can = jnp.logical_and(can, jnp.logical_not(is_emis))
     if ablate == "noscatter":
         can = jnp.zeros_like(can)  # hit lanes retire; scatter code DCEs
@@ -1003,15 +1041,33 @@ def _shade_pure(state, sph_params, tri_params, draws,
     tpg = jnp.where(can, tpg * atg, tpg)
     tpb = jnp.where(can, tpb * atb, tpb)
     bounce = bounce + can.astype(jnp.int32)
+    if v_event is not None:
+        # Volume scatter: advance to the free-flight point with the
+        # isotropic u_hat/2 direction (see docstring), throughput picks
+        # up the medium albedo; one bounce of budget consumed.
+        ox = jnp.where(v_can, vpx, ox)
+        oy = jnp.where(v_can, vpy, oy)
+        oz = jnp.where(v_can, vpz, oz)
+        dx = jnp.where(v_can, v_dx, dx)
+        dy = jnp.where(v_can, v_dy, dy)
+        dz = jnp.where(v_can, v_dz, dz)
+        tpr = jnp.where(v_can, tpr * v_ar, tpr)
+        tpg = jnp.where(v_can, tpg * v_ag, tpg)
+        tpb = jnp.where(v_can, tpb * v_ab, tpb)
+        bounce = bounce + v_can.astype(jnp.int32)
     if from_diffuse is not None:
         # NEE: encode came-from-Lambertian in the alive code (0 dead,
         # 1 specular-alive, 2 diffuse-alive) — no extra state array.
-        # CHECKER/NOISE are Lambertians with point-dependent albedo.
+        # CHECKER/NOISE are Lambertians with point-dependent albedo;
+        # volume scatters count as diffuse (their NEE sample fired).
         is_lam = jnp.logical_or(
             kind == np.float32(LAMBERTIAN),
             jnp.logical_or(kind == np.float32(CHECKER),
                            kind == np.float32(NOISE)))
         can = can.astype(jnp.int32) * jnp.where(is_lam, 2, 1)
+        can = jnp.where(v_can, 2, can)
+    elif v_event is not None:
+        can = jnp.logical_or(can, v_can)
     return (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, rr, rg, rb, can,
             bounce)
 
@@ -1043,7 +1099,7 @@ def _bounce_core(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
                  sem_box=None, tri_hyp_ref=None, n_hyper=0, tri_t=False,
                  key_scr=None, emissive=False, bg=None,
                  lights_ref=None, nee_kinds=(), from_diffuse=None,
-                 checker=False):
+                 checker=False, vol_kinds=(), vol_row0=0):
     """One intersect+shade step for every live lane of a tile.
 
     The shared heart of the megakernels (persistent whole-frame,
@@ -1075,6 +1131,24 @@ def _bounce_core(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
         zero = jnp.zeros(ox.shape, jnp.float32)
         sph_params = tuple(zero + 0.3 for _ in range(_TBL_ROWS))
     draws = _draw_scatter(lane_u32, salt, ablate)
+    v_event = None
+    if vol_kinds:
+        # Constant-density media (ops/volumes.py): the volume rows ride
+        # the light-table operand at rows >= vol_row0.  One independent
+        # uniform per volume (salts 16+), isotropic direction = the
+        # bounce's unit draw scaled to 1/2 (stateless MIS pdf — see
+        # _shade_pure docstring).
+        from .volumes import _OffsetAlbedo, _OffsetRows, sample_volume_event
+
+        vus = tuple(_uniform(lane_u32, salt, 16 + j)
+                    for j in range(len(vol_kinds)))
+        v_hit0, v_t, (v_ar, v_ag, v_ab) = sample_volume_event(
+            _OffsetRows(lights_ref, vol_row0),
+            _OffsetAlbedo(lights_ref, vol_row0),
+            vol_kinds, vus, ox, oy, oz, dx, dy, dz, best_t)
+        uvx, uvy, uvz, _choice = draws
+        v_event = (v_hit0, v_t, v_ar, v_ag, v_ab,
+                   uvx * 0.5, uvy * 0.5, uvz * 0.5)
     basics = None
     if nee_kinds:
         from .lights import sample_light_dirs
@@ -1090,7 +1164,16 @@ def _bounce_core(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
         pick = _uniform(lane_u32, salt, 8)
         u1 = _uniform(lane_u32, salt, 9)
         u2 = _uniform(lane_u32, salt, 10)
-        ldx, ldy, ldz, t_l, (w0, w1, w2) = sample_light_dirs(
+        if v_event is not None:
+            # Volume scatters sample a light too (from the free-flight
+            # point, isotropic phase: factor 1/4 instead of cos, pdf
+            # 1/(4 pi) in the balance weight).
+            v_act = jnp.logical_and(jnp.logical_and(alive, v_event[0]),
+                                    bounce < max_depth)
+            px = jnp.where(v_act, ox + v_event[1] * dx, px)
+            py = jnp.where(v_act, oy + v_event[1] * dy, py)
+            pz = jnp.where(v_act, oz + v_event[1] * dz, pz)
+        ldx, ldy, ldz, t_l, (w0, w1, w2), l_pdf = sample_light_dirs(
             lights_ref, nee_kinds, pick, u1, u2, px, py, pz, tm)
         nee_act = jnp.logical_and(
             jnp.logical_and(jnp.logical_and(alive, hit),
@@ -1100,6 +1183,10 @@ def _bounce_core(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
                 jnp.logical_or(kind == np.float32(CHECKER),
                                kind == np.float32(NOISE))),
         )
+        if v_event is not None:
+            nee_act = jnp.logical_or(
+                jnp.logical_and(nee_act, jnp.logical_not(v_event[0])),
+                v_act)
         # Shadow sweep: occlusion = anything nearer than the sampled
         # light point (a culled back-facing light is transparent AND
         # zero-weighted, consistently).  best_t is seeded with the
@@ -1117,17 +1204,40 @@ def _bounce_core(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
         )
         open_ = s_t >= thresh
         cos_t = jnp.maximum(nx * ldx + ny * ldy + nz * ldz, 0.0)
+        # MIS: balance the light sample against the scatter strategy
+        # (cosine pdf at surfaces, 1/(4 pi) phase at volume events) —
+        # the paired weight lands on emission-on-hit in _shade_pure.
+        phase = cos_t * np.float32(1.0 / np.pi)
+        factor = cos_t
+        nar, nag, nab = alr, alg, alb
+        if v_event is not None:
+            phase = jnp.where(v_act, np.float32(0.25 / np.pi), phase)
+            factor = jnp.where(v_act, np.float32(0.25), factor)
+            nar = jnp.where(v_act, v_event[2], nar)
+            nag = jnp.where(v_act, v_event[3], nag)
+            nab = jnp.where(v_act, v_event[4], nab)
+        w_l = l_pdf / jnp.maximum(l_pdf + phase, 1e-12)
+        if vol_kinds:
+            # Shadow rays attenuate through media deterministically
+            # (exp(-sigma * overlap)); without it NEE overcounts.
+            from .volumes import _OffsetRows, volume_transmittance
+
+            factor = factor * volume_transmittance(
+                _OffsetRows(lights_ref, vol_row0), vol_kinds,
+                px, py, pz, ldx, ldy, ldz, t_l)
+        cw = factor * w_l
         add = jnp.logical_and(nee_act, open_)
-        rr = rr + jnp.where(add, tpr * alr * w0 * cos_t, 0.0)
-        rg = rg + jnp.where(add, tpg * alg * w1 * cos_t, 0.0)
-        rb = rb + jnp.where(add, tpb * alb * w2 * cos_t, 0.0)
+        rr = rr + jnp.where(add, tpr * nar * w0 * cw, 0.0)
+        rg = rg + jnp.where(add, tpg * nag * w1 * cw, 0.0)
+        rb = rb + jnp.where(add, tpb * nab * w2 * cw, 0.0)
     return _shade_pure(
         (ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb),
         sph_params, tri_params, draws, best_t, best_k, alive, bounce,
         max_depth, n_blocks=n_blocks, n_tri_blocks=n_tri_blocks,
         cull=cull, ablate=ablate, emissive=emissive, bg=bg,
         basics=basics, from_diffuse=from_diffuse if nee_kinds else None,
-        checker=checker,
+        checker=checker, lights_ref=lights_ref, nee_kinds=nee_kinds,
+        v_event=v_event,
     )
 
 
@@ -1135,7 +1245,7 @@ def _kernel(cam_ref, meta_ref, tbl_ref, sph_box_ref, tri_ref, tri_box_ref,
             tri_sup_ref, lights_ref, out_r, out_g, out_b, *, n_blocks,
             n_tri_blocks, n_super=0, cull=True, ablate="full",
             fixed_iters=0, emissive=False, bg=None, nee_kinds=(),
-            checker=False):
+            checker=False, vol_kinds=(), vol_row0=0):
     # Global tile id: grid position + this shard's tile offset (meta[0,4])
     # — devices in a mesh each render a contiguous tile range.
     pid = pl.program_id(0) + meta_ref[0, 4]
@@ -1244,6 +1354,7 @@ def _kernel(cam_ref, meta_ref, tbl_ref, sph_box_ref, tri_ref, tri_box_ref,
             cull=cull, ablate=ablate, emissive=emissive, bg=bg,
             lights_ref=lights_ref, nee_kinds=nee_kinds,
             from_diffuse=from_diffuse, checker=checker,
+            vol_kinds=vol_kinds, vol_row0=vol_row0,
         )
         return (ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb,
                 can.astype(jnp.int32), bounce, started, it + 1)
@@ -1267,7 +1378,7 @@ def _flat_bounce_kernel(
     *refs,
     n_blocks, n_tri_blocks, n_super=0, cull=True, tri_hbm=False,
     n_hyper=0, tri_t=False, f2b=True, stats=False, emissive=False,
-    bg=None, nee_kinds=(), checker=False,
+    bg=None, nee_kinds=(), checker=False, vol_kinds=(), vol_row0=0,
 ):
     """One bounce over a tile of pre-generated (sorted) rays.
 
@@ -1332,7 +1443,7 @@ def _flat_bounce_kernel(
             emissive=emissive, bg=bg,
             lights_ref=lights_ref, nee_kinds=nee_kinds,
             from_diffuse=(al > 1) if nee_kinds else None,
-            checker=checker,
+            checker=checker, vol_kinds=vol_kinds, vol_row0=vol_row0,
         )
         (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, rr, rg, rb, can, bo) = out
         return (ox, oy, oz, dx, dy, dz, tmv, tpr, tpg, tpb, rr, rg, rb,
@@ -1375,6 +1486,8 @@ def bounce_step_pallas(
     bg=None,
     nee_kinds=(),
     checker: bool = False,
+    vol_kinds=(),
+    vol_row0: int = 0,
 ):
     """Advance L flat lanes one bounce through the megakernel core.
 
@@ -1429,7 +1542,8 @@ def bounce_step_pallas(
         _flat_bounce_kernel, n_blocks=n_blocks, n_tri_blocks=n_tri_blocks,
         n_super=n_super, cull=cull, tri_hbm=tri_hbm, n_hyper=n_hyper,
         tri_t=tri_t, f2b=f2b, stats=stats, emissive=emissive, bg=bg,
-        nee_kinds=nee_kinds, checker=checker,
+        nee_kinds=nee_kinds, checker=checker, vol_kinds=vol_kinds,
+        vol_row0=vol_row0,
     )
     if n_super:
         # Pack each super's 16 block AABBs into one (1, SUPER*8) row so
@@ -1585,12 +1699,19 @@ def render_blocks_pallas(
     # tuple + a small SMEM light table re-derived from the scene).
     nee_kinds = (tuple(k for k, _ in scene.light_ids)
                  if scene.has_emissive else ())
+    rows = []
     if nee_kinds:
         from .lights import build_light_table
 
-        lights = build_light_table(scene)
-    else:
-        lights = jnp.zeros((1, 16), jnp.float32)
+        rows.append(build_light_table(scene))
+    vol_kinds = scene.volume_kinds
+    vol_row0 = rows[0].shape[0] if rows else 0
+    if vol_kinds:
+        from .volumes import pack_volume_rows
+
+        rows.append(pack_volume_rows(scene))
+    lights = (jnp.concatenate(rows) if rows
+              else jnp.zeros((1, 16), jnp.float32))
 
     kernel = functools.partial(
         _kernel, n_blocks=n_blocks, n_tri_blocks=n_tri_blocks,
@@ -1598,6 +1719,7 @@ def render_blocks_pallas(
         emissive=scene.has_emissive,
         bg=None if scene.background == "sky" else scene.background,
         nee_kinds=nee_kinds, checker=scene.has_checker,
+        vol_kinds=vol_kinds, vol_row0=vol_row0,
     )
     out_shape = [
         jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, LANES), jnp.float32)

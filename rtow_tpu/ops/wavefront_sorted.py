@@ -150,12 +150,17 @@ def _scene_tables(scene: Scene):
         tri_hyper = jnp.zeros((1, 8), jnp.float32)
         n_tri_blocks = 0
         n_super = 0
+    rows = []
     if scene.has_emissive and scene.light_ids:
         from .lights import build_light_table
 
-        lights = build_light_table(scene)
-    else:
-        lights = jnp.zeros((1, 16), jnp.float32)
+        rows.append(build_light_table(scene))
+    if scene.volume_kinds:
+        from .volumes import pack_volume_rows
+
+        rows.append(pack_volume_rows(scene))
+    lights = (jnp.concatenate(rows) if rows
+              else jnp.zeros((1, 16), jnp.float32))
     tables = (tbl, sph_boxes, tri, tri_boxes, tri_super, tri_hyper, lights)
 
     # Scene bounds for Morton quantization (valid block boxes only).
@@ -176,6 +181,7 @@ def _trace_lane_per_sample(
     camera, key, lane_pix, seed, *, L_raw, L, P, lpp, max_depth,
     width, height, cull_backfaces, tables, counts, bmin, inv_ext,
     emissive=False, bg=None, nee_kinds=(), checker=False,
+    vol_kinds=(), vol_row0=0,
 ):
     """The default lane-per-sample fast path (one lane = one sample).
 
@@ -236,6 +242,7 @@ def _trace_lane_per_sample(
             n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, n_super=n_super,
             cull=cull_backfaces, emissive=emissive, bg=bg,
             nee_kinds=nee_kinds, checker=checker,
+            vol_kinds=vol_kinds, vol_row0=vol_row0,
         )
         return st, it + 1
 
@@ -305,6 +312,8 @@ def trace_wavefront_sorted(
     bg=None,
     nee_kinds=(),
     checker=False,
+    vol_kinds=(),
+    vol_row0=0,
 ) -> jax.Array:
     """Radiance sums for a chunk of pixels -> (P, 3).
 
@@ -335,6 +344,8 @@ def trace_wavefront_sorted(
             nee_kinds = tuple(k for k, _ in scene.light_ids)
         if scene is not None:
             checker = scene.has_checker
+            vol_kinds = scene.volume_kinds
+            vol_row0 = len(scene.light_ids) if nee_kinds else 0
     n_blocks, n_tri_blocks, n_super = counts
 
     P = pixel_ids.shape[0]
@@ -359,6 +370,7 @@ def trace_wavefront_sorted(
             cull_backfaces=cull_backfaces, tables=tables, counts=counts,
             bmin=bmin, inv_ext=inv_ext, emissive=emissive, bg=bg,
             nee_kinds=nee_kinds, checker=checker,
+            vol_kinds=vol_kinds, vol_row0=vol_row0,
         )
 
     zero = jnp.zeros((L,), f32)
@@ -420,6 +432,7 @@ def trace_wavefront_sorted(
             n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, n_super=n_super,
             cull=cull_backfaces, emissive=emissive, bg=bg,
             nee_kinds=nee_kinds, checker=checker,
+            vol_kinds=vol_kinds, vol_row0=vol_row0,
         )
         return st, started, lane_pix, it + 1
 
@@ -488,7 +501,8 @@ def trace_wavefront_sorted(
 def _frame_fn(width: int, height: int, spp: int, max_depth: int,
               ppc: int, lpp: int, band_chunks: int, counts, cull: bool,
               progress: bool = False, emissive: bool = False, bg=None,
-              nee_kinds=(), checker: bool = False):
+              nee_kinds=(), checker: bool = False, vol_kinds=(),
+              vol_row0: int = 0):
     """Cached jitted band renderer (re-jit per call costs seconds).
 
     Renders ``band_chunks`` consecutive pixel chunks starting at global
@@ -512,7 +526,7 @@ def _frame_fn(width: int, height: int, spp: int, max_depth: int,
                 cull_backfaces=cull, tables=tables, counts=counts,
                 bmin=bmin, inv_ext=inv_ext, lanes_per_pixel=lpp,
                 emissive=emissive, bg=bg, nee_kinds=nee_kinds,
-                checker=checker,
+                checker=checker, vol_kinds=vol_kinds, vol_row0=vol_row0,
             )
             sums = jnp.where((pixel_ids < n_pixels)[:, None], sums, 0.0)
             if progress:
@@ -572,14 +586,15 @@ def render_wavefront(
     tables, counts, bmin, inv_ext = _scene_tables(scene)
     from ..render import callbacks_supported
 
+    nee_kinds = (tuple(k for k, _ in scene.light_ids)
+                 if scene.has_emissive else ())
     frame = _frame_fn(width, height, spp, cfg.max_child_rays, ppc, lpp,
                       band, counts, cull_backfaces,
                       progress and callbacks_supported(),
                       scene.has_emissive,
                       None if scene.background == "sky" else scene.background,
-                      tuple(k for k, _ in scene.light_ids)
-                      if scene.has_emissive else (),
-                      scene.has_checker)
+                      nee_kinds, scene.has_checker, scene.volume_kinds,
+                      len(nee_kinds))
 
     t0 = _time.perf_counter()
     n_bands = -(-n_chunks // band)

@@ -229,7 +229,8 @@ def _sharded_wavefront_step(flat_mesh, width: int, height: int, spp: int,
                             max_depth: int, ppd: int, ppc: int, lpp: int,
                             n_chunks_local: int, counts, cull: bool,
                             emissive: bool = False, bg=None, nee_kinds=(),
-                            checker: bool = False):
+                            checker: bool = False, vol_kinds=(),
+                            vol_row0: int = 0):
     """Cached jitted shard-mapped sorted-wavefront step: each device owns
     a contiguous pixel range and runs its own sort+bounce chunk loop."""
     from ..ops.wavefront_sorted import trace_wavefront_sorted
@@ -251,7 +252,7 @@ def _sharded_wavefront_step(flat_mesh, width: int, height: int, spp: int,
                 cull_backfaces=cull, tables=tables, counts=counts,
                 bmin=bmin, inv_ext=inv_ext, lanes_per_pixel=lpp,
                 emissive=emissive, bg=bg, nee_kinds=nee_kinds,
-                checker=checker,
+                checker=checker, vol_kinds=vol_kinds, vol_row0=vol_row0,
             )
             sums = jnp.where((pixel_ids < n_pixels)[:, None], sums, 0.0)
             return jax.lax.dynamic_update_slice(fb, sums, (c * ppc, 0))
@@ -306,12 +307,13 @@ def render_sharded_wavefront(
     n_chunks_local = -(-ppd // ppc)
 
     tables, counts, bmin, inv_ext = _scene_tables(scene)
+    nee_kinds = (tuple(k for k, _ in scene.light_ids)
+                 if scene.has_emissive else ())
     step = _sharded_wavefront_step(
         flat, width, height, spp, cfg.max_child_rays, ppd, ppc, lpp,
         n_chunks_local, counts, cull_backfaces, scene.has_emissive,
         None if scene.background == "sky" else scene.background,
-        tuple(k for k, _ in scene.light_ids) if scene.has_emissive else (),
-        scene.has_checker,
+        nee_kinds, scene.has_checker, scene.volume_kinds, len(nee_kinds),
     )
     t0 = _time.perf_counter()
     fb = step(tables, bmin, inv_ext, camera, key, jnp.int32(cfg.seed))

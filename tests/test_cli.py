@@ -47,6 +47,7 @@ def test_render_demo_scenes(tmp_path):
         ("--cornell", lambda lin: lin.max() > 0.5),       # lit interior
         ("--checker", lambda lin: lin[0].mean() > 0.3),   # normal sky
         ("--textures", lambda lin: lin[0].mean() > 0.3),  # normal sky
+        ("--smoke", lambda lin: lin.max() > 0.3),         # lit interior
     ]:
         out = tmp_path / f"{flag[2:]}.ppm"
         rc = cli.main([

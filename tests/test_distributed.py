@@ -55,12 +55,27 @@ print("WORKER_OK", rank, float(img.mean()))
 
 @pytest.mark.slow
 def test_two_process_distributed(tmp_path):
+    # One retry: the coordinator handshake can flake when the machine
+    # is loaded (worker interpreter boot contends with concurrent
+    # device jobs), and a distributed bring-up is inherently racy on a
+    # shared CI box.  A persistent failure still fails the test.
+    last = None
+    for attempt in range(2):
+        try:
+            _run_two_process(tmp_path, attempt)
+            return
+        except AssertionError as e:  # pragma: no cover - retry path
+            last = e
+    raise last
+
+
+def _run_two_process(tmp_path, attempt):
     port = socket.socket()
     port.bind(("127.0.0.1", 0))
     addr = f"127.0.0.1:{port.getsockname()[1]}"
     port.close()
 
-    out_base = str(tmp_path / "img")
+    out_base = str(tmp_path / f"img{attempt}")
     procs = []
     for rank in range(2):
         env = dict(
@@ -78,7 +93,11 @@ def test_two_process_distributed(tmp_path):
         ))
     outs = []
     for p in procs:
-        out, err = p.communicate(timeout=300)
+        try:
+            out, err = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired as e:  # pragma: no cover
+            p.kill()
+            raise AssertionError(f"worker timed out: {e}") from e
         outs.append((p.returncode, out, err))
     for rc, out, err in outs:
         assert rc == 0, f"worker failed:\n{out}\n{err}"

@@ -306,3 +306,75 @@ def test_jnp_gradients_flow_to_emission():
                              height=h, spp=2, max_depth=2)
     g = np.asarray(grads.materials.albedo[0])
     assert np.all(np.abs(g) > 0.0)
+
+
+def test_mis_pdf_pairing():
+    """MIS consistency linchpin: the pdf reported by sample_light_dirs
+    for a generated light direction must equal light_pdf_toward's pdf
+    for that same ray evaluated at the light hit distance — otherwise
+    the balance weights at the two path endpoints don't sum to 1 and
+    the combined estimator is biased."""
+    from rtow_tpu.ops.lights import (
+        build_light_table, light_pdf_toward, sample_light_dirs,
+    )
+
+    b = SceneBuilder()
+    lamp = b.add_light((5.0, 5.0, 5.0))
+    tlamp = b.add_light((2.0, 2.0, 2.0))
+    b.add_sphere((2.0, 3.0, -1.0), 1.2, lamp)
+    b.add_triangle((-3.0, 4.0, -2.0), (1.0, 4.0, -2.0), (-1.0, 4.0, 2.0),
+                   tlamp)
+    b.add_sphere((0.0, -100.0, 0.0), 100.0, b.add_lambertian((0.5,) * 3))
+    scene = b.build(background=(0.0, 0.0, 0.0))
+    table = build_light_table(scene)
+    kinds = tuple(k for k, _ in scene.light_ids)
+
+    n = 256
+    key = jax.random.key(11)
+    pick, u1, u2 = jax.random.uniform(key, (3, n))
+    # Shading points scattered on the ground plane.
+    px = jnp.linspace(-2.0, 2.0, n)
+    py = jnp.zeros((n,)) + 0.01
+    pz = jnp.linspace(-1.5, 1.5, n)
+    tm = jnp.zeros((n,))
+    dx, dy, dz, t_l, _w, pdf = sample_light_dirs(
+        table, kinds, pick, u1, u2, px, py, pz, tm)
+    pdf_back = light_pdf_toward(table, kinds, px, py, pz, dx, dy, dz,
+                                t_l, tm)
+    pdf, pdf_back = np.asarray(pdf), np.asarray(pdf_back)
+    ok = pdf > 0
+    assert ok.mean() > 0.9  # nearly all samples are valid
+    np.testing.assert_allclose(pdf_back[ok], pdf[ok], rtol=2e-3)
+
+
+def test_mis_exact_inside_dome_light():
+    """One diffuse bounce inside an enclosing emissive dome: NEE's cone
+    sample is degenerate (shading point inside the light -> pdf 0) and
+    the BRDF-side balance weight must then be exactly 1, so the pixel
+    is exactly albedo * emit.  Any double counting or lost weight shows
+    up immediately.  Covers the jnp integrator and the megakernel."""
+    from rtow_tpu.ops.pallas_megakernel import render_spheres_pallas
+
+    emit = (2.0, 1.0, 0.5)
+    albedo = (0.5, 0.6, 0.7)
+    cam = make_camera(lookfrom=(0.0, 1.5, 2.0), lookat=(0.0, 0.0, 0.0),
+                      fov_degrees=40.0, aspect_ratio=1.0, aperture=0.0,
+                      focus_dist=2.5)
+    b = SceneBuilder()
+    lamp = b.add_light(emit)
+    mat = b.add_lambertian(albedo)
+    b.add_sphere((0.0, -100.0, 0.0), 100.0, mat)  # floor
+    b.add_sphere((0.0, 0.0, 0.0), 300.0, lamp)    # enclosing dome
+    scene = b.build(background=(0.0, 0.0, 0.0))
+    want = np.array(albedo) * np.array(emit)
+    cfg = Config(image_width=8, aspect_ratio=1.0, samples_per_pixel=8,
+                 max_child_rays=4, backend="jnp", seed=12)
+    img = np.asarray(render(scene, cam, cfg))
+    np.testing.assert_allclose(img, np.broadcast_to(want, img.shape),
+                               rtol=1e-4)
+    with pltpu.force_tpu_interpret_mode():
+        sums = render_spheres_pallas(scene, cam, 12, width=8, height=8,
+                                     spp=8, max_depth=4)
+    img_k = np.asarray(sums).reshape(8, 8, 3) / 8
+    np.testing.assert_allclose(img_k, np.broadcast_to(want, img_k.shape),
+                               rtol=1e-4)

@@ -1,0 +1,171 @@
+"""Constant-density media (book 2 ch. 9 smoke/fog) — beyond the
+reference's surface-only scope.  Covered paths: jnp integrator (scan
+and persistent-progressive) and the megakernels (shared _bounce_core).
+
+Oracles: analytic transmittance through an absorbing slab (the
+free-flight sampler IS the transmittance estimator, so the mean must be
+exp(-sigma * L) exactly), kernel-vs-jnp statistical parity, and
+NEE-with-volumes unbiasedness against the plain estimator.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from rtow_tpu.config import Config
+from rtow_tpu.models.camera import make_camera
+from rtow_tpu.models.scene import SceneBuilder
+from rtow_tpu.render import render
+
+
+def _slab_scene(sigma=0.7, L=2.0, albedo=(0.0, 0.0, 0.0),
+                emit=(2.0, 2.0, 2.0)):
+    """Camera stares through a fog slab at an emissive wall."""
+    cam = make_camera(lookfrom=(0.0, 0.0, 3.0), lookat=(0.0, 0.0, 0.0),
+                      fov_degrees=30.0, aspect_ratio=1.0, aperture=0.0,
+                      focus_dist=3.0)
+    b = SceneBuilder()
+    lamp = b.add_light(emit)
+    b.add_triangle((-9, -9, -1.0), (9, -9, -1.0), (9, 9, -1.0), lamp)
+    b.add_triangle((-9, -9, -1.0), (9, 9, -1.0), (-9, 9, -1.0), lamp)
+    b.add_sphere((0, 0, 50.0), 0.5, b.add_lambertian((0.5,) * 3))
+    b.add_fog_box((-20, -20, 0.0), (20, 20, L), sigma, albedo=albedo)
+    return b.build(background=(0.0, 0.0, 0.0)), cam
+
+
+def test_builder_volume_fields():
+    scene, _ = _slab_scene()
+    assert scene.volume_kinds == ("b",)
+    assert scene.volumes.density.shape == (1,)
+    b = SceneBuilder()
+    m = b.add_lambertian((0.5,) * 3)
+    b.add_sphere((0, 0, 0), 1.0, m)
+    for i in range(9):
+        b.add_fog_sphere((i, 0, 0), 0.5, 1.0)
+    with pytest.raises(ValueError, match="at most 8 volumes"):
+        b.build()
+
+
+def test_absorbing_slab_transmittance_jnp():
+    """Pixel = exp(-sigma * path) * emit for a purely absorbing medium
+    (albedo 0): the exponential free-flight sampler is the unbiased
+    transmittance estimator."""
+    sigma, L = 0.7, 2.0
+    scene, cam = _slab_scene(sigma, L)
+    cfg = Config(image_width=8, aspect_ratio=1.0, samples_per_pixel=4096,
+                 max_child_rays=4, backend="jnp", seed=3)
+    img = np.asarray(render(scene, cam, cfg))
+    want = np.exp(-sigma * L) * 2.0
+    # Central pixels: near-axial rays (path ~ L); 4096 spp -> SE ~ 0.016.
+    assert abs(img[3:5, 3:5, 0].mean() - want) < 0.05
+    # Corner rays travel further -> strictly darker in expectation.
+    assert img.mean() < want + 0.05
+
+
+def test_absorbing_slab_transmittance_kernel():
+    """Same analytic gate through the persistent megakernel (interpret
+    mode; independent in-kernel hash RNG)."""
+    from rtow_tpu.ops.pallas_megakernel import render_spheres_pallas
+
+    sigma, L = 0.7, 2.0
+    scene, cam = _slab_scene(sigma, L)
+    W = H = 8
+    spp = 1024
+    with pltpu.force_tpu_interpret_mode():
+        sums = render_spheres_pallas(scene, cam, 5, width=W, height=H,
+                                     spp=spp, max_depth=4)
+    img = np.asarray(sums).reshape(H, W, 3) / spp
+    want = np.exp(-sigma * L) * 2.0
+    assert abs(img[3:5, 3:5, 0].mean() - want) < 0.08
+
+
+def _fog_ball_scene():
+    """Sky-lit scene: a white scattering fog ball over a red ground."""
+    cam = make_camera(lookfrom=(0.0, 1.0, 4.0), lookat=(0.0, 0.6, 0.0),
+                      fov_degrees=45.0, aspect_ratio=1.0, aperture=0.0,
+                      focus_dist=4.0)
+    b = SceneBuilder()
+    ground = b.add_lambertian((0.7, 0.2, 0.2))
+    b.add_sphere((0.0, -100.0, 0.0), 100.0, ground)
+    b.add_fog_sphere((0.0, 0.8, 0.0), 0.8, 2.5, albedo=(0.9, 0.9, 0.9))
+    return b.build(), cam
+
+
+def test_fog_kernel_matches_jnp():
+    """Scattering fog ball: persistent megakernel vs jnp integrator
+    statistical agreement, and the fog visibly occludes the ground."""
+    from rtow_tpu.ops.pallas_megakernel import render_spheres_pallas
+
+    scene, cam = _fog_ball_scene()
+    W = H = 16
+    spp, depth = 64, 6
+    cfg = Config(image_width=W, aspect_ratio=1.0, samples_per_pixel=spp,
+                 max_child_rays=depth, backend="jnp", seed=4)
+    img_jnp = np.asarray(render(scene, cam, cfg))
+    with pltpu.force_tpu_interpret_mode():
+        sums = render_spheres_pallas(scene, cam, 4, width=W, height=H,
+                                     spp=spp, max_depth=depth)
+    img_k = np.asarray(sums).reshape(H, W, 3) / spp
+    assert abs(img_jnp.mean() - img_k.mean()) < 0.03
+    assert np.abs(img_jnp - img_k).mean() < 0.08
+    # The fog ball sits center-frame: those pixels are whitish (fog
+    # scatters sky), not the ground's red.
+    center = img_jnp[6:10, 6:10]
+    assert center[..., 2].mean() > 0.3  # blue channel present (not red)
+
+
+def test_sorted_wavefront_volumes():
+    """The flat bounce kernel (sorted-wavefront path) applies media:
+    absorbing slab through trace_wavefront_sorted matches analytic."""
+    from rtow_tpu.ops.wavefront_sorted import trace_wavefront_sorted
+
+    sigma, L = 0.7, 2.0
+    scene, cam = _slab_scene(sigma, L)
+    w = h = 8
+    spp = 512
+    pix = jnp.arange(w * h, dtype=jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        sums = trace_wavefront_sorted(
+            scene, cam, jax.random.key(2), pix, 7, spp=spp, max_depth=4,
+            width=w, height=h,
+        )
+    img = np.asarray(sums).reshape(h, w, 3) / spp
+    want = np.exp(-sigma * L) * 2.0
+    assert abs(img[3:5, 3:5, 0].mean() - want) < 0.1
+
+
+def test_volume_nee_unbiased():
+    """Fog ball lit by one area light: the NEE+MIS estimator (volume
+    events sample the light with the 1/(4 pi) phase) agrees with the
+    plain estimator in expectation and cuts the per-sample std."""
+    from rtow_tpu.models.camera import camera_rays, pixel_coords
+    from rtow_tpu.ops.integrator import trace
+
+    cam = make_camera(lookfrom=(0.0, 1.0, 4.0), lookat=(0.0, 0.6, 0.0),
+                      fov_degrees=45.0, aspect_ratio=1.0, aperture=0.0,
+                      focus_dist=4.0)
+    b = SceneBuilder()
+    ground = b.add_lambertian((0.6, 0.6, 0.6))
+    lamp = b.add_light((6.0, 6.0, 6.0))
+    b.add_sphere((0.0, -100.0, 0.0), 100.0, ground)
+    b.add_sphere((1.5, 3.0, 1.0), 1.0, lamp)
+    b.add_fog_sphere((0.0, 0.8, 0.0), 0.8, 2.0, albedo=(0.9, 0.9, 0.9))
+    scene = b.build(background=(0.0, 0.0, 0.0))
+    W = H = 8
+    spp, depth = 512, 5
+
+    def samples(nee, seed):
+        pix = jnp.arange(W * H, dtype=jnp.int32)
+        lane_pix = jnp.repeat(pix, spp)
+        k_pix, k_cam, k_tr = jax.random.split(jax.random.key(seed), 3)
+        s, t = pixel_coords(W, H, k_pix, lane_pix, dtype=jnp.float32)
+        rays = camera_rays(cam, k_cam, s, t)
+        rad = trace(scene, rays, k_tr, depth, nee=nee)
+        return np.asarray(rad.reshape(W * H, spp, 3))
+
+    sp = samples(False, 0)
+    sn = samples(True, 1)
+    assert abs(sp.mean() - sn.mean()) < 0.03, (sp.mean(), sn.mean())
+    assert np.abs(sp.mean(axis=1) - sn.mean(axis=1)).mean() < 0.06
+    assert sn.std(axis=1).mean() < sp.std(axis=1).mean()
