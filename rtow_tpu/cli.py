@@ -46,6 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--smoke", action="store_true", dest="smoke_demo",
                    help="Cornell-smoke demo: constant-density media "
                         "(book 2 ch. 9; no reference counterpart)")
+    p.add_argument("--globe", action="store_true", dest="globe_demo",
+                   help="Earth-globe image-texture demo (book 2 ch. 4.3; "
+                        "procedural texture, jnp path)")
     p.add_argument("--seed", type=int, default=d.seed)
     p.add_argument("--backend", choices=["auto", "jnp", "pallas"], default=d.backend)
     p.add_argument("--no-bvh", dest="use_bvh", action="store_false", default=d.use_bvh)
@@ -72,6 +75,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         checker_ground=args.checker_ground,
         textures_demo=args.textures_demo,
         smoke_demo=args.smoke_demo,
+        globe_demo=args.globe_demo,
         n_devices=args.devices,
         seed=args.seed,
         use_bvh=args.use_bvh,

@@ -33,6 +33,8 @@ class Config:
     textures_demo: bool = False
     #: Cornell-smoke demo scene (book 2 ch. 9 constant-density media).
     smoke_demo: bool = False
+    #: earth-globe image-texture demo scene (book 2 ch. 4.3; jnp path).
+    globe_demo: bool = False
 
     # -- TPU-native knobs --------------------------------------------------
     #: devices used for rendering; the analogue of the reference's

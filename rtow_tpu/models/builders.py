@@ -249,12 +249,68 @@ def cornell_scene(aspect_ratio: float = 1.0, dtype=REAL) -> Tuple[Scene, Camera]
     return b.build(dtype, background=(0.0, 0.0, 0.0)), cam
 
 
+def make_earth_texture(height: int = 256, seed: int = 7) -> np.ndarray:
+    """Procedural (H, 2H, 3) earth-like equirectangular texture: fBm
+    value-noise continents over ocean, polar caps.  The book ships
+    earthmap.jpg; this repo has no binary assets, so the globe demo
+    generates one deterministically."""
+    h, w = height, 2 * height
+    rng = np.random.default_rng(seed)
+    # fBm: 4 octaves of smooth noise, built by upsampling coarse grids.
+    acc = np.zeros((h, w))
+    for octave, cells in enumerate((8, 16, 32, 64)):
+        grid = rng.standard_normal((cells + 1, 2 * cells + 1))
+        ys = np.linspace(0, cells, h, endpoint=False)
+        xs = np.linspace(0, 2 * cells, w, endpoint=False)
+        y0 = ys.astype(int)
+        x0 = xs.astype(int)
+        fy = (ys - y0)[:, None]
+        fx = (xs - x0)[None, :]
+        fy = fy * fy * (3 - 2 * fy)
+        fx = fx * fx * (3 - 2 * fx)
+        g = (grid[y0][:, x0] * (1 - fy) * (1 - fx)
+             + grid[y0][:, x0 + 1] * (1 - fy) * fx
+             + grid[y0 + 1][:, x0] * fy * (1 - fx)
+             + grid[y0 + 1][:, x0 + 1] * fy * fx)
+        acc += g * (0.5 ** octave)
+    land = acc > 0.25
+    lat = np.abs(np.linspace(-1.0, 1.0, h))[:, None]  # 1 at poles
+    img = np.empty((h, w, 3))
+    img[..., 0] = np.where(land, 0.35 + 0.25 * acc.clip(0, 1), 0.05)
+    img[..., 1] = np.where(land, 0.45 + 0.20 * acc.clip(0, 1), 0.15)
+    img[..., 2] = np.where(land, 0.25, 0.45 + 0.2 * (1 - lat))
+    ice = np.broadcast_to(lat > 0.92, (h, w))
+    img[ice] = 0.9
+    return img.clip(0.0, 1.0)
+
+
+def globe_scene(aspect_ratio: float = 1.5, dtype=REAL) -> Tuple[Scene, Camera]:
+    """Image-texture demo (book 2 ch. 4.3's earth globe): a textured
+    sphere over a gray ground, sky-lit.  JNP path only — texel lookups
+    are gathers (see models/scene.py IMAGE)."""
+    cam = make_camera(
+        lookfrom=(0.0, 1.6, 6.0),
+        lookat=(0.0, 1.0, 0.0),
+        fov_degrees=32.0,
+        aspect_ratio=aspect_ratio,
+        aperture=0.0,
+        focus_dist=6.0,
+        dtype=dtype,
+    )
+    b = SceneBuilder()
+    ground = b.add_lambertian((0.6, 0.6, 0.6))
+    earth = b.add_image(make_earth_texture())
+    b.add_sphere((0.0, -100.0, 0.0), 100.0, ground)
+    b.add_sphere((0.0, 1.1, 0.0), 1.1, earth)
+    return b.build(dtype), cam
+
+
 def smoke_scene(aspect_ratio: float = 1.0, dtype=REAL) -> Tuple[Scene, Camera]:
     """Cornell smoke (book 2 ch. 9's closing scene): the box interior
     with two constant-density media in place of the solid boxes — dark
-    smoke where the tall box stood, white fog where the short one was
-    (axis-aligned boundaries; the book's rotations don't survive the
-    analytic-boundary representation and read identically in fog)."""
+    smoke in the tall box (rotate_y 15), white fog in the short one
+    (rotate_y -18), the book's exact instance transforms (medium
+    boundaries stay analytic: rays are inverse-rotated per volume)."""
     cam = make_camera(
         lookfrom=(278.0, 278.0, -800.0),
         lookat=(278.0, 278.0, 0.0),
@@ -279,10 +335,12 @@ def smoke_scene(aspect_ratio: float = 1.0, dtype=REAL) -> Tuple[Scene, Camera]:
     # Bigger light than the solid Cornell: fog eats most paths.
     quad((443, s - 1, 127), (443, s - 1, 432), (113, s - 1, 432),
          (113, s - 1, 127), lamp)
-    b.add_fog_box((265.0, 0.0, 295.0), (430.0, 330.0, 460.0), 0.01,
-                  albedo=(0.0, 0.0, 0.0))
-    b.add_fog_box((130.0, 0.0, 65.0), (295.0, 165.0, 230.0), 0.01,
-                  albedo=(1.0, 1.0, 1.0))
+    b.add_fog_box((0.0, 0.0, 0.0), (165.0, 330.0, 165.0), 0.01,
+                  albedo=(0.0, 0.0, 0.0), rotate_y=15.0,
+                  translate=(265.0, 0.0, 295.0))
+    b.add_fog_box((0.0, 0.0, 0.0), (165.0, 165.0, 165.0), 0.01,
+                  albedo=(1.0, 1.0, 1.0), rotate_y=-18.0,
+                  translate=(130.0, 0.0, 65.0))
     return b.build(dtype, background=(0.0, 0.0, 0.0)), cam
 
 
@@ -297,6 +355,8 @@ def scene_for_config(cfg: Config, dtype=REAL) -> Tuple[Scene, Camera]:
         return textures_scene(cfg.aspect_ratio, dtype)
     if getattr(cfg, "smoke_demo", False):
         return smoke_scene(cfg.aspect_ratio, dtype)
+    if getattr(cfg, "globe_demo", False):
+        return globe_scene(cfg.aspect_ratio, dtype)
     if cfg.model:
         return mesh_scene(cfg, dtype)
     return cover_scene(cfg, dtype)

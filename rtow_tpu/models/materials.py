@@ -205,6 +205,40 @@ def checker_albedo(kind, point, scale, even, odd):
                      even + (odd - even) * t[..., None], out)
 
 
+def sphere_uv(nx, ny, nz):
+    """Equirectangular (u, v) from the outward unit normal (book 2
+    ch. 4.4: theta = acos(-y), phi = atan2(-z, x) + pi)."""
+    theta = jnp.arccos(jnp.clip(-ny, -1.0, 1.0))
+    phi = jnp.arctan2(-nz, nx) + np.pi
+    return phi * np.float32(0.5 / np.pi), theta * np.float32(1.0 / np.pi)
+
+
+def image_albedo(texture, nx, ny, nz):
+    """Bilinear texel lookup at the sphere (u, v) -> (..., 3) albedo.
+
+    JNP PATH ONLY: per-lane texel fetches are gathers (the pipeline
+    fences IMAGE scenes off the kernels).  The lookup is differentiable
+    w.r.t. ``texture`` — the bilinear weights distribute the cotangent
+    over the four texels (inverse texture painting)."""
+    H, W = texture.shape[0], texture.shape[1]
+    u, v = sphere_uv(nx, ny, nz)
+    x = u * (W - 1)
+    y = (1.0 - v) * (H - 1)
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, W - 1)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, H - 1)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    fx = (x - x0.astype(x.dtype))[..., None]
+    fy = (y - y0.astype(y.dtype))[..., None]
+    t00 = texture[y0, x0]
+    t10 = texture[y0, x1]
+    t01 = texture[y1, x0]
+    t11 = texture[y1, x1]
+    top = t00 + (t10 - t00) * fx
+    bot = t01 + (t11 - t01) * fx
+    return top + (bot - top) * fy
+
+
 def emitted(rec: HitRecord) -> jax.Array:
     """Per-lane emitted radiance (L, 3): the EMISSIVE material's albedo
     columns hold the emitted color; every other kind emits black.

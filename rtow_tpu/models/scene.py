@@ -47,6 +47,14 @@ CHECKER = 4
 #: displaced by hash-based value-noise turbulence (TPU-friendly: pure
 #: arithmetic, no permutation-table gathers).  Same columns as CHECKER.
 NOISE = 5
+#: Image texture (book 2 ch. 4.3): a Lambertian whose albedo is a
+#: bilinear lookup of Scene.texture at the sphere's (u, v).  JNP PATH
+#: ONLY — a texture lookup is a per-lane gather, which serializes on
+#: the TPU vector unit, so image scenes are fenced off the kernels
+#: (pipeline dispatch) instead of poisoning the hot loop.  The texels
+#: are a traced leaf: gradients flow INTO the image (inverse texture
+#: painting).
+IMAGE = 6
 
 
 def _pytree_dataclass(cls, meta=()):
@@ -99,16 +107,18 @@ class Volumes:
     identical code.  Kinds are carried statically (Scene.volume_kinds)
     like the light table's."""
 
-    p0: jax.Array  # (V, 3) sphere center / box min corner
-    p1: jax.Array  # (V, 3) (radius, 0, 0) / box max corner
+    p0: jax.Array  # (V, 3) sphere center / box min corner (local)
+    p1: jax.Array  # (V, 3) (radius, 0, 0) / box max corner (local)
     density: jax.Array  # (V,) sigma (1/length); scatter pdf sigma*e^-sigma*s
     albedo: jax.Array  # (V, 3) scatter albedo (0 -> pure absorption)
+    rotate_y: jax.Array  # (V,) radians; rays are inverse-rotated (kind "r")
+    translate: jax.Array  # (V, 3) world offset of the rotated local box
 
 
 @functools.partial(
     _pytree_dataclass,
     meta=("background", "has_emissive", "light_ids", "has_checker",
-          "volume_kinds"),
+          "volume_kinds", "has_image"),
 )
 class Scene:
     spheres: Spheres
@@ -137,6 +147,12 @@ class Scene:
     #: Static tuple of "s" (sphere) / "b" (box) per volume row — the
     #: volume analogue of ``light_ids``.
     volume_kinds: tuple = ()
+    #: (H, W, 3) texels for IMAGE materials (None when absent); a traced
+    #: leaf — differentiable.  One image per scene (the book's earth
+    #: globe); the static ``has_image`` flag fences kernel dispatch.
+    texture: object = None
+    #: Static flag: any IMAGE material present (jnp-only dispatch).
+    has_image: bool = False
 
     @property
     def n_spheres(self) -> int:
@@ -185,6 +201,7 @@ class SceneBuilder:
         self._tri: list[tuple] = []  # (a, b, c, mat)
         self._tri_blocks: list[tuple] = []  # ((M, 3, 3) array, mat)
         self._vol: list[tuple] = []  # (kind, p0, p1, density, albedo)
+        self._texture = None  # (H, W, 3) float64 for IMAGE materials
 
     # -- materials (the "boutique") ---------------------------------------
     def add_lambertian(self, albedo) -> int:
@@ -208,6 +225,19 @@ class SceneBuilder:
         hit point.  ``scale`` is cells per unit length (stored in the
         ``ir`` column, unused by diffuse materials)."""
         return self._add_mat(CHECKER, even, 0.0, float(scale), albedo2=odd)
+
+    def add_image(self, image) -> int:
+        """Image-textured Lambertian (book 2 ch. 4.3): ``image`` is an
+        (H, W, 3) array in [0, 1]; sphere (u, v) maps equirectangularly
+        (u from atan2, v from acos — the book's convention).  One image
+        per scene; jnp path only (see IMAGE docstring)."""
+        img = np.asarray(image, np.float64)
+        if img.ndim != 3 or img.shape[2] != 3:
+            raise ValueError(f"expected (H, W, 3) image, got {img.shape}")
+        if self._texture is not None:
+            raise ValueError("one image texture per scene")
+        self._texture = img
+        return self._add_mat(IMAGE, (1.0, 1.0, 1.0), 0.0, 1.0)
 
     def add_noise(self, base, vein, scale: float = 4.0) -> int:
         """Marble Lambertian (book 2's Perlin texture, hash-based): the
@@ -322,14 +352,29 @@ class SceneBuilder:
              tuple(float(x) for x in albedo)))
 
     def add_fog_box(self, p_min, p_max, density: float,
-                    albedo=(1.0, 1.0, 1.0)) -> None:
-        """Constant-density medium inside an axis-aligned box (the
-        book's Cornell-smoke boxes; rotations would need per-ray
-        inverse transforms — bake geometry or use a sphere instead)."""
-        self._vol.append(
-            ("b", tuple(float(x) for x in p_min),
-             tuple(float(x) for x in p_max), float(density),
-             tuple(float(x) for x in albedo)))
+                    albedo=(1.0, 1.0, 1.0), *, rotate_y: float = 0.0,
+                    translate=(0.0, 0.0, 0.0)) -> None:
+        """Constant-density medium inside a box (the book's
+        Cornell-smoke boxes).  ``rotate_y`` (degrees) + ``translate``
+        are the book's instance transforms: unlike solid boxes (whose
+        vertices bake), a medium boundary must stay analytic, so rays
+        are inverse-rotated into the box frame at trace time — a few
+        scalar mults per volume, <= 8 volumes."""
+        p_min = tuple(float(x) for x in p_min)
+        p_max = tuple(float(x) for x in p_max)
+        translate = tuple(float(x) for x in translate)
+        if rotate_y == 0.0:
+            # Pure translation bakes into the corners; compiled code is
+            # the plain slab test.
+            p_min = tuple(a + b for a, b in zip(p_min, translate))
+            p_max = tuple(a + b for a, b in zip(p_max, translate))
+            self._vol.append(("b", p_min, p_max, float(density),
+                              tuple(float(x) for x in albedo)))
+        else:
+            self._vol.append(
+                ("r", p_min, p_max, float(density),
+                 tuple(float(x) for x in albedo),
+                 float(np.radians(rotate_y)), translate))
 
     # -- freeze --------------------------------------------------------------
     def build(self, dtype=REAL, background="sky") -> Scene:
@@ -370,7 +415,7 @@ class SceneBuilder:
             tv = np.zeros((0, 3, 3), np_real)
             tmat = np.zeros((0,), np.int32)
 
-        if any(self._mat_kind[m] in (CHECKER, NOISE) for m in tmat):
+        if any(self._mat_kind[m] in (CHECKER, NOISE, IMAGE) for m in tmat):
             raise ValueError(
                 "textured materials are sphere-only: the kernel's triangle"
                 " table has no spare columns for the second color"
@@ -399,6 +444,12 @@ class SceneBuilder:
                                          np_real)),
                 albedo=as_real(np.array([v[4] for v in self._vol],
                                         np_real)),
+                rotate_y=as_real(np.array(
+                    [v[5] if len(v) > 5 else 0.0 for v in self._vol],
+                    np_real)),
+                translate=as_real(np.array(
+                    [v[6] if len(v) > 6 else (0.0, 0.0, 0.0)
+                     for v in self._vol], np_real)),
             )
         else:
             volumes = None
@@ -429,4 +480,7 @@ class SceneBuilder:
             ),
             has_checker=any(k in (CHECKER, NOISE)
                             for k in self._mat_kind),
+            texture=(as_real(self._texture)
+                     if self._texture is not None else None),
+            has_image=any(k == IMAGE for k in self._mat_kind),
         )

@@ -28,7 +28,7 @@ import numpy as np
 
 from ..models.camera import Rays
 from ..models.materials import background_color, emitted, scatter
-from ..models.scene import CHECKER, EMISSIVE, LAMBERTIAN, NOISE, Scene
+from ..models.scene import CHECKER, EMISSIVE, IMAGE, LAMBERTIAN, NOISE, Scene
 from . import intersect
 
 
@@ -188,7 +188,8 @@ def trace(
 
         is_diffuse = ((rec.mat_kind == LAMBERTIAN)
                       | (rec.mat_kind == CHECKER)
-                      | (rec.mat_kind == NOISE))
+                      | (rec.mat_kind == NOISE)
+                      | (rec.mat_kind == IMAGE))
         if nee:
             k_nee = jax.random.fold_in(jax.random.fold_in(key, i), 7919)
             pick, u1, u2 = jax.random.uniform(k_nee, (3, *lanes),
@@ -424,7 +425,8 @@ def trace_progressive(
             can = can & ~is_emis
         is_diffuse = ((rec.mat_kind == LAMBERTIAN)
                       | (rec.mat_kind == CHECKER)
-                      | (rec.mat_kind == NOISE))
+                      | (rec.mat_kind == NOISE)
+                      | (rec.mat_kind == IMAGE))
         if nee:
             k_nee = jax.random.fold_in(k, 7919)
             pick, u1, u2 = jax.random.uniform(k_nee, (3, n_pix),

@@ -223,6 +223,19 @@ def hit_record_from(
         # attenuation, NEE direct term) sees the effective albedo.
         albedo = checker_albedo(kind, point, mat[..., 4], albedo,
                                 mat[..., 6:9])
+    if scene.has_image and n_sph:
+        from ..models.materials import image_albedo
+        from ..models.scene import IMAGE
+
+        # Outward unit normal: unflip the facing correction (flip was
+        # front ? +1 : -1, an involution).
+        out_n = n_s * jnp.where(front_s, 1.0, -1.0)[..., None]
+        tex = image_albedo(scene.texture,
+                           out_n[..., 0], out_n[..., 1], out_n[..., 2])
+        is_img = kind == IMAGE
+        if n_tri:
+            is_img = is_img & is_sph[..., 0]
+        albedo = jnp.where(is_img[..., None], tex, albedo)
     return HitRecord(
         t=t,
         hit=hit,

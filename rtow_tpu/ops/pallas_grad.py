@@ -538,9 +538,10 @@ def render_pixels_kernel(
     block sweep is O(n_blocks) per tile-bounce — untenable past ~100
     blocks); ``_force_flat`` pins the flat path for parity tests.
     """
-    if scene.volume_kinds:
+    if scene.volume_kinds or scene.has_image:
         raise NotImplementedError(
-            "constant-density media are not in the gradient kernels; "
+            "constant-density media / image textures are not in the "
+            "gradient kernels; "
             "use diff.loss_and_grad (the jnp path differentiates volume "
             "scenes, including the reparameterized free-flight distance)"
         )

@@ -37,19 +37,23 @@ import numpy as np
 
 from ..models.scene import Scene
 
-#: volume-table rows are (V, 8) f32:
-#: sphere: 0-2 center, 3 radius       | box: 0-2 min corner, 3-5 max
-#: 6 density; albedo lives in a separate (V, 3) block (cols 0-2 of a
-#: second table) so gradients to albedo stay trivially mappable.
+#: volume-table rows are (V, 14) f32 (matching the light rows' width
+#: so both pack into one kernel operand):
+#: sphere ("s"): 0-2 center, 3 radius
+#: box ("b"):    0-2 min corner, 3-5 max corner
+#: rotated box ("r"): 0-5 LOCAL min/max, 7 rotate_y radians,
+#:                    11-13 translation (world = R(angle) @ local + T)
+#: 6 density, 8-10 scatter albedo.
 MAX_VOLUMES = 8
 
 _BIG = np.float32(1e30)
 
 
 def build_volume_table(scene: Scene):
-    """(V, 8) geometry/density table + (V, 3) albedo table from the
-    scene's traced leaves (same re-derive-every-trace scheme as
-    ops/lights.build_light_table — never stale, jit-safe)."""
+    """(V, 14) geometry/density/albedo rows (layout above) + the (V, 3)
+    albedo view, from the scene's traced leaves (same
+    re-derive-every-trace scheme as ops/lights.build_light_table —
+    never stale, jit-safe)."""
     v = scene.volumes
     f32 = jnp.float32
     rows = []
@@ -57,27 +61,23 @@ def build_volume_table(scene: Scene):
         p0 = v.p0[k].astype(f32)
         p1 = v.p1[k].astype(f32)
         den = v.density[k].astype(f32)
+        alb = v.albedo[k].astype(f32)
         if kind == "s":
-            row = jnp.concatenate([p0, p1[0][None], jnp.zeros((2,), f32),
-                                   den[None], jnp.zeros((1,), f32)])
+            geo = jnp.concatenate([p0, p1[0][None], jnp.zeros((2,), f32)])
         else:
-            row = jnp.concatenate([p0, p1, den[None],
-                                   jnp.zeros((1,), f32)])
-        rows.append(row)
+            geo = jnp.concatenate([p0, p1])
+        rows.append(jnp.concatenate([
+            geo, den[None], v.rotate_y[k][None].astype(f32), alb,
+            v.translate[k].astype(f32),
+        ]))
     return jnp.stack(rows), v.albedo.astype(f32)
 
 
 def pack_volume_rows(scene: Scene):
-    """(V, 14) f32 rows for the kernels' SMEM table: cols 0-5 geometry
-    (sphere: center + radius; box: min + max), 6 density, 8-10 albedo.
-    Packed BEHIND the light rows in the same operand (both 14 wide) so
-    the kernels need no new input (the row offset is a static param)."""
-    geo, alb = build_volume_table(scene)
-    v = geo.shape[0]
-    return jnp.concatenate([
-        geo[:, :7], jnp.zeros((v, 1), jnp.float32), alb,
-        jnp.zeros((v, 3), jnp.float32),
-    ], axis=1)
+    """The kernels' SMEM rows — identical to :func:`build_volume_table`
+    (packed BEHIND the light rows in the same operand, both 14 wide, so
+    the kernels need no new input; the row offset is a static param)."""
+    return build_volume_table(scene)[0]
 
 
 class _OffsetRows:
@@ -105,7 +105,12 @@ class _OffsetAlbedo:
 
 def _interval(table, k, kind, ox, oy, oz, dx, dy, dz):
     """Boundary interval [t0, t1] of volume ``k`` along the ray (ray
-    parameterization of d; valid flag where the ray crosses it)."""
+    parameterization of d; valid flag where the ray crosses it).
+
+    Rotated boxes ("r") inverse-transform the RAY into the box's local
+    frame (x_l = c*x_w - s*z_w after removing the translation) — per
+    volume this is a handful of scalar-broadcast mults, the cheap dual
+    of the geometry bake used for solid instances (scene.add_box)."""
     if kind == "s":
         cx, cy, cz, r = table[k, 0], table[k, 1], table[k, 2], table[k, 3]
         ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
@@ -118,6 +123,15 @@ def _interval(table, k, kind, ox, oy, oz, dx, dy, dz):
         return (-h - sq) * inv_a, (-h + sq) * inv_a, disc > 0.0
     x0, y0, z0 = table[k, 0], table[k, 1], table[k, 2]
     x1, y1, z1 = table[k, 3], table[k, 4], table[k, 5]
+    if kind == "r":
+        th = table[k, 7]
+        c, sn = jnp.cos(th), jnp.sin(th)
+        wx = ox - table[k, 11]
+        wy = oy - table[k, 12]
+        wz = oz - table[k, 13]
+        ox, oz = c * wx - sn * wz, sn * wx + c * wz
+        oy = wy
+        dx, dz = c * dx - sn * dz, sn * dx + c * dz
 
     def axis(o, d, lo, hi):
         inv = 1.0 / jnp.where(jnp.abs(d) < 1e-24,

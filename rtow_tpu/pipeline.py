@@ -47,6 +47,8 @@ def pallas_supported(scene: Scene, cfg: Config) -> bool:
 
     if scene.n_primitives == 0 or scene.n_triangles > WAVEFRONT_MIN_TRIS:
         return False
+    if getattr(scene, "has_image", False):
+        return False  # texel gathers serialize on the VPU; jnp path only
     if cfg.backend == "pallas":
         return True
     return cfg.backend == "auto" and jax.devices()[0].platform == "tpu"
@@ -62,6 +64,8 @@ def wavefront_supported(scene: Scene, cfg: Config) -> bool:
 
     if scene.n_triangles <= WAVEFRONT_MIN_TRIS:
         return False
+    if getattr(scene, "has_image", False):
+        return False  # texel gathers serialize on the VPU; jnp path only
     if cfg.backend == "pallas":
         return True
     return cfg.backend == "auto" and jax.devices()[0].platform == "tpu"

@@ -169,3 +169,68 @@ def test_volume_nee_unbiased():
     assert abs(sp.mean() - sn.mean()) < 0.03, (sp.mean(), sn.mean())
     assert np.abs(sp.mean(axis=1) - sn.mean(axis=1)).mean() < 0.06
     assert sn.std(axis=1).mean() < sp.std(axis=1).mean()
+
+
+def test_rotated_fog_box():
+    """Rotated fog boxes ("r" kind): rays are inverse-rotated into the
+    box frame.  Oracles: a vertical ray through the rotation axis sees
+    the same overlap at any angle (y is preserved); transmittance along
+    a horizontal ray matches the chord length computed with plain
+    numpy trigonometry."""
+    from rtow_tpu.ops.volumes import build_volume_table, volume_transmittance
+
+    sigma = 0.9
+
+    def box(rot):
+        b = SceneBuilder()
+        b.add_sphere((0, 0, 0), 0.1, b.add_lambertian((0.5,) * 3))
+        b.add_fog_box((-1.0, -1.0, -1.0), (1.0, 1.0, 1.0), sigma,
+                      rotate_y=rot, translate=(0.0, 5.0, 0.0))
+        return b.build()
+
+    def T(scene, o, d, tmax=100.0):
+        table, _ = build_volume_table(scene)
+        o = jnp.asarray(o, jnp.float32)[:, None]
+        d = jnp.asarray(d, jnp.float32)[:, None]
+        return float(volume_transmittance(
+            table, scene.volume_kinds, o[0], o[1], o[2],
+            d[0], d[1], d[2], jnp.full((1,), tmax, jnp.float32))[0])
+
+    assert box(37.0).volume_kinds == ("r",)
+    # Vertical ray through the translated center: overlap 2 always.
+    for rot in (0.001, 20.0, 37.0, 90.0):
+        assert T(box(rot), (0, 0, 0), (0, 1, 0)) == pytest.approx(
+            np.exp(-2.0 * sigma), rel=1e-4)
+    # Horizontal +x ray through the center at height of the box: the
+    # chord of a unit half-width square rotated by theta is
+    # 2/cos(theta) for theta < 45 deg (enters/exits the rotated +-z
+    # faces... of the +-x faces); check against numpy geometry.
+    th = np.radians(30.0)
+    chord = 2.0 / np.cos(th)
+    assert T(box(30.0), (-10, 5.0, 0), (1, 0, 0)) == pytest.approx(
+        np.exp(-chord * sigma), rel=1e-3)
+    # 90-degree rotation of a cube == no rotation.
+    assert T(box(90.0), (-10, 5.0, 0.3), (1, 0, 0)) == pytest.approx(
+        T(box(0.001), (-10, 5.0, 0.3), (1, 0, 0)), rel=1e-3)
+
+
+def test_sharded_volumes_match_single():
+    """Volume scenes through the sharded jnp path (8 virtual devices):
+    the Volumes leaves ride the Scene pytree through shard_map, and the
+    sharded image agrees with the single-device render."""
+    import jax as _jax
+
+    from rtow_tpu.parallel.mesh import make_mesh
+    from rtow_tpu.parallel.sharded import render_sharded
+
+    if len(_jax.devices()) < 2:
+        pytest.skip("needs the virtual multi-device CPU mesh")
+    scene, cam = _fog_ball_scene()
+    cfg = Config(image_width=16, aspect_ratio=1.0, samples_per_pixel=32,
+                 max_child_rays=4, n_devices=len(_jax.devices()), seed=6)
+    img_single = np.asarray(render(scene, cam, cfg))
+    img_shard = np.asarray(render_sharded(
+        scene, cam, cfg, mesh=make_mesh(len(_jax.devices()), 32)))
+    assert np.isfinite(img_shard).all()
+    assert abs(img_shard.mean() - img_single.mean()) < 0.03
+    assert np.abs(img_shard - img_single).mean() < 0.08
