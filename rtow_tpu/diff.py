@@ -87,6 +87,7 @@ def render_pixels(
     nearest_hit: Optional[Callable] = None,
     jitter: bool = True,
     grad_reduce_axes: Tuple[str, ...] = (),
+    nee: bool = False,
 ) -> jax.Array:
     """Differentiable mean radiance of the given pixels -> (Npix, 3).
 
@@ -94,6 +95,17 @@ def render_pixels(
     reverse-mode differentiable w.r.t. ``scene`` (and ``camera``).
     ``jitter=False`` pins rays to pixel centers — used by FD tests to
     kill sampling noise at the discretisation boundary.
+
+    ``nee=True`` runs the next-event estimator (ops/lights.py) in the
+    differentiable path — the same expectation at far lower variance on
+    emissive scenes, so inverse rendering converges with ~8x fewer
+    samples.  Gradients w.r.t. materials (albedo, emitted radiance) are
+    exact under common random numbers (the light-sampling distribution
+    does not depend on them — FD-gated in tests/test_nee_grad.py);
+    gradients w.r.t. the LIGHT's geometry carry the detached-sampling
+    bias (the sample direction's pdf movement is not estimated), the
+    same class of omission as the visibility deltas the plain estimator
+    already drops.  Default off: the plain estimator has no such caveat.
     """
     n_pix = pixel_ids.shape[0]
     lane_pix = jnp.repeat(pixel_ids, spp)  # (Npix*spp,)
@@ -105,13 +117,10 @@ def render_pixels(
         s = (col.astype(s.dtype) + 0.5) / (width - 1)
         t = ((height - 1 - row).astype(t.dtype) + 0.5) / (height - 1)
     rays = camera_rays(camera, k_cam, s, t)
-    # nee=False: the gradient path keeps the plain estimator — the
-    # NEE light-sample direction is not reparameterized, so its
-    # geometry gradients would be biased (ops/lights.py docstring).
     radiance = integrator.trace(scene, rays, k_trace, max_depth,
                                 nearest_hit=nearest_hit,
                                 grad_reduce_axes=grad_reduce_axes,
-                                nee=False)
+                                nee=nee)
     return radiance.reshape(n_pix, spp, 3).mean(axis=1)
 
 

@@ -31,10 +31,19 @@ bookkeeping survives the triangle table's Morton reordering, and a
 culled back-facing light is correctly "transparent" under this test
 (its contribution is zeroed by the cos_alpha term instead).
 
-Scope: forward rendering (jnp integrator + both megakernel paths).
-The gradient kernels keep the plain estimator — reparameterizing the
-light-sample direction is research-grade; emission/albedo gradients
-already flow through the plain path.
+Scope: forward rendering (jnp integrator + both megakernel paths) AND
+the differentiable jnp path (``diff.render_pixels(nee=True)``).  Under
+common random numbers the light-sampling distribution is independent of
+material parameters, so NEE gradients w.r.t. albedo / emitted radiance
+are exact (FD-gated, tests/test_nee_grad.py); gradients w.r.t. LIGHT
+geometry follow the detached-sampling convention (the sampled direction
+is treated as a function of the current parameters but the pdf-movement
+term is not estimated) — the same class of omission as the visibility
+delta terms the plain estimator already drops.  Every clamped sqrt in
+this module uses the double-where guard (forward value unchanged;
+backward never sees sqrt'(0) = inf, whose product with a zero cotangent
+is NaN) so reverse mode is finite on degenerate lanes.  The Pallas
+gradient kernels keep the plain estimator.
 """
 from __future__ import annotations
 
@@ -146,10 +155,17 @@ def sample_light_dirs(table, light_kinds, pick, u1, u2, px, py, pz, tm):
             inv_d = 1.0 / d
             wx_, wy_, wz_ = tox * inv_d, toy * inv_d, toz * inv_d
             # Inside the sphere -> degenerate; zero the weight below.
-            cos_max = jnp.sqrt(jnp.maximum(1.0 - (r * r) / jnp.maximum(
-                d2, 1e-12), 0.0))
+            # Double-where sqrt guards: same forward values as
+            # sqrt(max(arg, 0)), finite reverse mode at arg <= 0.
+            arg_cm = 1.0 - (r * r) / jnp.maximum(d2, 1e-12)
+            deg_cm = arg_cm <= 0.0
+            cos_max = jnp.where(
+                deg_cm, 0.0, jnp.sqrt(jnp.where(deg_cm, 1.0, arg_cm)))
             cos_t = 1.0 - u1 * (1.0 - cos_max)
-            sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+            arg_st = 1.0 - cos_t * cos_t
+            deg_st = arg_st <= 1e-12
+            sin_t = jnp.where(
+                deg_st, 0.0, jnp.sqrt(jnp.where(deg_st, 1.0, arg_st)))
             phi = 2.0 * np.pi * u2
             (ux, uy, uz), (vx, vy, vz) = _onb(wx_, wy_, wz_)
             sx = (jnp.cos(phi) * sin_t * ux + jnp.sin(phi) * sin_t * vx
@@ -161,7 +177,9 @@ def sample_light_dirs(table, light_kinds, pick, u1, u2, px, py, pz, tm):
             # Ray-sphere t along the sampled direction (near root).
             oc_d = -(tox * sx + toy * sy + toz * sz)
             disc = oc_d * oc_d - (d2 - r * r)
-            t_k = -oc_d - jnp.sqrt(jnp.maximum(disc, 0.0))
+            deg_d = disc <= 0.0
+            t_k = -oc_d - jnp.where(
+                deg_d, 0.0, jnp.sqrt(jnp.where(deg_d, 1.0, disc)))
             ok = (d2 > r * r) & (disc > 0.0)
             # pdf = 1/(2 pi (1 - cos_max)); weight = emit/(pi*pdf)*K
             # -> emit * 2 (1 - cos_max) * K.
@@ -253,9 +271,13 @@ def light_pdf_toward(table, light_kinds, ox, oy, oz, dx, dy, dz, t_hit,
             d2 = tox * tox + toy * toy + toz * toz
             oc_d = -(tox * dx + toy * dy + toz * dz)
             disc = oc_d * oc_d - (d2 - r * r)
-            t_k = -oc_d - jnp.sqrt(jnp.maximum(disc, 0.0))
-            cos_max = jnp.sqrt(jnp.maximum(
-                1.0 - (r * r) / jnp.maximum(d2, 1e-12), 0.0))
+            deg_d = disc <= 0.0
+            t_k = -oc_d - jnp.where(
+                deg_d, 0.0, jnp.sqrt(jnp.where(deg_d, 1.0, disc)))
+            arg_cm = 1.0 - (r * r) / jnp.maximum(d2, 1e-12)
+            deg_cm = arg_cm <= 0.0
+            cos_max = jnp.where(
+                deg_cm, 0.0, jnp.sqrt(jnp.where(deg_cm, 1.0, arg_cm)))
             ok = (d2 > r * r) & (disc > 0.0) & (t_k > 0.0)
             pdf_k = 1.0 / jnp.maximum(
                 2.0 * np.pi * (1.0 - cos_max) * n_lights, 1e-12)

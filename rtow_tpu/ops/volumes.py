@@ -118,7 +118,13 @@ def _interval(table, k, kind, ox, oy, oz, dx, dy, dz):
         h = ocx * dx + ocy * dy + ocz * dz
         c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
         disc = h * h - a * c
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        # Double-where sqrt guard: same forward value as
+        # sqrt(max(disc, 0)), but reverse mode never sees sqrt'(0) = inf
+        # (whose product with the miss-lane's zero cotangent is NaN —
+        # without this, ANY ray missing the fog sphere poisons the whole
+        # scene gradient).
+        deg = disc <= 0.0
+        sq = jnp.where(deg, 0.0, jnp.sqrt(jnp.where(deg, 1.0, disc)))
         inv_a = 1.0 / jnp.maximum(a, 1e-24)
         return (-h - sq) * inv_a, (-h + sq) * inv_a, disc > 0.0
     x0, y0, z0 = table[k, 0], table[k, 1], table[k, 2]

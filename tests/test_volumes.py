@@ -234,3 +234,31 @@ def test_sharded_volumes_match_single():
     assert np.isfinite(img_shard).all()
     assert abs(img_shard.mean() - img_single.mean()) < 0.03
     assert np.abs(img_shard - img_single).mean() < 0.08
+
+
+def test_fog_miss_grads_finite():
+    """Regression: a ray MISSING a fog sphere used to poison the whole
+    scene gradient with NaN (sqrt'(0) x zero-cotangent at the clamped
+    boundary discriminant, ops/volumes._interval) — the small off-axis
+    fog ball here guarantees most lanes miss it."""
+    from rtow_tpu.diff import image_mse
+
+    cam = make_camera(lookfrom=(0.0, 0.0, 1.5), lookat=(0.0, 0.0, -1.0),
+                      fov_degrees=60.0, aspect_ratio=1.0, aperture=0.0,
+                      focus_dist=1.0)
+    b = SceneBuilder()
+    g = b.add_lambertian((0.5, 0.5, 0.5))
+    b.add_sphere((0.0, -100.5, -1.0), 100.0, g)
+    b.add_fog_sphere((0.3, 0.1, -1.0), 0.3, density=2.0,
+                     albedo=(0.8, 0.8, 0.8))
+    scene = b.build()
+    pix = jnp.arange(64, dtype=jnp.int32)
+    target = jnp.zeros((64, 3))
+    loss, grads = jax.value_and_grad(
+        lambda s: image_mse(s, cam, jax.random.key(2), target, pix,
+                            width=8, height=8, spp=4, max_depth=3),
+        allow_int=True)(scene)
+    assert np.isfinite(float(loss))
+    for leaf in jax.tree_util.tree_leaves(grads):
+        if hasattr(leaf, "dtype") and leaf.dtype != jax.dtypes.float0:
+            assert np.isfinite(np.asarray(leaf)).all()
