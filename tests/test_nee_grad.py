@@ -180,3 +180,43 @@ def test_nee_inverse_rendering_recovers_emit():
     got = np.asarray(scene.materials.albedo[lamp])
     np.testing.assert_allclose(got, [6.0, 2.0, 4.0], atol=0.4)
     assert float(loss) < loss0
+
+
+def test_nee_triangle_light_grad_matches_fd():
+    """Same FD gate through the TRIANGLE branch of sample_light_dirs /
+    light_pdf_toward (area sampling + Moeller-Trumbore pdf evaluator)."""
+    cam = make_camera(
+        lookfrom=(0.0, 0.6, 1.6), lookat=(0.0, 0.0, -1.0), fov_degrees=55.0,
+        aspect_ratio=1.0, aperture=0.0, focus_dist=1.0,
+    )
+    b = SceneBuilder()
+    red = b.add_lambertian((0.7, 0.3, 0.3))
+    ground = b.add_lambertian((0.5, 0.5, 0.5))
+    lamp = b.add_light((5.0, 5.0, 5.0))
+    b.add_sphere((0.0, 0.0, -1.0), 0.5, red)
+    b.add_sphere((0.0, -100.5, -1.0), 100.0, ground)
+    # Downward-facing emissive triangle above the sphere (front side
+    # toward the scene: vertices wound so the normal points down).
+    b.add_triangle((-0.7, 1.8, -1.6), (0.7, 1.8, -0.4), (0.7, 1.8, -1.6),
+                   lamp)
+    scene = b.build(background=(0.0, 0.0, 0.0))
+    rows, cols = np.meshgrid(range(5, 8), range(5, 8), indexing="ij")
+    pix = jnp.asarray((rows * W + cols).ravel(), dtype=jnp.int32)
+    target = jnp.zeros((pix.shape[0], 3))
+
+    loss, grads = jax.value_and_grad(_loss, allow_int=True)(
+        scene, cam, pix, target)
+    assert np.isfinite(float(loss))
+    for mat in (0, lamp):
+        ad = float(grads.materials.albedo[mat, 0])
+
+        def f(v, mat=mat):
+            a = scene.materials.albedo.at[mat, 0].add(v)
+            return float(_loss(_replace_mat(scene, albedo=a), cam, pix,
+                               target))
+
+        eps = 1e-2
+        fd = (f(eps) - f(-eps)) / (2 * eps)
+        assert fd != 0.0, f"mat {mat}: degenerate FD gate (unlit)"
+        denom = max(abs(fd), abs(ad), 1e-6)
+        assert abs(ad - fd) / denom < 0.05, f"mat {mat}: AD {ad} vs FD {fd}"
