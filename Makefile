@@ -1,6 +1,6 @@
 # Convenience targets mirroring the reference's make UX (reference
 # Makefile:16-24: run-release piped a PPM to /tmp; watch-* live-reloaded).
-.PHONY: test lint bench render render-mesh verify inventory floor
+.PHONY: test lint bench render render-mesh verify inventory floor watch
 
 test: lint
 	python -m pytest tests/ -q
@@ -25,3 +25,6 @@ inventory:  ## SURVEY §2 component coverage gate
 
 floor:  ## re-measure the CPU reference floor on this machine
 	python tools/measure_cpu_floor.py
+
+watch:  ## live-reload dev loop (reference Makefile:16-18 entr+feh analogue)
+	python tools/watch.py

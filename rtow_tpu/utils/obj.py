@@ -9,6 +9,16 @@ them), negative OBJ indices supported, everything else skipped.
 
 A C++ fast path (rtow_tpu.native) is used automatically for large meshes
 when the extension is built; this is the always-available fallback.
+
+Documented deviation — multi-shape files: the reference loads
+``shapes[0]`` only (src/main.cpp:115), silently dropping every other
+object in the file.  This loader ingests the WHOLE file: ``o``/``g``
+records are treated as pass-through (all shapes' faces concatenate into
+one triangle array), so a multi-object export renders complete instead
+of truncated.  Per-shape materials are out of scope either way — the
+reference binds one shared gray Lambertian to every face
+(src/main.cpp:100-101,127) and so do our mesh builders.  Tested in
+tests/test_builders.py::test_multi_shape_loads_all_shapes.
 """
 from __future__ import annotations
 

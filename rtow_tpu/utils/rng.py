@@ -24,7 +24,20 @@ from .dtypes import REAL
 
 
 def uniform(key, shape=(), lo=0.0, hi=1.0, dtype=REAL) -> jax.Array:
-    """U[lo, hi) — the analogue of ``random_double(a, b)``."""
+    """U[lo, hi) — the analogue of ``random_double(a, b)``.
+
+    Draws are always made at float32 resolution: under ``jax_enable_x64``
+    a float64 request upcasts an f32 draw instead of consuming a 64-bit
+    stream.  This keeps the random-number stream *bit-identical* across
+    precisions, so the f64 oracle (tests/test_f64_oracle.py) compares
+    f32-vs-f64 arithmetic under common random numbers — the only
+    difference between the two renders is rounding, which is exactly
+    what the oracle bounds (reference precision: src/vec3.h:6-8).
+    """
+    if jnp.dtype(dtype) == jnp.float64:
+        u = jax.random.uniform(key, shape, dtype=jnp.float32,
+                               minval=lo, maxval=hi)
+        return u.astype(jnp.float64)
     return jax.random.uniform(key, shape, dtype=dtype, minval=lo, maxval=hi)
 
 
@@ -34,7 +47,8 @@ def unit_vectors(key, batch_shape=(), dtype=REAL) -> jax.Array:
     Gaussian-normalise instead of rejection-sampling: identical
     distribution to the book's ``random_unit_vector``, zero divergence.
     """
-    g = jax.random.normal(key, (*batch_shape, 3), dtype=dtype)
+    draw = jnp.float32 if jnp.dtype(dtype) == jnp.float64 else dtype
+    g = jax.random.normal(key, (*batch_shape, 3), dtype=draw).astype(dtype)
     norm = jnp.linalg.norm(g, axis=-1, keepdims=True)
     return g / jnp.maximum(norm, jnp.asarray(1e-12, dtype))
 

@@ -73,6 +73,34 @@ def test_obj_loader_tetrahedron(tmp_path):
     np.testing.assert_array_equal(tris[3], tris[0])  # negative indices
 
 
+def test_multi_shape_loads_all_shapes(tmp_path):
+    """Documented deviation from the reference (src/main.cpp:115): the
+    reference keeps shapes[0] only; we ingest EVERY shape in the file —
+    both the Python and the native loader (they must agree)."""
+    p = tmp_path / "two.obj"
+    p.write_text(textwrap.dedent("""\
+        o first
+        v 0 0 0
+        v 1 0 0
+        v 0 1 0
+        f 1 2 3
+        o second
+        g also_a_group_marker
+        v 5 0 0
+        v 6 0 0
+        v 5 1 0
+        f 4 5 6
+        f 4 6 5
+    """))
+    for use_native in (False, True):
+        tris = load_obj(str(p), use_native=use_native)
+        # All 3 faces across both shapes load (the reference would
+        # keep only the first shape's single face).
+        assert tris.shape == (3, 3, 3)
+        np.testing.assert_array_equal(
+            tris[1], [[5, 0, 0], [6, 0, 0], [5, 1, 0]])
+
+
 def test_obj_loader_rejects_quads(tmp_path):
     p = tmp_path / "quad.obj"
     p.write_text("v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\nf 1 2 3 4\n")

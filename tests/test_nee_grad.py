@@ -195,9 +195,10 @@ def test_nee_triangle_light_grad_matches_fd():
     lamp = b.add_light((5.0, 5.0, 5.0))
     b.add_sphere((0.0, 0.0, -1.0), 0.5, red)
     b.add_sphere((0.0, -100.5, -1.0), 100.0, ground)
-    # Downward-facing emissive triangle above the sphere (front side
-    # toward the scene: vertices wound so the normal points down).
-    b.add_triangle((-0.7, 1.8, -1.6), (0.7, 1.8, -0.4), (0.7, 1.8, -1.6),
+    # Downward-facing emissive triangle above the sphere: e1 x e2 =
+    # (1.4,0,0) x (1.4,0,1.2) = (0,-1.68,0), so the culled-front side
+    # faces the scene below.
+    b.add_triangle((-0.7, 1.8, -1.6), (0.7, 1.8, -1.6), (0.7, 1.8, -0.4),
                    lamp)
     scene = b.build(background=(0.0, 0.0, 0.0))
     rows, cols = np.meshgrid(range(5, 8), range(5, 8), indexing="ij")
