@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--globe", action="store_true", dest="globe_demo",
                    help="Earth-globe image-texture demo (book 2 ch. 4.3; "
                         "procedural texture, jnp path)")
+    p.add_argument("--russian-roulette", action="store_true",
+                   dest="russian_roulette",
+                   help="Probabilistic path termination after 3 scatters "
+                        "(unbiased; off by default for reference fidelity)")
     p.add_argument("--seed", type=int, default=d.seed)
     p.add_argument("--backend", choices=["auto", "jnp", "pallas"], default=d.backend)
     p.add_argument("--no-bvh", dest="use_bvh", action="store_false", default=d.use_bvh)
@@ -79,6 +83,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         n_devices=args.devices,
         seed=args.seed,
         use_bvh=args.use_bvh,
+        russian_roulette=args.russian_roulette,
         backend=args.backend,
         verbose=args.verbose,
         profile_dir=args.profile_dir,

@@ -49,6 +49,12 @@ class Config:
     rays_per_batch: int = 1 << 18
     #: use the flattened stackless BVH (vs brute-force intersection).
     use_bvh: bool = True
+    #: Russian-roulette path termination (BASELINE north star): kill
+    #: low-throughput lanes after 3 scatters with unbiased 1/p boosts.
+    #: OFF by default — the reference terminates by depth budget only
+    #: (src/render.cpp:114-115), so default output stays reference-
+    #: faithful; enable for deep-depth throughput (see BASELINE.md).
+    russian_roulette: bool = False
     #: print diagnostics (BVH quality metric, timings) to stderr — the
     #: reference prints its stupid_volume every run (render.cpp:148).
     verbose: bool = False

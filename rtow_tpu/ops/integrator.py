@@ -49,6 +49,32 @@ class WavefrontState(NamedTuple):
 
 NearestHitFn = Callable[..., "intersect.HitRecord"]
 
+#: Russian roulette starts after this many scatters (paths shorter than
+#: RR_START are never killed — bias-free variance control on the short
+#: paths that carry most radiance).
+RR_START = 3
+#: Survival probability floor (clamp avoids unbounded 1/p boosts).
+RR_PMIN = 0.05
+
+
+def _roulette(key, throughput, alive, scatters_done, dtype):
+    """Masked-lane Russian roulette (BASELINE north star; OFF by default
+    to preserve reference fidelity — the reference terminates by depth
+    budget alone, src/render.cpp:114-115).
+
+    After RR_START scatters a lane survives with probability
+    p = clamp(max throughput channel, RR_PMIN, 1) and its throughput is
+    boosted 1/p — an unbiased estimator by construction
+    (E[I(u < p)/p] = 1), tested vs the plain estimator in
+    tests/test_roulette.py.  Returns (throughput, alive).
+    """
+    u = jax.random.uniform(key, alive.shape, dtype=dtype)
+    p = jnp.clip(jnp.max(throughput, axis=-1), RR_PMIN, 1.0)
+    consider = alive & (scatters_done >= RR_START)
+    kill = consider & (u >= p)
+    boost = jnp.where(consider & ~kill, 1.0 / p, 1.0)
+    return throughput * boost[..., None], alive & ~kill
+
 
 def trace(
     scene: Scene,
@@ -59,6 +85,7 @@ def trace(
     cull_backfaces: bool = True,
     grad_reduce_axes: tuple = (),
     nee: Optional[bool] = None,
+    russian_roulette: bool = False,
 ) -> jax.Array:
     """Trace a wavefront to completion -> per-lane radiance (L, 3).
 
@@ -80,6 +107,10 @@ def trace(
     gradient path (diff.py) passes ``nee=False`` — light-sample
     reparameterization is out of scope, and the plain estimator's
     gradients are already exact.
+
+    ``russian_roulette``: probabilistically kill low-throughput lanes
+    after RR_START scatters (see :func:`_roulette`).  Off by default —
+    the reference terminates by depth budget only.
     """
     if nearest_hit is None:
         nearest_hit = intersect.nearest_hit_bruteforce
@@ -262,6 +293,9 @@ def trace(
                 prev_pdf = jnp.where(
                     v_can, jnp.asarray(1.0 / (4.0 * np.pi), dtype),
                     prev_pdf)
+        if russian_roulette:
+            k_rr = jax.random.fold_in(jax.random.fold_in(key, i), 52361)
+            throughput, alive = _roulette(k_rr, throughput, alive, i, dtype)
         return (
             WavefrontState(origin, direction, st.time, throughput, radiance,
                            alive, prev_pdf),
@@ -287,6 +321,7 @@ def trace_progressive(
     height: int,
     nearest_hit: Optional[NearestHitFn] = None,
     cull_backfaces: bool = True,
+    russian_roulette: bool = False,
 ) -> jax.Array:
     """Persistent-wavefront render: (P,) pixels -> (P, 3) radiance sums.
 
@@ -487,6 +522,9 @@ def trace_progressive(
                 n_pdf = jnp.where(
                     v_can, jnp.asarray(1.0 / (4.0 * np.pi), dtype),
                     n_pdf)
+        if russian_roulette:
+            n_tp, n_alive = _roulette(
+                jax.random.fold_in(k, 52361), n_tp, n_alive, bounce, dtype)
         return _St(
             origin=n_origin,
             direction=n_dir,

@@ -872,7 +872,7 @@ def _shade_pure(state, sph_params, tri_params, draws,
                 n_blocks, n_tri_blocks, cull=True, ablate="full",
                 emissive=False, bg=None, basics=None, from_diffuse=None,
                 checker=False, lights_ref=None, nee_kinds=(),
-                v_event=None):
+                v_event=None, rr_u=None):
     """The differentiable half of a bounce: winner params -> new state.
 
     ``v_event`` (constant-density media, ops/volumes.py): a
@@ -1055,6 +1055,28 @@ def _shade_pure(state, sph_params, tri_params, draws,
         tpg = jnp.where(v_can, tpg * v_ag, tpg)
         tpb = jnp.where(v_can, tpb * v_ab, tpb)
         bounce = bounce + v_can.astype(jnp.int32)
+    if rr_u is not None:
+        # Russian roulette (integrator.RR_START/RR_PMIN semantics;
+        # off by default — reference terminates by depth only,
+        # src/render.cpp:114-115): lanes past RR_START scatters survive
+        # with p = clamp(max throughput channel, PMIN, 1), boosted 1/p.
+        # ``bounce`` is post-increment here (scatters completed), so the
+        # > comparison matches the jnp paths' pre-increment >=.
+        from .integrator import RR_PMIN, RR_START
+
+        p = jnp.clip(jnp.maximum(jnp.maximum(tpr, tpg), tpb),
+                     np.float32(RR_PMIN), 1.0)
+        cont = (jnp.logical_or(can, v_can) if v_event is not None
+                else can)
+        consider = jnp.logical_and(cont, bounce > RR_START)
+        kill = jnp.logical_and(consider, rr_u >= p)
+        boost = jnp.where(
+            jnp.logical_and(consider, jnp.logical_not(kill)), 1.0 / p, 1.0)
+        tpr, tpg, tpb = tpr * boost, tpg * boost, tpb * boost
+        not_kill = jnp.logical_not(kill)
+        can = jnp.logical_and(can, not_kill)
+        if v_event is not None:
+            v_can = jnp.logical_and(v_can, not_kill)
     if from_diffuse is not None:
         # NEE: encode came-from-Lambertian in the alive code (0 dead,
         # 1 specular-alive, 2 diffuse-alive) — no extra state array.
@@ -1099,7 +1121,7 @@ def _bounce_core(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
                  sem_box=None, tri_hyp_ref=None, n_hyper=0, tri_t=False,
                  key_scr=None, emissive=False, bg=None,
                  lights_ref=None, nee_kinds=(), from_diffuse=None,
-                 checker=False, vol_kinds=(), vol_row0=0):
+                 checker=False, vol_kinds=(), vol_row0=0, roulette=False):
     """One intersect+shade step for every live lane of a tile.
 
     The shared heart of the megakernels (persistent whole-frame,
@@ -1238,6 +1260,7 @@ def _bounce_core(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
         basics=basics, from_diffuse=from_diffuse if nee_kinds else None,
         checker=checker, lights_ref=lights_ref, nee_kinds=nee_kinds,
         v_event=v_event,
+        rr_u=_uniform(lane_u32, salt, 11) if roulette else None,
     )
 
 
@@ -1245,7 +1268,7 @@ def _kernel(cam_ref, meta_ref, tbl_ref, sph_box_ref, tri_ref, tri_box_ref,
             tri_sup_ref, lights_ref, out_r, out_g, out_b, *, n_blocks,
             n_tri_blocks, n_super=0, cull=True, ablate="full",
             fixed_iters=0, emissive=False, bg=None, nee_kinds=(),
-            checker=False, vol_kinds=(), vol_row0=0):
+            checker=False, vol_kinds=(), vol_row0=0, roulette=False):
     # Global tile id: grid position + this shard's tile offset (meta[0,4])
     # — devices in a mesh each render a contiguous tile range.
     pid = pl.program_id(0) + meta_ref[0, 4]
@@ -1354,7 +1377,7 @@ def _kernel(cam_ref, meta_ref, tbl_ref, sph_box_ref, tri_ref, tri_box_ref,
             cull=cull, ablate=ablate, emissive=emissive, bg=bg,
             lights_ref=lights_ref, nee_kinds=nee_kinds,
             from_diffuse=from_diffuse, checker=checker,
-            vol_kinds=vol_kinds, vol_row0=vol_row0,
+            vol_kinds=vol_kinds, vol_row0=vol_row0, roulette=roulette,
         )
         return (ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb,
                 can.astype(jnp.int32), bounce, started, it + 1)
@@ -1379,6 +1402,7 @@ def _flat_bounce_kernel(
     n_blocks, n_tri_blocks, n_super=0, cull=True, tri_hbm=False,
     n_hyper=0, tri_t=False, f2b=True, stats=False, emissive=False,
     bg=None, nee_kinds=(), checker=False, vol_kinds=(), vol_row0=0,
+    roulette=False,
 ):
     """One bounce over a tile of pre-generated (sorted) rays.
 
@@ -1444,6 +1468,7 @@ def _flat_bounce_kernel(
             lights_ref=lights_ref, nee_kinds=nee_kinds,
             from_diffuse=(al > 1) if nee_kinds else None,
             checker=checker, vol_kinds=vol_kinds, vol_row0=vol_row0,
+            roulette=roulette,
         )
         (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, rr, rg, rb, can, bo) = out
         return (ox, oy, oz, dx, dy, dz, tmv, tpr, tpg, tpb, rr, rg, rb,
@@ -1488,6 +1513,7 @@ def bounce_step_pallas(
     checker: bool = False,
     vol_kinds=(),
     vol_row0: int = 0,
+    roulette: bool = False,
 ):
     """Advance L flat lanes one bounce through the megakernel core.
 
@@ -1543,7 +1569,7 @@ def bounce_step_pallas(
         n_super=n_super, cull=cull, tri_hbm=tri_hbm, n_hyper=n_hyper,
         tri_t=tri_t, f2b=f2b, stats=stats, emissive=emissive, bg=bg,
         nee_kinds=nee_kinds, checker=checker, vol_kinds=vol_kinds,
-        vol_row0=vol_row0,
+        vol_row0=vol_row0, roulette=roulette,
     )
     if n_super:
         # Pack each super's 16 block AABBs into one (1, SUPER*8) row so
@@ -1643,6 +1669,7 @@ def render_blocks_pallas(
     fixed_iters: int = 0,
     tile0=0,
     n_tiles_local: int = 0,
+    roulette: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Render (n_pixels, 3) radiance SUMS with the fused megakernel.
 
@@ -1719,7 +1746,7 @@ def render_blocks_pallas(
         emissive=scene.has_emissive,
         bg=None if scene.background == "sky" else scene.background,
         nee_kinds=nee_kinds, checker=scene.has_checker,
-        vol_kinds=vol_kinds, vol_row0=vol_row0,
+        vol_kinds=vol_kinds, vol_row0=vol_row0, roulette=roulette,
     )
     out_shape = [
         jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, LANES), jnp.float32)
@@ -1766,7 +1793,8 @@ def unblock_image(r, g, b, *, width: int, height: int) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "cull", "ablate", "fixed_iters"),
+    static_argnames=("width", "height", "cull", "ablate", "fixed_iters",
+                     "roulette"),
 )
 def render_spheres_pallas(
     scene: Scene,
@@ -1780,11 +1808,12 @@ def render_spheres_pallas(
     cull: bool = True,
     ablate: str = "full",
     fixed_iters: int = 0,
+    roulette: bool = False,
 ) -> jax.Array:
     """Single-device whole-frame render -> (n_pixels, 3) radiance sums."""
     r, g, b = render_blocks_pallas(
         scene, camera, seed, width=width, height=height, spp=spp,
         max_depth=max_depth, cull=cull, ablate=ablate,
-        fixed_iters=fixed_iters,
+        fixed_iters=fixed_iters, roulette=roulette,
     )
     return unblock_image(r, g, b, width=width, height=height)

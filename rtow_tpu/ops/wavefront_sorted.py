@@ -181,7 +181,7 @@ def _trace_lane_per_sample(
     camera, key, lane_pix, seed, *, L_raw, L, P, lpp, max_depth,
     width, height, cull_backfaces, tables, counts, bmin, inv_ext,
     emissive=False, bg=None, nee_kinds=(), checker=False,
-    vol_kinds=(), vol_row0=0,
+    vol_kinds=(), vol_row0=0, roulette=False,
 ):
     """The default lane-per-sample fast path (one lane = one sample).
 
@@ -242,7 +242,7 @@ def _trace_lane_per_sample(
             n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, n_super=n_super,
             cull=cull_backfaces, emissive=emissive, bg=bg,
             nee_kinds=nee_kinds, checker=checker,
-            vol_kinds=vol_kinds, vol_row0=vol_row0,
+            vol_kinds=vol_kinds, vol_row0=vol_row0, roulette=roulette,
         )
         return st, it + 1
 
@@ -314,6 +314,7 @@ def trace_wavefront_sorted(
     checker=False,
     vol_kinds=(),
     vol_row0=0,
+    roulette=False,
 ) -> jax.Array:
     """Radiance sums for a chunk of pixels -> (P, 3).
 
@@ -370,7 +371,7 @@ def trace_wavefront_sorted(
             cull_backfaces=cull_backfaces, tables=tables, counts=counts,
             bmin=bmin, inv_ext=inv_ext, emissive=emissive, bg=bg,
             nee_kinds=nee_kinds, checker=checker,
-            vol_kinds=vol_kinds, vol_row0=vol_row0,
+            vol_kinds=vol_kinds, vol_row0=vol_row0, roulette=roulette,
         )
 
     zero = jnp.zeros((L,), f32)
@@ -432,7 +433,7 @@ def trace_wavefront_sorted(
             n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, n_super=n_super,
             cull=cull_backfaces, emissive=emissive, bg=bg,
             nee_kinds=nee_kinds, checker=checker,
-            vol_kinds=vol_kinds, vol_row0=vol_row0,
+            vol_kinds=vol_kinds, vol_row0=vol_row0, roulette=roulette,
         )
         return st, started, lane_pix, it + 1
 
@@ -502,7 +503,7 @@ def _frame_fn(width: int, height: int, spp: int, max_depth: int,
               ppc: int, lpp: int, band_chunks: int, counts, cull: bool,
               progress: bool = False, emissive: bool = False, bg=None,
               nee_kinds=(), checker: bool = False, vol_kinds=(),
-              vol_row0: int = 0):
+              vol_row0: int = 0, roulette: bool = False):
     """Cached jitted band renderer (re-jit per call costs seconds).
 
     Renders ``band_chunks`` consecutive pixel chunks starting at global
@@ -527,6 +528,7 @@ def _frame_fn(width: int, height: int, spp: int, max_depth: int,
                 bmin=bmin, inv_ext=inv_ext, lanes_per_pixel=lpp,
                 emissive=emissive, bg=bg, nee_kinds=nee_kinds,
                 checker=checker, vol_kinds=vol_kinds, vol_row0=vol_row0,
+                roulette=roulette,
             )
             sums = jnp.where((pixel_ids < n_pixels)[:, None], sums, 0.0)
             if progress:
@@ -594,7 +596,7 @@ def render_wavefront(
                       scene.has_emissive,
                       None if scene.background == "sky" else scene.background,
                       nee_kinds, scene.has_checker, scene.volume_kinds,
-                      len(nee_kinds))
+                      len(nee_kinds), getattr(cfg, "russian_roulette", False))
 
     t0 = _time.perf_counter()
     n_bands = -(-n_chunks // band)

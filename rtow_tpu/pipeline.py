@@ -72,7 +72,8 @@ def wavefront_supported(scene: Scene, cfg: Config) -> bool:
 
 
 @functools.lru_cache(maxsize=8)
-def _banded_pallas_fn(width: int, height: int, band_tiles: int):
+def _banded_pallas_fn(width: int, height: int, band_tiles: int,
+                      roulette: bool = False):
     """Jitted tile-band megakernel call (one compile serves every band)."""
     import jax
 
@@ -82,6 +83,7 @@ def _banded_pallas_fn(width: int, height: int, band_tiles: int):
         return render_blocks_pallas(
             scene, camera, seed, width=width, height=height, spp=spp,
             max_depth=max_depth, tile0=tile0, n_tiles_local=band_tiles,
+            roulette=roulette,
         )
 
     return jax.jit(fn)
@@ -120,7 +122,8 @@ def render_pallas(
     if progress and tiles_total >= 20:
         n_bands = 10
         band_tiles = -(-tiles_total // n_bands)
-        fn = _banded_pallas_fn(width, height, band_tiles)
+        fn = _banded_pallas_fn(width, height, band_tiles,
+                               cfg.russian_roulette)
         parts = []
         for band in range(n_bands):
             out = fn(scene, camera, jnp.int32(seed), jnp.int32(spp),
@@ -143,6 +146,7 @@ def render_pallas(
             scene, camera, seed,
             width=width, height=height, spp=spp,
             max_depth=cfg.max_child_rays,
+            roulette=cfg.russian_roulette,
         )
         rad.block_until_ready()
     elapsed = _time.perf_counter() - t0

@@ -47,6 +47,7 @@ def chunk_radiance(
     max_depth: int,
     nearest_hit: Optional[Callable],
     cull_backfaces: bool,
+    russian_roulette: bool = False,
 ) -> jax.Array:
     """Trace spp samples for each pixel id -> per-pixel radiance sums (P, 3).
 
@@ -63,11 +64,13 @@ def chunk_radiance(
             scene, camera, key, pixel_ids, spp_limit, spp_cap,
             width=width, height=height, max_depth=max_depth,
             nearest_hit=nearest_hit, cull_backfaces=cull_backfaces,
+            russian_roulette=russian_roulette,
         )
     return integrator.trace_progressive(
         scene, camera, key, pixel_ids,
         spp=spp_limit, max_depth=max_depth, width=width, height=height,
         nearest_hit=nearest_hit, cull_backfaces=cull_backfaces,
+        russian_roulette=russian_roulette,
     )
 
 
@@ -84,6 +87,7 @@ def _chunk_radiance_flat(
     max_depth: int,
     nearest_hit: Callable,
     cull_backfaces: bool,
+    russian_roulette: bool = False,
 ) -> jax.Array:
     """Flat (pixel x sample) wavefront with the scan integrator -> (P, 3).
 
@@ -102,6 +106,7 @@ def _chunk_radiance_flat(
     radiance = integrator.trace(
         scene, rays, k_trace, max_depth,
         nearest_hit=nearest_hit, cull_backfaces=cull_backfaces,
+        russian_roulette=russian_roulette,
     )
     radiance = jnp.where(valid[..., None], radiance, 0.0)
     return radiance.reshape(pixel_ids.shape[0], spp_max, 3).sum(axis=1)
@@ -146,6 +151,7 @@ def _frame(
     nearest_hit: Optional[Callable],
     cull_backfaces: bool,
     progress: bool = False,
+    russian_roulette: bool = False,
 ) -> jax.Array:
     """Whole-frame render: fori_loop over pixel-chunks -> (ppc*n_chunks, 3)."""
 
@@ -158,6 +164,7 @@ def _frame(
             scene, camera, jax.random.fold_in(key, c), pix_safe, spp_limit,
             spp_cap=spp, width=width, height=height, max_depth=max_depth,
             nearest_hit=nearest_hit, cull_backfaces=cull_backfaces,
+            russian_roulette=russian_roulette,
         )
         if progress and n_chunks > 1:
             jax.debug.callback(
@@ -214,6 +221,7 @@ def render(
             # Evaluated EAGERLY: probing inside the trace would inline
             # the probe's callback into this very computation.
             progress=progress and callbacks_supported(),
+            russian_roulette=cfg.russian_roulette,
         )
     )
 
