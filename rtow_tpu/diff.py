@@ -217,17 +217,20 @@ def build_train_step(
     per bounce inside the backward scan (via :func:`psum_in_bwd`)
     instead of one monolithic all-reduce after the whole backward, so
     XLA's latency-hiding scheduler can overlap collectives with backward
-    compute.  Numerically identical by psum linearity (tested); jnp
-    renderer only.
+    compute.  Numerically identical by psum linearity (tested).  Works
+    with the jnp renderer AND the kernel renderer (the kernel path
+    buckets the table cotangents per bounce around each backward
+    pallas_call); a custom renderer must accept ``grad_reduce_axes``
+    or the partial application fails loudly — never a silent no-op.
     """
-    overlap = overlap_grad_allreduce and renderer is None
+    overlap = overlap_grad_allreduce
     if renderer is None:
         renderer = render_pixels
     if overlap:
         import functools
 
         renderer = functools.partial(
-            render_pixels, grad_reduce_axes=(SPP_AXIS, TILE_AXIS)
+            renderer, grad_reduce_axes=(SPP_AXIS, TILE_AXIS)
         )
     n_pixels = width * height
     tile_shards = mesh.shape[TILE_AXIS]

@@ -55,8 +55,10 @@ from .pallas_megakernel import (
     _TBL_ROWS,
     _draw_scatter,
     _mix,
+    _nee_contrib,
     _shade_pure,
     _sweep_all,
+    _uniform,
     TRI_BLOCK,
     build_sphere_table,
     build_tri_table,
@@ -64,6 +66,27 @@ from .pallas_megakernel import (
 
 #: continuous state arrays carried between bounces (cot-bearing).
 N_CONT = 13  # ox oy oz dx dy dz tm tpr tpg tpb rr rg rb
+
+#: light-table rows the gradient kernels carry (ops/lights.py layout).
+_LIGHT_COLS = 14
+
+
+class _RowsVal:
+    """Adapter: a nested tuple of scalars indexed like a (R, C) ref.
+
+    ops/lights.py indexes the light table as ``table[r, c]`` (scalar
+    SMEM reads in the forward kernels).  The backward kernel needs the
+    table as a DIFFERENTIABLE ``jax.vjp`` input, and a nested tuple of
+    traced scalars is a valid pytree — this wrapper gives it the same
+    two-index read surface.
+    """
+
+    def __init__(self, rows):
+        self.rows = rows
+
+    def __getitem__(self, idx):
+        r, c = idx
+        return self.rows[r][c]
 
 
 def _lane_u32(lid):
@@ -75,9 +98,9 @@ def _salt(seed, it):
 
 
 def _grad_fwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
-                     sup_ref, hyp_ref, *refs,
+                     sup_ref, hyp_ref, lights_ref, *refs,
                      n_blocks, n_tri_blocks, n_super, n_hyper, cull,
-                     emissive, bg, checker):
+                     emissive, bg, checker, nee_kinds):
     """Forward bounce for the gradient path (spheres + triangles).
 
     refs = 16 inputs (13 cont f32 + alive i32 + bounce i32 + lid i32),
@@ -85,6 +108,10 @@ def _grad_fwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
     (box_scr SMEM, sem_box DMA, key_scr SMEM).  Small meshes
     (< 2*SUPER blocks) sweep flat from SMEM boxes; larger ones use the
     same super/hyper front-to-back descent as the forward pipeline.
+
+    ``nee_kinds`` non-empty runs next-event estimation exactly as the
+    production forward kernels do (shadow sweep + MIS, _bounce_core):
+    alive becomes the {0,1,2} diffuse-history code.
     """
     ins, outs = refs[:16], refs[16:32]
     box_scr = sem_box = key_scr = None
@@ -110,11 +137,39 @@ def _grad_fwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
         tri_hyp_ref=hyp_ref, n_hyper=n_hyper, checker=checker,
     )
     draws = _draw_scatter(lane, salt)
+    basics = None
+    from_diffuse = None
+    if nee_kinds:
+        from_diffuse = alive_i > 1
+        nee_us = (_uniform(lane, salt, 8), _uniform(lane, salt, 9),
+                  _uniform(lane, salt, 10))
+        basics, (px, py, pz), (ldx, ldy, ldz), thresh, contrib, nee_act = \
+            _nee_contrib(state, sph_params, tri_params, best_t, best_k,
+                         alive, bounce, max_depth, nee_us, lights_ref,
+                         nee_kinds, n_blocks=n_blocks,
+                         n_tri_blocks=n_tri_blocks, cull=cull,
+                         checker=checker)
+        s_t, _sk, _sp, _tp = _sweep_all(
+            tbl_ref, box_ref, tri_ref, tri_box_ref, sup_ref,
+            px, py, pz, ldx, ldy, ldz, tm, nee_act,
+            n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, n_super=n_super,
+            cull=cull, tri_t=n_tri_blocks > 0,
+            box_scr=box_scr, sem_box=sem_box, key_scr=key_scr,
+            tri_hyp_ref=hyp_ref, n_hyper=n_hyper,
+            t_init=thresh, fetch=False,
+        )
+        add = jnp.logical_and(nee_act, s_t >= thresh)
+        rr = rr + jnp.where(add, contrib[0], 0.0)
+        rg = rg + jnp.where(add, contrib[1], 0.0)
+        rb = rb + jnp.where(add, contrib[2], 0.0)
+        state = (ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb)
     out = _shade_pure(state, sph_params, tri_params, draws, best_t, best_k,
                       alive, bounce, max_depth,
                       n_blocks=n_blocks, n_tri_blocks=n_tri_blocks,
                       cull=cull, emissive=emissive, bg=bg,
-                      checker=checker)
+                      basics=basics, from_diffuse=from_diffuse,
+                      checker=checker, lights_ref=lights_ref,
+                      nee_kinds=nee_kinds)
     (nox, noy, noz, ndx, ndy, ndz, ntpr, ntpg, ntpb, nrr, nrg, nrb, can,
      nbounce) = out
     new_vals = [nox, noy, noz, ndx, ndy, ndz, tm, ntpr, ntpg, ntpb,
@@ -124,27 +179,40 @@ def _grad_fwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
 
 
 def _grad_bwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
-                     sup_ref, hyp_ref, *refs,
+                     sup_ref, hyp_ref, lights_ref, *refs,
                      n_blocks, n_tri_blocks, n_super, n_hyper, cull,
-                     emissive, bg, checker):
+                     emissive, bg, checker, nee_kinds):
     """Backward bounce: replay forward, vjp the shade, one-hot the
     parameter cotangents into the shared gradient-table accumulators.
 
     refs = 16 saved inputs + 13 output cotangents (cont only), then
     13 input cotangents + the (1, 16, Npad) sphere and (1, 16, Mpad)
-    triangle gradient tables — mapped to the SAME block for every grid
-    step (zeroed at program 0, accumulated in VMEM across tiles, one
-    writeback), so memory is O(table), not O(tiles x table) — then
+    triangle gradient tables (+ the (1, 16, LANES) light-table
+    gradient when ``nee_kinds``) — mapped to the SAME block for every
+    grid step (zeroed at program 0, accumulated in VMEM across tiles,
+    one writeback), so memory is O(table), not O(tiles x table) — then
     (when ``n_super``) the hierarchy scratch.
+
+    Under NEE the shadow sweep is replayed to recover the visibility
+    bit (piecewise-constant — a replayed CONSTANT in the vjp), and the
+    vjp'd function recomputes the rest of the NEE contribution
+    (:func:`pallas_megakernel._nee_contrib`) plus the MIS-weighted
+    shade, so material, emission, AND light-table cotangents are exact
+    under common random numbers.
     """
     ins = refs[:16]
     cot_out = refs[16:16 + N_CONT]
     cot_in = refs[16 + N_CONT:16 + 2 * N_CONT]
     gtbl = refs[16 + 2 * N_CONT]
     gtri = refs[16 + 2 * N_CONT + 1]
+    nxt = 16 + 2 * N_CONT + 2
+    glgt = None
+    if nee_kinds:
+        glgt = refs[nxt]
+        nxt += 1
     box_scr = sem_box = key_scr = None
     if n_super:
-        box_scr, sem_box, key_scr = refs[16 + 2 * N_CONT + 2:]
+        box_scr, sem_box, key_scr = refs[nxt:]
 
     it = meta_ref[0, 0]
     seed = meta_ref[0, 1]
@@ -168,35 +236,94 @@ def _grad_bwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
     )
     draws = _draw_scatter(lane, salt)
 
-    if n_tri_blocks:
-        def shade(state_cont, sparams, tparams):
-            out = _shade_pure(state_cont, sparams, tparams, draws, best_t,
-                              best_k, alive, bounce, max_depth,
-                              n_blocks=n_blocks, n_tri_blocks=n_tri_blocks,
-                              cull=cull, emissive=emissive, bg=bg,
-                              checker=checker)
-            return tuple(out[:12])  # cont outputs (tm passes through)
+    from_diffuse = None
+    open_ = None
+    nee_us = None
+    lt_rows = None
+    n_rows = 0
+    if nee_kinds:
+        from_diffuse = alive_i > 1
+        nee_us = (_uniform(lane, salt, 8), _uniform(lane, salt, 9),
+                  _uniform(lane, salt, 10))
+        n_rows = lights_ref.shape[0]
+        lt_rows = tuple(
+            tuple(lights_ref[r, c] for c in range(_LIGHT_COLS))
+            for r in range(n_rows)
+        )
+        # Replay the shadow ray (non-differentiated) to recover the
+        # occlusion bit — visibility is piecewise-constant.
+        _b, (px, py, pz), (ldx, ldy, ldz), thresh, _c, nee_act = \
+            _nee_contrib(state, sph_params, tri_params, best_t, best_k,
+                         alive, bounce, max_depth, nee_us,
+                         _RowsVal(lt_rows), nee_kinds,
+                         n_blocks=n_blocks, n_tri_blocks=n_tri_blocks,
+                         cull=cull, checker=checker)
+        s_t, _sk, _sp, _tp = _sweep_all(
+            tbl_ref, box_ref, tri_ref, tri_box_ref, sup_ref,
+            px, py, pz, ldx, ldy, ldz, tm, nee_act,
+            n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, n_super=n_super,
+            cull=cull, tri_t=n_tri_blocks > 0,
+            box_scr=box_scr, sem_box=sem_box, key_scr=key_scr,
+            tri_hyp_ref=hyp_ref, n_hyper=n_hyper,
+            t_init=thresh, fetch=False,
+        )
+        open_ = s_t >= thresh
 
-        _, vjp_fn = jax.vjp(shade, state, sph_params, tri_params)
+    def _shade_full(state_cont, sparams, tparams, lt):
+        """NEE contribution + MIS shade — everything differentiable."""
+        basics = None
+        lt_ref = _RowsVal(lt) if nee_kinds else None
+        if nee_kinds:
+            basics, _so, _sd, _th, contrib, nee_act2 = _nee_contrib(
+                state_cont, sparams, tparams, best_t, best_k, alive,
+                bounce, max_depth, nee_us, lt_ref, nee_kinds,
+                n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, cull=cull,
+                checker=checker)
+            add = jnp.logical_and(nee_act2, open_)
+            s = list(state_cont)
+            s[10] = s[10] + jnp.where(add, contrib[0], 0.0)
+            s[11] = s[11] + jnp.where(add, contrib[1], 0.0)
+            s[12] = s[12] + jnp.where(add, contrib[2], 0.0)
+            state_cont = tuple(s)
+        out = _shade_pure(state_cont, sparams, tparams, draws, best_t,
+                          best_k, alive, bounce, max_depth,
+                          n_blocks=n_blocks, n_tri_blocks=n_tri_blocks,
+                          cull=cull, emissive=emissive, bg=bg,
+                          basics=basics, from_diffuse=from_diffuse,
+                          checker=checker, lights_ref=lt_ref,
+                          nee_kinds=nee_kinds)
+        return tuple(out[:12])  # cont outputs (tm passes through)
+
+    if n_tri_blocks and nee_kinds:
+        _, vjp_fn = jax.vjp(
+            lambda st, sp, tp, lt: _shade_full(st, sp, tp, lt),
+            state, sph_params, tri_params, lt_rows)
+    elif n_tri_blocks:
+        _, vjp_fn = jax.vjp(
+            lambda st, sp, tp: _shade_full(st, sp, tp, None),
+            state, sph_params, tri_params)
+    elif nee_kinds:
+        _, vjp_fn = jax.vjp(
+            lambda st, sp, lt: _shade_full(st, sp, tri_params, lt),
+            state, sph_params, lt_rows)
     else:
-        def shade(state_cont, sparams):
-            out = _shade_pure(state_cont, sparams, tri_params, draws,
-                              best_t, best_k, alive, bounce, max_depth,
-                              n_blocks=n_blocks, n_tri_blocks=0, cull=cull,
-                              emissive=emissive, bg=bg, checker=checker)
-            return tuple(out[:12])
-
-        _, vjp_fn = jax.vjp(shade, state, sph_params)
+        _, vjp_fn = jax.vjp(
+            lambda st, sp: _shade_full(st, sp, tri_params, None),
+            state, sph_params)
     # Output cotangents in shade's output order: ox..dz, tpr..b, rr..b
     # (cot_out is the full 13-cont ordering incl. tm at index 6).
     ct = tuple(r[...] for r in cot_out)
     g_out = (ct[0], ct[1], ct[2], ct[3], ct[4], ct[5],
              ct[7], ct[8], ct[9], ct[10], ct[11], ct[12])
-    if n_tri_blocks:
+    g_tparams = g_lt = None
+    if n_tri_blocks and nee_kinds:
+        g_state, g_params, g_tparams, g_lt = vjp_fn(g_out)
+    elif n_tri_blocks:
         g_state, g_params, g_tparams = vjp_fn(g_out)
+    elif nee_kinds:
+        g_state, g_params, g_lt = vjp_fn(g_out)
     else:
         g_state, g_params = vjp_fn(g_out)
-        g_tparams = None
     # tm is an identity passthrough output plus a shade input; add the
     # downstream tm cotangent to shade's contribution.
     g_state = list(g_state)
@@ -217,6 +344,24 @@ def _grad_bwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
     def _init():
         gtbl[...] = jnp.zeros(gtbl.shape, jnp.float32)
         gtri[...] = jnp.zeros(gtri.shape, jnp.float32)
+        if nee_kinds:
+            glgt[...] = jnp.zeros(glgt.shape, jnp.float32)
+
+    if nee_kinds:
+        # Light-table cotangent: tiny (R x 14), assembled from the
+        # vjp's nested scalar cotangents with one-hot masks (no
+        # scatter) and accumulated into a shared (1, 16, LANES) block
+        # exactly like gtbl (param rows on sublanes, light index on
+        # lanes).
+        p_iota = jax.lax.broadcasted_iota(jnp.int32, (16, LANES), 0)
+        r_iota = jax.lax.broadcasted_iota(jnp.int32, (16, LANES), 1)
+        gl = jnp.zeros((16, LANES), jnp.float32)
+        for r in range(n_rows):
+            for c in range(_LIGHT_COLS):
+                gl = gl + jnp.where(
+                    jnp.logical_and(p_iota == c, r_iota == r),
+                    g_lt[r][c], 0.0)
+        glgt[0] += gl
 
     if n_blocks:
         k_iota = jax.lax.broadcasted_iota(
@@ -328,27 +473,28 @@ def _hier_specs(n_super):
     ]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
 def bounce_grad(cont, ints, tbl, boxes, tri, tri_boxes, tri_sup, tri_hyp,
-                statics, scalars):
+                lights, statics, scalars):
     """One differentiable bounce: (cont 13-tuple, ints 3-tuple) advance.
 
     ``scalars`` = (it, seed, max_depth) int32 scalars; ``tbl``/``tri``
     are the sphere/triangle tables (differentiable), ``boxes``/
     ``tri_boxes``/``tri_sup``/``tri_hyp`` the cull AABBs (decisions
-    only — piecewise-constant, no cotangent).  ``statics`` =
-    (n_blocks, n_tri_blocks, n_super, n_hyper, cull, emissive, bg)
-    python constants.
+    only — piecewise-constant, no cotangent); ``lights`` the (R, 14)
+    light table (differentiable when ``nee_kinds``).  ``statics`` =
+    (n_blocks, n_tri_blocks, n_super, n_hyper, cull, emissive, bg,
+    checker, nee_kinds) python constants.
     """
     out, _ = _bounce_fwd_impl(cont, ints, tbl, boxes, tri, tri_boxes,
-                              tri_sup, tri_hyp, statics, scalars)
+                              tri_sup, tri_hyp, lights, statics, scalars)
     return out
 
 
 def _bounce_fwd_impl(cont, ints, tbl, boxes, tri, tri_boxes, tri_sup,
-                     tri_hyp, statics, scalars):
+                     tri_hyp, lights, statics, scalars):
     (n_blocks, n_tri_blocks, n_super, n_hyper, cull, emissive, bg,
-     checker) = statics
+     checker, nee_kinds) = statics
     L = cont[0].shape[0]
     n_tiles = L // TILE
     it, seed, max_depth = scalars
@@ -359,7 +505,7 @@ def _bounce_fwd_impl(cont, ints, tbl, boxes, tri, tri_boxes, tri_sup,
         functools.partial(_grad_fwd_kernel, n_blocks=n_blocks,
                           n_tri_blocks=n_tri_blocks, n_super=n_super,
                           n_hyper=n_hyper, cull=cull, emissive=emissive,
-                          bg=bg, checker=checker),
+                          bg=bg, checker=checker, nee_kinds=nee_kinds),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=32 * 1024 * 1024 + tri.size * 4
         ),
@@ -372,28 +518,30 @@ def _bounce_fwd_impl(cont, ints, tbl, boxes, tri, tri_boxes, tri_sup,
             tri_box_spec,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # light table
         ] + [spec] * 16,
         out_specs=[spec] * 16,
         out_shape=[jax.ShapeDtypeStruct(b.shape, b.dtype) for b in state],
         scratch_shapes=scratch,
     )(_meta(it, seed, max_depth), tbl, boxes, tri, tri_boxes, tri_sup,
-      tri_hyp, *state)
+      tri_hyp, lights, *state)
     flat = tuple(o.reshape(L) for o in out)
     return (flat[:N_CONT], flat[N_CONT:]), None
 
 
 def _bounce_grad_fwd(cont, ints, tbl, boxes, tri, tri_boxes, tri_sup,
-                     tri_hyp, statics, scalars):
+                     tri_hyp, lights, statics, scalars):
     out, _ = _bounce_fwd_impl(cont, ints, tbl, boxes, tri, tri_boxes,
-                              tri_sup, tri_hyp, statics, scalars)
+                              tri_sup, tri_hyp, lights, statics, scalars)
     return out, (cont, ints, tbl, boxes, tri, tri_boxes, tri_sup,
-                 tri_hyp, scalars)
+                 tri_hyp, lights, scalars)
 
 
 def _bounce_grad_bwd(statics, res, cot):
-    cont, ints, tbl, boxes, tri, tri_boxes, tri_sup, tri_hyp, scalars = res
+    (cont, ints, tbl, boxes, tri, tri_boxes, tri_sup, tri_hyp, lights,
+     scalars) = res
     (n_blocks, n_tri_blocks, n_super, n_hyper, cull, emissive, bg,
-     checker) = statics
+     checker, nee_kinds) = statics
     cot_cont, _cot_ints = cot
     it, seed, max_depth = scalars
     L = cont[0].shape[0]
@@ -414,11 +562,20 @@ def _bounce_grad_bwd(statics, res, cot):
         + [jax.ShapeDtypeStruct((1, 16, npad), jnp.float32),
            jax.ShapeDtypeStruct((1, 16, mpad), jnp.float32)]
     )
+    out_specs = (
+        [spec] * N_CONT
+        + [pl.BlockSpec((1, 16, npad), lambda i: (0, 0, 0)),
+           pl.BlockSpec((1, 16, mpad), lambda i: (0, 0, 0))]
+    )
+    if nee_kinds:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((1, 16, LANES), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 16, LANES), lambda i: (0, 0, 0)))
     out = pl.pallas_call(
         functools.partial(_grad_bwd_kernel, n_blocks=n_blocks,
                           n_tri_blocks=n_tri_blocks, n_super=n_super,
                           n_hyper=n_hyper, cull=cull, emissive=emissive,
-                          bg=bg, checker=checker),
+                          bg=bg, checker=checker, nee_kinds=nee_kinds),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=(32 * 1024 * 1024 + tri.size * 4
                               + 16 * (npad + mpad) * 4)
@@ -432,14 +589,13 @@ def _bounce_grad_bwd(statics, res, cot):
             tri_box_spec,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # light table
         ] + [spec] * 16 + [spec] * N_CONT,
-        out_specs=[spec] * N_CONT
-        + [pl.BlockSpec((1, 16, npad), lambda i: (0, 0, 0)),
-           pl.BlockSpec((1, 16, mpad), lambda i: (0, 0, 0))],
+        out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=scratch,
     )(_meta(it, seed, max_depth), tbl, boxes, tri, tri_boxes, tri_sup,
-      tri_hyp, *state, *cots)
+      tri_hyp, lights, *state, *cots)
     g_cont = tuple(o.reshape(L) for o in out[:N_CONT])
     g_tbl = out[N_CONT][0].T  # (16, npad) -> (npad, 16)
     g_tri = out[N_CONT + 1][0]  # (16, mpad)
@@ -448,12 +604,17 @@ def _bounce_grad_bwd(statics, res, cot):
         g_tri = g_tri.reshape(16, -1, TRI_BLOCK).transpose(1, 0, 2)
     else:
         g_tri = g_tri.T  # (mpad, 16)
+    if nee_kinds:
+        n_rows = lights.shape[0]
+        g_lights = out[N_CONT + 2][0, :_LIGHT_COLS, :n_rows].T  # (R, 14)
+    else:
+        g_lights = jnp.zeros_like(lights)
     f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
     g_ints = tuple(f0(x) for x in ints)
     g_scalars = tuple(f0(s) for s in scalars)
     return (g_cont, g_ints, g_tbl, jnp.zeros_like(boxes), g_tri,
             jnp.zeros_like(tri_boxes), jnp.zeros_like(tri_sup),
-            jnp.zeros_like(tri_hyp), g_scalars)
+            jnp.zeros_like(tri_hyp), g_lights, g_scalars)
 
 
 bounce_grad.defvjp(_bounce_grad_fwd, _bounce_grad_bwd)
@@ -509,6 +670,8 @@ def render_pixels_kernel(
     seed: int = 0,
     jitter: bool = True,
     sort_lanes=None,
+    nee: bool = False,
+    grad_reduce_axes: Tuple = (),
     _force_flat: bool = False,
 ) -> jax.Array:
     """Differentiable mean radiance of the given pixels -> (P, 3).
@@ -537,6 +700,17 @@ def render_pixels_kernel(
     front-to-back hierarchy inside both gradient kernels (the flat
     block sweep is O(n_blocks) per tile-bounce — untenable past ~100
     blocks); ``_force_flat`` pins the flat path for parity tests.
+
+    ``nee=True`` (emissive scenes) runs next-event estimation with MIS
+    in BOTH gradient kernels — the same estimator as the production
+    forward (ops/lights.py + _bounce_core) — so emissive-scene inverse
+    rendering runs at kernel speed: the backward replays the shadow
+    sweep (visibility is a piecewise-constant replayed bit) and vjp's
+    the full NEE contribution + MIS-weighted shade, giving exact
+    material, emission, and light-table gradients under common random
+    numbers.  Light GEOMETRY keeps the detached-sampling convention
+    (ops/lights.py docstring); the light-table cotangent flows back
+    into the Scene through build_light_table.
     """
     if scene.volume_kinds or scene.has_image:
         raise NotImplementedError(
@@ -585,10 +759,22 @@ def render_pixels_kernel(
         tri_boxes = tri_boxes[: n_super * SUPER].reshape(n_super, SUPER * 8)
     else:
         assert n_tri_blocks <= 1536, "flat gradient path caps at ~200k"
+    nee_kinds = ()
+    if nee:
+        if not scene.has_emissive:
+            raise ValueError("nee=True needs an emissive scene "
+                             "(SceneBuilder.add_light)")
+        nee_kinds = tuple(k for k, _ in scene.light_ids)
+    if nee_kinds:
+        from .lights import build_light_table
+
+        lights = build_light_table(scene)
+    else:
+        lights = jnp.zeros((1, _LIGHT_COLS), jnp.float32)
     statics = (n_blocks, n_tri_blocks, n_super, n_hyper, True,
                scene.has_emissive,
                None if scene.background == "sky" else scene.background,
-               scene.has_checker)
+               scene.has_checker, nee_kinds)
 
     P = pixel_ids.shape[0]
     L_raw = P * spp
@@ -650,8 +836,20 @@ def render_pixels_kernel(
             keys = sort_keys(cont[0], cont[1], cont[2], cont[3], cont[4],
                              cont[5], ints[0], bmin, inv_ext)
             cont, ints = _permute_by(keys, cont, ints)
-        out = bounce_grad(cont, ints, tbl, boxes, tri, tri_boxes,
-                          tri_sup, tri_hyp, statics,
+        tbl_b, tri_b, lights_b = tbl, tri, lights
+        if grad_reduce_axes:
+            # Overlapped gradient all-reduce (DDP-style bucketing by
+            # bounce, same scheme as the jnp path's psum_in_bwd in
+            # integrator.trace): each scan step's backward emits one
+            # partial psum of the table cotangents right after that
+            # bounce's backward kernel, which XLA's latency-hiding
+            # scheduler can overlap with the next step's compute.
+            from ..diff import psum_in_bwd
+
+            tbl_b, tri_b, lights_b = psum_in_bwd(
+                (tbl, tri, lights), grad_reduce_axes)
+        out = bounce_grad(cont, ints, tbl_b, boxes, tri_b, tri_boxes,
+                          tri_sup, tri_hyp, lights_b, statics,
                           (it, jnp.int32(seed), jnp.int32(max_depth)))
         return out, None
 

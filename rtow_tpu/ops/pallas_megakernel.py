@@ -1113,6 +1113,91 @@ def _draw_scatter(lane_u32, salt, ablate="full"):
     return uvx, uvy, uz, choice
 
 
+def _nee_contrib(state, sph_params, tri_params, best_t, best_k, alive,
+                 bounce, max_depth, nee_us, lights_ref, nee_kinds, *,
+                 n_blocks, n_tri_blocks, cull=True, checker=False,
+                 v_event=None, vol_kinds=(), vol_row0=0):
+    """The differentiable half of next-event estimation.
+
+    Everything between the main sweep and the shadow sweep: hit basics,
+    the light sample (ops/lights.py), and the unoccluded direct
+    contribution — i.e. all of NEE except the shadow ray's visibility
+    bit, which the caller supplies by sweeping the returned ray.
+    Shared by :func:`_bounce_core` (forward) and the backward gradient
+    kernel (ops/pallas_grad.py), whose ``jax.vjp`` of this function +
+    :func:`_shade_pure` yields exact NEE gradients under common random
+    numbers (visibility is piecewise-constant, so treating ``open_`` as
+    a replayed constant drops no cotangent).
+
+    ``nee_us`` = (pick, u1, u2) per-lane uniforms.  Returns
+    (basics, (sx, sy, sz), (ldx, ldy, ldz), thresh, (cr, cg, cb),
+    nee_act): shadow origin/direction, the occlusion threshold, and the
+    per-channel contribution to ADD where the shadow ray is open.
+    """
+    from .lights import sample_light_dirs
+
+    (ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, _rr, _rg, _rb) = state
+    pick, u1, u2 = nee_us
+    basics = _hit_basics(
+        state, sph_params, tri_params, best_t, best_k,
+        n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, cull=cull,
+        checker=checker,
+    )
+    (hit, _t_hit, px, py, pz, nx, ny, nz, _front,
+     alr, alg, alb, _fuzz, _ir, kind, _a) = basics
+    v_act = None
+    if v_event is not None:
+        # Volume scatters sample a light too (from the free-flight
+        # point, isotropic phase: factor 1/4 instead of cos, pdf
+        # 1/(4 pi) in the balance weight).
+        v_act = jnp.logical_and(jnp.logical_and(alive, v_event[0]),
+                                bounce < max_depth)
+        px = jnp.where(v_act, ox + v_event[1] * dx, px)
+        py = jnp.where(v_act, oy + v_event[1] * dy, py)
+        pz = jnp.where(v_act, oz + v_event[1] * dz, pz)
+    ldx, ldy, ldz, t_l, (w0, w1, w2), l_pdf = sample_light_dirs(
+        lights_ref, nee_kinds, pick, u1, u2, px, py, pz, tm)
+    nee_act = jnp.logical_and(
+        jnp.logical_and(jnp.logical_and(alive, hit),
+                        bounce < max_depth),
+        jnp.logical_or(
+            kind == np.float32(LAMBERTIAN),
+            jnp.logical_or(kind == np.float32(CHECKER),
+                           kind == np.float32(NOISE))),
+    )
+    if v_event is not None:
+        nee_act = jnp.logical_or(
+            jnp.logical_and(nee_act, jnp.logical_not(v_event[0])),
+            v_act)
+    thresh = t_l * np.float32(1.0 - 1e-3)
+    cos_t = jnp.maximum(nx * ldx + ny * ldy + nz * ldz, 0.0)
+    # MIS: balance the light sample against the scatter strategy
+    # (cosine pdf at surfaces, 1/(4 pi) phase at volume events) —
+    # the paired weight lands on emission-on-hit in _shade_pure.
+    phase = cos_t * np.float32(1.0 / np.pi)
+    factor = cos_t
+    nar, nag, nab = alr, alg, alb
+    if v_event is not None:
+        phase = jnp.where(v_act, np.float32(0.25 / np.pi), phase)
+        factor = jnp.where(v_act, np.float32(0.25), factor)
+        nar = jnp.where(v_act, v_event[2], nar)
+        nag = jnp.where(v_act, v_event[3], nag)
+        nab = jnp.where(v_act, v_event[4], nab)
+    w_l = l_pdf / jnp.maximum(l_pdf + phase, 1e-12)
+    if vol_kinds:
+        # Shadow rays attenuate through media deterministically
+        # (exp(-sigma * overlap)); without it NEE overcounts.
+        from .volumes import _OffsetRows, volume_transmittance
+
+        factor = factor * volume_transmittance(
+            _OffsetRows(lights_ref, vol_row0), vol_kinds,
+            px, py, pz, ldx, ldy, ldz, t_l)
+    cw = factor * w_l
+    contrib = (tpr * nar * w0 * cw, tpg * nag * w1 * cw,
+               tpb * nab * w2 * cw)
+    return basics, (px, py, pz), (ldx, ldy, ldz), thresh, contrib, nee_act
+
+
 def _bounce_core(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
                  ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb,
                  alive, bounce, lane_u32, salt, max_depth, *,
@@ -1173,48 +1258,22 @@ def _bounce_core(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
                    uvx * 0.5, uvy * 0.5, uvz * 0.5)
     basics = None
     if nee_kinds:
-        from .lights import sample_light_dirs
-
-        basics = _hit_basics(
-            (ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb),
-            sph_params, tri_params, best_t, best_k,
-            n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, cull=cull,
-            checker=checker,
-        )
-        (hit, _t_hit, px, py, pz, nx, ny, nz, _front,
-         alr, alg, alb, _fuzz, _ir, kind, _a) = basics
-        pick = _uniform(lane_u32, salt, 8)
-        u1 = _uniform(lane_u32, salt, 9)
-        u2 = _uniform(lane_u32, salt, 10)
-        if v_event is not None:
-            # Volume scatters sample a light too (from the free-flight
-            # point, isotropic phase: factor 1/4 instead of cos, pdf
-            # 1/(4 pi) in the balance weight).
-            v_act = jnp.logical_and(jnp.logical_and(alive, v_event[0]),
-                                    bounce < max_depth)
-            px = jnp.where(v_act, ox + v_event[1] * dx, px)
-            py = jnp.where(v_act, oy + v_event[1] * dy, py)
-            pz = jnp.where(v_act, oz + v_event[1] * dz, pz)
-        ldx, ldy, ldz, t_l, (w0, w1, w2), l_pdf = sample_light_dirs(
-            lights_ref, nee_kinds, pick, u1, u2, px, py, pz, tm)
-        nee_act = jnp.logical_and(
-            jnp.logical_and(jnp.logical_and(alive, hit),
-                            bounce < max_depth),
-            jnp.logical_or(
-                kind == np.float32(LAMBERTIAN),
-                jnp.logical_or(kind == np.float32(CHECKER),
-                               kind == np.float32(NOISE))),
-        )
-        if v_event is not None:
-            nee_act = jnp.logical_or(
-                jnp.logical_and(nee_act, jnp.logical_not(v_event[0])),
-                v_act)
+        nee_us = (_uniform(lane_u32, salt, 8), _uniform(lane_u32, salt, 9),
+                  _uniform(lane_u32, salt, 10))
+        basics, (px, py, pz), (ldx, ldy, ldz), thresh, contrib, nee_act = \
+            _nee_contrib(
+                (ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb),
+                sph_params, tri_params, best_t, best_k, alive, bounce,
+                max_depth, nee_us, lights_ref, nee_kinds,
+                n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, cull=cull,
+                checker=checker, v_event=v_event, vol_kinds=vol_kinds,
+                vol_row0=vol_row0,
+            )
         # Shadow sweep: occlusion = anything nearer than the sampled
         # light point (a culled back-facing light is transparent AND
         # zero-weighted, consistently).  best_t is seeded with the
         # light distance so the f2b descent culls boxes beyond the
         # light, and the winner fetch is skipped entirely.
-        thresh = t_l * np.float32(1.0 - 1e-3)
         s_t, _sk, _sp, _tp = _sweep_all(
             tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
             px, py, pz, ldx, ldy, ldz, tm, nee_act,
@@ -1224,34 +1283,10 @@ def _bounce_core(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
             n_hyper=n_hyper, tri_t=tri_t, key_scr=key_scr,
             t_init=thresh, fetch=False,
         )
-        open_ = s_t >= thresh
-        cos_t = jnp.maximum(nx * ldx + ny * ldy + nz * ldz, 0.0)
-        # MIS: balance the light sample against the scatter strategy
-        # (cosine pdf at surfaces, 1/(4 pi) phase at volume events) —
-        # the paired weight lands on emission-on-hit in _shade_pure.
-        phase = cos_t * np.float32(1.0 / np.pi)
-        factor = cos_t
-        nar, nag, nab = alr, alg, alb
-        if v_event is not None:
-            phase = jnp.where(v_act, np.float32(0.25 / np.pi), phase)
-            factor = jnp.where(v_act, np.float32(0.25), factor)
-            nar = jnp.where(v_act, v_event[2], nar)
-            nag = jnp.where(v_act, v_event[3], nag)
-            nab = jnp.where(v_act, v_event[4], nab)
-        w_l = l_pdf / jnp.maximum(l_pdf + phase, 1e-12)
-        if vol_kinds:
-            # Shadow rays attenuate through media deterministically
-            # (exp(-sigma * overlap)); without it NEE overcounts.
-            from .volumes import _OffsetRows, volume_transmittance
-
-            factor = factor * volume_transmittance(
-                _OffsetRows(lights_ref, vol_row0), vol_kinds,
-                px, py, pz, ldx, ldy, ldz, t_l)
-        cw = factor * w_l
-        add = jnp.logical_and(nee_act, open_)
-        rr = rr + jnp.where(add, tpr * nar * w0 * cw, 0.0)
-        rg = rg + jnp.where(add, tpg * nag * w1 * cw, 0.0)
-        rb = rb + jnp.where(add, tpb * nab * w2 * cw, 0.0)
+        add = jnp.logical_and(nee_act, s_t >= thresh)
+        rr = rr + jnp.where(add, contrib[0], 0.0)
+        rg = rg + jnp.where(add, contrib[1], 0.0)
+        rb = rb + jnp.where(add, contrib[2], 0.0)
     return _shade_pure(
         (ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb),
         sph_params, tri_params, draws, best_t, best_k, alive, bounce,

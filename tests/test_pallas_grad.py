@@ -158,6 +158,45 @@ def test_sharded_kernel_train_step(setup):
     assert moved > 0.0, "SGD update did not move material parameters"
 
 
+def test_kernel_overlap_grad_allreduce_parity(setup):
+    """Overlapped (per-bounce, DDP-style) gradient all-reduce on the
+    KERNEL train step: numerically identical to the monolithic
+    post-backward psum, with the all-reduces lowered inside the
+    backward scan (outside @main) where the latency-hiding scheduler
+    can overlap them — the kernel-path mirror of
+    tests/test_sharded.py::test_overlap_grad_allreduce_parity."""
+    from rtow_tpu.diff import build_train_step
+    from rtow_tpu.parallel.mesh import make_mesh
+
+    scene, cam, _, _ = setup
+    width, height, spp = 8, 4, 16
+    mesh = make_mesh(8, spp, tile_shards=4, spp_shards=2)
+    kw = dict(width=width, height=height, spp=spp, max_depth=2, lr=1e-2,
+              renderer=render_pixels_kernel)
+    base = build_train_step(mesh, cam, **kw)
+    over = build_train_step(mesh, cam, overlap_grad_allreduce=True, **kw)
+    target = jnp.zeros((width * height, 3), jnp.float32)
+    key = jax.random.key(0)
+    with pltpu.force_tpu_interpret_mode():
+        s0, l0 = base(scene, key, target)
+        s1, l1 = over(scene, key, target)
+
+        def _ar_outside_main(txt):
+            main_end = txt.index("func.func private")
+            return txt.count("all_reduce", main_end)
+
+        base_hlo = base.lower(scene, key, target).as_text()
+        over_hlo = over.lower(scene, key, target).as_text()
+    assert float(l0) == pytest.approx(float(l1), rel=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s0),
+                    jax.tree_util.tree_leaves(s1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+    assert _ar_outside_main(base_hlo) == 0
+    assert _ar_outside_main(over_hlo) > 0
+
+
 def test_sharded_kernel_train_step_mesh():
     """BASELINE config (e)'s gradient leg on the virtual mesh: sharded
     training step with the kernel renderer on a TRIANGLE mesh,
