@@ -34,9 +34,14 @@ depth8) is reported as ``grad_fwd_mrays``/``grad_fwdbwd_ratio`` unless
 RTOW_BENCH_GRAD=0 — the north-star "verified gradients at kernel
 speed" gate (target ratio <= 3x).
 
+A russian-roulette run of the cover config (``roulette_mrays`` +
+``roulette_dradiance``, the unbiasedness check) reports the RR
+throughput lever at the reference's depth-50 budget unless
+RTOW_BENCH_RR=0.
+
 Env overrides: RTOW_BENCH_SPP, RTOW_BENCH_WIDTH, RTOW_BENCH_DEPTH,
 RTOW_BENCH_BACKEND (jnp|pallas), RTOW_BENCH_REPEATS, RTOW_BENCH_NORTHSTAR,
-RTOW_BENCH_MESH, RTOW_BENCH_MESH360, RTOW_BENCH_GRAD.
+RTOW_BENCH_MESH, RTOW_BENCH_MESH360, RTOW_BENCH_GRAD, RTOW_BENCH_RR.
 """
 from __future__ import annotations
 
@@ -75,10 +80,10 @@ def main() -> int:
     from rtow_tpu.config import Config
     from rtow_tpu.models.builders import cover_scene
 
-    def cfg_for(n_spp):
+    def cfg_for(n_spp, roulette=False):
         return Config(
             image_width=width, aspect_ratio=16.0 / 9.0, samples_per_pixel=n_spp,
-            max_child_rays=depth, backend=backend,
+            max_child_rays=depth, backend=backend, russian_roulette=roulette,
         )
 
     cfg = cfg_for(spp)
@@ -112,6 +117,21 @@ def main() -> int:
         ns_mrays = ns_lanes / ns_elapsed / 1e6
         print(f"bench: north-star 500spp: {ns_elapsed:.2f}s "
               f"= {ns_mrays:.2f} Mrays/s", file=sys.stderr)
+
+    rr_mrays = rr_drad = None
+    if (os.environ.get("RTOW_BENCH_RR", "1") != "0"
+            and jax.devices()[0].platform == "tpu"):
+        # Russian-roulette throughput lever at the reference's depth-50
+        # budget (north star names RR; off by default for fidelity —
+        # the estimator is unbiased, so the radiance delta is MC noise).
+        rr_cfg = cfg_for(spp, roulette=True)
+        _render_once(scene, camera, rr_cfg)  # compile
+        rr_elapsed, rr_img = _render_once(scene, camera, rr_cfg)
+        rr_mrays = lanes / rr_elapsed / 1e6
+        rr_drad = float(rr_img.mean()) - float(img.mean())
+        print(f"bench: russian roulette spp{spp}: {rr_elapsed:.2f}s "
+              f"= {rr_mrays:.2f} Mrays/s (plain {med:.2f}), "
+              f"mean-radiance delta {rr_drad:+.5f}", file=sys.stderr)
 
     mesh_mrays = None
     if (os.environ.get("RTOW_BENCH_MESH", "1") != "0"
@@ -236,6 +256,9 @@ def main() -> int:
             out["mesh360k_vs_baseline"] = (
                 round(mesh360_mrays / floor360, 3) if floor360 > 0 else 0.0
             )
+    if rr_mrays is not None:
+        out["roulette_mrays"] = round(rr_mrays, 3)
+        out["roulette_dradiance"] = round(rr_drad, 5)
     if grad_mrays is not None:
         out["grad_fwd_mrays"] = round(grad_mrays, 3)
         out["grad_fwdbwd_ratio"] = round(grad_ratio, 3)

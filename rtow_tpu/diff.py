@@ -102,10 +102,12 @@ def render_pixels(
     samples.  Gradients w.r.t. materials (albedo, emitted radiance) are
     exact under common random numbers (the light-sampling distribution
     does not depend on them — FD-gated in tests/test_nee_grad.py);
-    gradients w.r.t. the LIGHT's geometry carry the detached-sampling
-    bias (the sample direction's pdf movement is not estimated), the
-    same class of omission as the visibility deltas the plain estimator
-    already drops.  Default off: the plain estimator has no such caveat.
+    gradients w.r.t. the LIGHT's geometry carry the full reparameterized
+    interior derivative (FD-gated: light position/size are recoverable
+    by inverse rendering), dropping only visibility BOUNDARY terms (a
+    moving occluder silhouette), the same class of omission as the
+    visibility deltas the plain estimator already drops.  Default off:
+    matches the reference estimator exactly.
     """
     n_pix = pixel_ids.shape[0]
     lane_pix = jnp.repeat(pixel_ids, spp)  # (Npix*spp,)

@@ -36,10 +36,15 @@ the differentiable jnp path (``diff.render_pixels(nee=True)``).  Under
 common random numbers the light-sampling distribution is independent of
 material parameters, so NEE gradients w.r.t. albedo / emitted radiance
 are exact (FD-gated, tests/test_nee_grad.py); gradients w.r.t. LIGHT
-geometry follow the detached-sampling convention (the sampled direction
-is treated as a function of the current parameters but the pdf-movement
-term is not estimated) — the same class of omission as the visibility
-delta terms the plain estimator already drops.  Every clamped sqrt in
+geometry carry the full REPARAMETERIZED interior derivative — the
+cone-sampled direction and the 2(1 - cos_max) pdf factor are smooth
+functions of center/radius (triangle lights: of the vertices), so
+reverse mode recovers light position and size (FD-gated,
+tests/test_nee_grad.py::test_nee_light_geometry_grad_matches_fd).
+What is NOT estimated is the visibility boundary term (the moving
+silhouette of an occluder between shading point and light) — the same
+class of omission as the visibility delta terms the plain estimator
+already drops.  Every clamped sqrt in
 this module uses the double-where guard (forward value unchanged;
 backward never sees sqrt'(0) = inf, whose product with a zero cotangent
 is NaN) so reverse mode is finite on degenerate lanes.  The Pallas

@@ -168,6 +168,13 @@ def _morton_order(cmin: jax.Array, cmax: jax.Array, cent: jax.Array) -> jax.Arra
 #: 128-triangle blocks per super-block for the two-level cull.
 SUPER = 16
 
+#: Sub-tile sweep split (1 = off): each TILE_ROWS/nsplit row group of a
+#: tile culls and sweeps triangle blocks independently — post-sort row
+#: groups span tighter key ranges than the whole-tile union, so
+#: straggler tiles skip blocks only some of their lanes need, at the
+#: cost of nsplit conds per descended block.
+WF_SWEEP_SPLIT = int(_os.environ.get("RTOW_WF_SWEEP_SPLIT", "1"))
+
 #: Width of one front-to-back key-scratch row (children per ordered
 #: hierarchy level); 3 rows = one per level (hyper/super/block).
 KEY_ROW = 128
@@ -462,6 +469,9 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
         )
 
     def _sphere_block_sweep(b, carry):
+        if _os.environ.get("RTOW_SPH_ABLATE") == "nosweep":
+            return carry  # roofline: cull/cond machinery minus the pairs
+        _count(0)
         best_t, best_k = carry[0], carry[1]
         blk = tbl_ref[
             pl.ds(pl.multiple_of(b * SPHERE_BLOCK, SPHERE_BLOCK),
@@ -526,7 +536,8 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
 
             return jax.lax.cond(
                 jnp.any(box_hit),
-                lambda c: _tri_block_sweep(b, c), lambda c: c, carry)
+                lambda c: _tri_block_sweep(b, c, box_hit), lambda c: c,
+                carry)
 
         def _load_tri_block(b):
             """Fetch block b's (TRI_BLOCK, 16) param rows."""
@@ -549,9 +560,6 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
                       TRI_BLOCK), :
             ]
 
-        def _sweep_block_of_super(sb, jb, c):
-            return _tri_block_sweep(sb * SUPER + jb, c)
-
         def tri_sweep_in_super(sb, jb, carry):
             # Block AABB scalars come from the SMEM scratch the enclosing
             # super-block descent DMA'd (one packed (1, SUPER*8) row).
@@ -560,14 +568,15 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
             box_hit = jnp.logical_and(exit_ > enter, alive)
             return jax.lax.cond(
                 jnp.any(box_hit),
-                lambda c: _sweep_block_of_super(sb, jb, c),
+                lambda c: _tri_block_sweep(sb * SUPER + jb, c, box_hit),
                 lambda c: c, carry)
 
-        def _tri_block_sweep(b, carry):
-            if _os.environ.get("RTOW_WF_ABLATE") == "nosweep":
-                return carry  # measure cull/cond machinery alone
+        def _mt_rows(blk, b, carry, sl):
+            """Moller-Trumbore sweep of block ``b`` over tile rows ``sl``.
+
+            ``carry`` holds (best_t, best_k) slices matching ``sl``; the
+            pair tensor is (rows(sl), TRI_BLOCK, LANES)."""
             _count(0)
-            blk = _load_tri_block(b)
             best_t, best_k = carry[0], carry[1]
             bt3 = best_t[:, None, :]
             ax_, ay_, az_ = col(blk, 0), col(blk, 1), col(blk, 2)
@@ -576,19 +585,19 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
             nxb = e1y * e2z - e1z * e2y
             nyb = e1z * e2x - e1x * e2z
             nzb = e1x * e2y - e1y * e2x
-            det = -(d3x * nxb + d3y * nyb + d3z * nzb)
+            det = -(d3x[sl] * nxb + d3y[sl] * nyb + d3z[sl] * nzb)
             if cull:
                 det_ok = det >= np.float32(1e-6)
             else:
                 det_ok = jnp.abs(det) >= np.float32(1e-6)
             invdet = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0),
                                0.0)
-            aox = o3x - ax_
-            aoy = o3y - ay_
-            aoz = o3z - az_
-            daox = aoy * d3z - aoz * d3y
-            daoy = aoz * d3x - aox * d3z
-            daoz = aox * d3y - aoy * d3x
+            aox = o3x[sl] - ax_
+            aoy = o3y[sl] - ay_
+            aoz = o3z[sl] - az_
+            daox = aoy * d3z[sl] - aoz * d3y[sl]
+            daoy = aoz * d3x[sl] - aox * d3z[sl]
+            daoz = aox * d3y[sl] - aoy * d3x[sl]
             u = (e2x * daox + e2y * daoy + e2z * daoz) * invdet
             v = -(e1x * daox + e1y * daoy + e1z * daoz) * invdet
             tt = (aox * nxb + aoy * nyb + aoz * nzb) * invdet
@@ -606,9 +615,41 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
             best_t = jnp.where(upd, bt, best_t)
             best_k = jnp.where(upd, bk + sph_pad + b * TRI_BLOCK,
                                best_k)
+            return (best_t, best_k) + carry[2:]
+
+        def _tri_block_sweep(b, carry, box_hit=None):
+            if _os.environ.get("RTOW_WF_ABLATE") == "nosweep":
+                return carry  # measure cull/cond machinery alone
+            nsplit = WF_SWEEP_SPLIT if (defer and box_hit is not None) else 1
+            rows_tile = ox.shape[0]
+            if nsplit > 1 and rows_tile % nsplit == 0:
+                # Sub-tile sweep split: each row group culls this block
+                # against ITS OWN lanes (post-sort, consecutive rows are
+                # consecutive key ranges, so group frusta are tighter
+                # than the tile union) and sweeps a (rows/nsplit,
+                # TRI_BLOCK, LANES) pair tensor only when it must.
+                blk = _load_tri_block(b)
+                best_t, best_k = carry[0], carry[1]
+                R = rows_tile // nsplit
+                parts = []
+                for gi in range(nsplit):
+                    sl = slice(gi * R, (gi + 1) * R)
+                    parts.append(jax.lax.cond(
+                        jnp.any(box_hit[sl]),
+                        functools.partial(_mt_rows, blk, b, sl=sl),
+                        lambda c: c,
+                        (best_t[sl], best_k[sl]),
+                    ))
+                return (jnp.concatenate([p[0] for p in parts]),
+                        jnp.concatenate([p[1] for p in parts]))
+            blk = _load_tri_block(b)
+            out = _mt_rows(blk, b, carry[:2], slice(None))
             if defer:
-                return (best_t, best_k)
+                return out
             # Full row: v0(3), e1(3), e2(3), albedo(3), fuzz, ir, kind.
+            best_t, best_k = out
+            upd = best_k != carry[1]
+            bk = best_k - sph_pad - b * TRI_BLOCK
             params = _fused_fetch(blk, bk, upd, carry[2:], 0, 15)
             return (best_t, best_k) + params
 
@@ -1300,10 +1341,19 @@ def _bounce_core(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
 
 
 def _kernel(cam_ref, meta_ref, tbl_ref, sph_box_ref, tri_ref, tri_box_ref,
-            tri_sup_ref, lights_ref, out_r, out_g, out_b, *, n_blocks,
+            tri_sup_ref, lights_ref, out_r, out_g, out_b, *extra, n_blocks,
             n_tri_blocks, n_super=0, cull=True, ablate="full",
             fixed_iters=0, emissive=False, bg=None, nee_kinds=(),
-            checker=False, vol_kinds=(), vol_row0=0, roulette=False):
+            checker=False, vol_kinds=(), vol_row0=0, roulette=False,
+            stats=False):
+    key_scr = stats_o = None
+    if stats:
+        # Roofline instrument: per-tile counters [0]=block sweeps
+        # (sphere+tri, incl. NEE shadow sweeps), [1]=supers, [2]=hypers,
+        # [3]=loop iterations, [4]=live-lane-iterations.
+        stats_o, key_scr = extra
+        for j in range(5):
+            key_scr[3, j] = 0.0
     # Global tile id: grid position + this shard's tile offset (meta[0,4])
     # — devices in a mesh each render a contiguous tile range.
     pid = pl.program_id(0) + meta_ref[0, 4]
@@ -1398,6 +1448,10 @@ def _kernel(cam_ref, meta_ref, tbl_ref, sph_box_ref, tri_ref, tri_box_ref,
         bounce = jnp.where(need, 0, bounce)
         started = started + need.astype(jnp.int32)
         alive = jnp.logical_or(alive, need)
+        if stats:
+            key_scr[3, 3] = key_scr[3, 3] + 1.0
+            key_scr[3, 4] = key_scr[3, 4] + jnp.sum(
+                alive.astype(jnp.float32))
 
         if nee_kinds:
             # Regenerated lanes start a fresh camera path: no flag.
@@ -1413,6 +1467,7 @@ def _kernel(cam_ref, meta_ref, tbl_ref, sph_box_ref, tri_ref, tri_box_ref,
             lights_ref=lights_ref, nee_kinds=nee_kinds,
             from_diffuse=from_diffuse, checker=checker,
             vol_kinds=vol_kinds, vol_row0=vol_row0, roulette=roulette,
+            key_scr=key_scr,
         )
         return (ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb,
                 can.astype(jnp.int32), bounce, started, it + 1)
@@ -1430,6 +1485,12 @@ def _kernel(cam_ref, meta_ref, tbl_ref, sph_box_ref, tri_ref, tri_box_ref,
     out_r[...] = final[10]
     out_g[...] = final[11]
     out_b[...] = final[12]
+    if stats_o is not None:
+        scols = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
+        srow = jnp.zeros((8, LANES), jnp.float32)
+        for j in range(5):
+            srow = jnp.where(scols == j, key_scr[3, j], srow)
+        stats_o[...] = srow[None]
 
 
 def _flat_bounce_kernel(
@@ -1705,6 +1766,7 @@ def render_blocks_pallas(
     tile0=0,
     n_tiles_local: int = 0,
     roulette: bool = False,
+    stats: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Render (n_pixels, 3) radiance SUMS with the fused megakernel.
 
@@ -1713,6 +1775,11 @@ def render_blocks_pallas(
     (pipeline.pallas_supported).  Jitted with static shape params —
     repeated calls (bench warm-up, multi-frame loops) reuse the
     compiled executable.
+
+    ``stats=True`` additionally returns a (n_tiles, 8, LANES) f32 array
+    whose row-0 columns hold per-tile counters [block sweeps, supers,
+    hypers, loop iterations, live-lane-iterations] — the roofline
+    instrument (pairs swept = block sweeps x TILE x 128).
     """
     if scene.n_spheres:
         tbl, sph_boxes = build_sphere_table(scene)
@@ -1782,12 +1849,24 @@ def render_blocks_pallas(
         bg=None if scene.background == "sky" else scene.background,
         nee_kinds=nee_kinds, checker=scene.has_checker,
         vol_kinds=vol_kinds, vol_row0=vol_row0, roulette=roulette,
+        stats=stats,
     )
     out_shape = [
         jax.ShapeDtypeStruct((n_tiles * TILE_ROWS, LANES), jnp.float32)
     ] * 3
+    out_specs = [
+        pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0)),
+        pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0)),
+        pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0)),
+    ]
+    scratch_shapes = []
+    if stats:
+        out_shape.append(
+            jax.ShapeDtypeStruct((n_tiles, 8, LANES), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 8, LANES), lambda i: (i, 0, 0)))
+        scratch_shapes = [pltpu.SMEM((4, KEY_ROW), jnp.float32)]
 
-    r, g, b = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
@@ -1800,14 +1879,14 @@ def render_blocks_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # tri super-block AABBs
             pl.BlockSpec(memory_space=pltpu.SMEM),  # light table
         ],
-        out_specs=[
-            pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0)),
-            pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0)),
-            pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0)),
-        ],
+        out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
     )(cam_vec, meta, tbl, sph_boxes, tri, tri_boxes, tri_super, lights)
 
+    if stats:
+        return out[0], out[1], out[2], out[3][:, 0, :]
+    r, g, b = out
     return r, g, b
 
 

@@ -92,11 +92,30 @@ def sort_keys(
     Direction bits are quantized ADAPTIVELY to the live-direction range:
     primary rays span only the camera's fov cone, and a fixed [-1,1]
     grid would put the whole cone in one cell (measured: no effect).
+
+    Origin bits stay on the STATIC scene-bounds grid: re-ranging them
+    adaptively to the live-lane extent each bounce (RTOW_WF_ADAPTIVE_O=1,
+    mirroring the direction treatment) measured WORSE on the 65k knot
+    chunk profile — total block sweeps 19.3k -> 21.6k, bounce-1 4816 ->
+    6979 — because the cell boundaries then shift every bounce and
+    lanes regroup into different (momentarily less converged) tiles.
     """
     lim = 31.0  # 5 bits/axis for both origin and direction
-    qx = jnp.clip((ox - bmin[0]) * inv_ext[0] * lim, 0.0, lim)
-    qy = jnp.clip((oy - bmin[1]) * inv_ext[1] * lim, 0.0, lim)
-    qz = jnp.clip((oz - bmin[2]) * inv_ext[2] * lim, 0.0, lim)
+    if _os.environ.get("RTOW_WF_ADAPTIVE_O") == "1":
+        live0 = alive > 0
+        big0 = jnp.float32(3.0e38)
+
+        def qorig(o, ax):
+            lo = jnp.min(jnp.where(live0, o, big0))
+            hi = jnp.max(jnp.where(live0, o, -big0))
+            scale = (lim + 0.999) / jnp.maximum(hi - lo, 1e-6)
+            return jnp.clip((o - lo) * scale, 0.0, lim)
+
+        qx, qy, qz = qorig(ox, 0), qorig(oy, 1), qorig(oz, 2)
+    else:
+        qx = jnp.clip((ox - bmin[0]) * inv_ext[0] * lim, 0.0, lim)
+        qy = jnp.clip((oy - bmin[1]) * inv_ext[1] * lim, 0.0, lim)
+        qz = jnp.clip((oz - bmin[2]) * inv_ext[2] * lim, 0.0, lim)
     ocode = (
         _spread3(qx.astype(jnp.uint32))
         | (_spread3(qy.astype(jnp.uint32)) << 1)
@@ -177,6 +196,24 @@ def _scene_tables(scene: Scene):
     return tables, (n_blocks, n_tri_blocks, n_super), bmin, inv_ext
 
 
+def _window_ladder(L: int) -> list:
+    """Shrinking-window widths [L, ~L/8, ~L/64, ...] down to one TILE.
+
+    Each level is the previous one divided by 8 and rounded up to a
+    whole tile; draining a handful of survivor tiles at a width far
+    above the live count costs nothing in sweeps (all-dead tiles
+    cond-skip) but pays the full-width sort every bounce, which at
+    whole-frame lane counts (tens of millions) is the dominant tail
+    cost the ladder removes.
+    """
+    widths = [L]
+    w = L
+    while w // 8 >= TILE:
+        w = -(-w // 8 // TILE) * TILE
+        widths.append(w)
+    return sorted(set(widths), reverse=True)
+
+
 def _trace_lane_per_sample(
     camera, key, lane_pix, seed, *, L_raw, L, P, lpp, max_depth,
     width, height, cull_backfaces, tables, counts, bmin, inv_ext,
@@ -249,12 +286,12 @@ def _trace_lane_per_sample(
     # Shrinking-window tail: survivors thin out fast (measured on the
     # 360k knot: 44% of lanes die at bounce 1, 90% by bounce 2, and the
     # last ~20 bounces run ONE live tile); once the live count fits a
-    # window 8x (then 64x) smaller, compact live lanes to the head with
-    # one sort and loop on the head slice alone.
-    widths = [w for w in (L, -(-L // 8 // TILE) * TILE,
-                          -(-L // 64 // TILE) * TILE)
-              if w >= TILE]
-    widths = sorted(set(widths), reverse=True)  # e.g. [L, L/8, L/64]
+    # window 8x smaller, compact live lanes to the head with one sort
+    # and loop on the head slice alone.  The ladder keeps dividing by 8
+    # down to a single tile so whole-frame lane counts (L in the
+    # millions) never drain at a width orders of magnitude above the
+    # live count.
+    widths = _window_ladder(L)
 
     it = jnp.int32(0)
     for i, w in enumerate(widths):
@@ -438,18 +475,15 @@ def trace_wavefront_sorted(
         return st, started, lane_pix, it + 1
 
     # Shrinking-window tail for the final drain: once the PENDING count
-    # (live lanes + lanes with samples left) fits a window 8x (then
-    # 64x) smaller, compact pending lanes to the head with one
-    # regen+sort and loop on the head slice alone — lanes outside the
-    # window keep their radiance and rejoin for the final lane-id sort.
-    # With regeneration the window only narrows at the very end of the
+    # (live lanes + lanes with samples left) fits a window 8x smaller,
+    # compact pending lanes to the head with one regen+sort and loop on
+    # the head slice alone — lanes outside the window keep their
+    # radiance and rejoin for the final lane-id sort.  With
+    # regeneration the window only narrows at the very end of the
     # chunk's sample budget (utilisation stays near 100% before that);
     # the reference has no analogue (its threads always run whole
     # frames, src/render.cpp:150-167).
-    widths = [w for w in (L, -(-L // 8 // TILE) * TILE,
-                          -(-L // 64 // TILE) * TILE)
-              if w >= TILE]
-    widths = sorted(set(widths), reverse=True)  # e.g. [L, L/8, L/64]
+    widths = _window_ladder(L)
 
     carry = (state, started, lane_pix, jnp.int32(0))
     for i, w in enumerate(widths):
@@ -498,27 +532,60 @@ def trace_wavefront_sorted(
     return rad.reshape(P, lpp, 3).sum(axis=1)
 
 
+def _morton_pixel_perm(width: int, height: int) -> np.ndarray:
+    """Pixel-id permutation in Morton (z-order) over (row, col).
+
+    Consecutive ``ppc``-pixel chunks then cover compact ~square image
+    tiles instead of full-width scanline strips: a chunk's bounced rays
+    stay inside a smaller world-space neighbourhood, so the sorted
+    tiles' block-cull unions tighten exactly where the straggler tail
+    spends its time (the same footprint effect that made spp2048 1.7x
+    faster than spp64 on the 360k knot — fewer pixels per chunk).
+    """
+    rows = np.arange(height, dtype=np.uint32)[:, None]
+    cols = np.arange(width, dtype=np.uint32)[None, :]
+
+    def spread(x):  # interleave 16 bits with one zero bit each
+        x = (x | (x << 8)) & np.uint32(0x00FF00FF)
+        x = (x | (x << 4)) & np.uint32(0x0F0F0F0F)
+        x = (x | (x << 2)) & np.uint32(0x33333333)
+        x = (x | (x << 1)) & np.uint32(0x55555555)
+        return x
+
+    code = (spread(cols) | (spread(rows) << 1)).ravel()
+    return np.argsort(code).astype(np.int32)
+
+
 @functools.lru_cache(maxsize=16)
 def _frame_fn(width: int, height: int, spp: int, max_depth: int,
               ppc: int, lpp: int, band_chunks: int, counts, cull: bool,
               progress: bool = False, emissive: bool = False, bg=None,
               nee_kinds=(), checker: bool = False, vol_kinds=(),
-              vol_row0: int = 0, roulette: bool = False):
+              vol_row0: int = 0, roulette: bool = False,
+              morton_px: bool = False):
     """Cached jitted band renderer (re-jit per call costs seconds).
 
     Renders ``band_chunks`` consecutive pixel chunks starting at global
     chunk index ``chunk0`` (a traced scalar, so ONE compile serves every
     band).  Chunk RNG folds in the *global* chunk index, so any banding
     of the same frame is bit-identical to the single-dispatch render.
+
+    ``morton_px=True`` reads each chunk's pixel ids from the
+    ``pix_perm`` operand (a Morton-ordered pixel permutation padded
+    with ``n_pixels`` sentinels) instead of a scanline run; the caller
+    un-permutes the returned rows.
     """
 
     n_pixels = width * height
 
-    def frame(tables, bmin, inv_ext, camera, key, seed, chunk0):
+    def frame(tables, bmin, inv_ext, camera, key, seed, chunk0, pix_perm):
         def chunk_body(c, fb):
             g = chunk0 + c  # global chunk index (RNG + pixel offset)
             pix0 = g * ppc
-            pixel_ids = pix0 + jnp.arange(ppc, dtype=jnp.int32)
+            if morton_px:
+                pixel_ids = jax.lax.dynamic_slice(pix_perm, (pix0,), (ppc,))
+            else:
+                pixel_ids = pix0 + jnp.arange(ppc, dtype=jnp.int32)
             pix_safe = jnp.minimum(pixel_ids, n_pixels - 1)
             sums = trace_wavefront_sorted(
                 None, camera, jax.random.fold_in(key, g), pix_safe,
@@ -590,25 +657,35 @@ def render_wavefront(
 
     nee_kinds = (tuple(k for k, _ in scene.light_ids)
                  if scene.has_emissive else ())
+    # Morton-tiled chunk pixels: each chunk covers a compact ~square
+    # image tile instead of a scanline strip (see _morton_pixel_perm).
+    morton_px = _os.environ.get("RTOW_WF_MORTON_PX", "1") == "1"
+    if morton_px:
+        perm = np.full((n_chunks * ppc,), n_pixels, np.int32)
+        perm[:n_pixels] = _morton_pixel_perm(width, height)
+        pix_perm = jnp.asarray(perm)
+    else:
+        pix_perm = jnp.zeros((1,), jnp.int32)
     frame = _frame_fn(width, height, spp, cfg.max_child_rays, ppc, lpp,
                       band, counts, cull_backfaces,
                       progress and callbacks_supported(),
                       scene.has_emissive,
                       None if scene.background == "sky" else scene.background,
                       nee_kinds, scene.has_checker, scene.volume_kinds,
-                      len(nee_kinds), getattr(cfg, "russian_roulette", False))
+                      len(nee_kinds), getattr(cfg, "russian_roulette", False),
+                      morton_px)
 
     t0 = _time.perf_counter()
     n_bands = -(-n_chunks // band)
     if n_bands == 1:
         fb = frame(tables, bmin, inv_ext, camera, key, jnp.int32(cfg.seed),
-                   jnp.int32(0))
+                   jnp.int32(0), pix_perm)
         fb.block_until_ready()
     else:
         parts = []
         for bi in range(n_bands):
             out = frame(tables, bmin, inv_ext, camera, key,
-                        jnp.int32(cfg.seed), jnp.int32(bi * band))
+                        jnp.int32(cfg.seed), jnp.int32(bi * band), pix_perm)
             out.block_until_ready()
             parts.append(out)
         fb = jnp.concatenate(parts)[: ppc * n_chunks]
@@ -620,5 +697,12 @@ def render_wavefront(
                             backend="pallas-sorted")
         print(stats.summary(), file=sys.stderr)
 
-    fb_np = np.asarray(fb, dtype=np.float64)[:n_pixels]
+    fb_np = np.asarray(fb, dtype=np.float64)
+    if morton_px:
+        out = np.zeros((n_pixels, 3), np.float64)
+        m = perm < n_pixels
+        out[perm[m]] = fb_np[: perm.shape[0]][m]
+        fb_np = out
+    else:
+        fb_np = fb_np[:n_pixels]
     return fb_np.reshape(height, width, 3) / spp

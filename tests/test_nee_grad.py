@@ -7,7 +7,9 @@ radiance through the NEE estimator are exact and FD-verifiable — the
 low-variance estimator is usable for inverse rendering on emissive
 scenes (the reference has no lights at all; this extends the repo's
 north-star gradient gate to the NEE path).  Light GEOMETRY gradients
-follow the detached-sampling convention and are only checked finite.
+carry the reparameterized interior derivative and are FD-gated too
+(test_nee_light_geometry_grad_matches_fd); only visibility boundary
+terms (moving occluder silhouettes) are out of scope.
 """
 import dataclasses
 
@@ -88,6 +90,42 @@ def test_nee_grad_matches_fd(setup, which):
 
     eps = 1e-2
     fd = (f(eps) - f(-eps)) / (2 * eps)
+    assert fd != 0.0, f"{which}: FD gate is degenerate (no light reaches)"
+    denom = max(abs(fd), abs(ad), 1e-6)
+    assert abs(ad - fd) / denom < 0.05, f"{which}: AD {ad} vs FD {fd}"
+
+
+@pytest.mark.parametrize("which", ["radius", "center_y"])
+def test_nee_light_geometry_grad_matches_fd(setup, which):
+    """Light GEOMETRY gradients (sphere-light radius / center) through
+    the NEE estimator match finite differences under common random
+    numbers.
+
+    The cone-sampled direction and the 2(1 - cos_max) pdf factor are
+    smooth reparameterized functions of the light's center and radius,
+    so reverse mode carries the full interior derivative — inverse
+    rendering CAN recover light position/size.  What is still dropped
+    is the visibility *boundary* term (the moving silhouette of an
+    occluder), which is zero on this unoccluded scene — the same class
+    of omission as every interior-point path-space gradient.
+    """
+    scene, cam, pix, target, _ = setup
+    _, grads = jax.value_and_grad(_loss, allow_int=True)(
+        scene, cam, pix, target)
+
+    def _shift(v):
+        sp = scene.spheres
+        if which == "radius":
+            sp = dataclasses.replace(sp, radius=sp.radius.at[2].add(v))
+        else:
+            sp = dataclasses.replace(sp, center0=sp.center0.at[2, 1].add(v))
+        return _loss(dataclasses.replace(scene, spheres=sp), cam, pix,
+                     target)
+
+    ad = float(grads.spheres.radius[2] if which == "radius"
+               else grads.spheres.center0[2, 1])
+    eps = 1e-3
+    fd = (float(_shift(eps)) - float(_shift(-eps))) / (2 * eps)
     assert fd != 0.0, f"{which}: FD gate is degenerate (no light reaches)"
     denom = max(abs(fd), abs(ad), 1e-6)
     assert abs(ad - fd) / denom < 0.05, f"{which}: AD {ad} vs FD {fd}"
