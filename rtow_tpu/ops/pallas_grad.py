@@ -60,6 +60,7 @@ from .pallas_megakernel import (
     _sweep_all,
     _uniform,
     TRI_BLOCK,
+    pick_sweep_split,
     build_sphere_table,
     build_tri_table,
 )
@@ -135,6 +136,7 @@ def _grad_fwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
         cull=cull, tri_t=n_tri_blocks > 0,
         box_scr=box_scr, sem_box=sem_box, key_scr=key_scr,
         tri_hyp_ref=hyp_ref, n_hyper=n_hyper, checker=checker,
+        sweep_split=pick_sweep_split(n_tri_blocks),
     )
     draws = _draw_scatter(lane, salt)
     basics = None
@@ -157,6 +159,7 @@ def _grad_fwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
             box_scr=box_scr, sem_box=sem_box, key_scr=key_scr,
             tri_hyp_ref=hyp_ref, n_hyper=n_hyper,
             t_init=thresh, fetch=False,
+            sweep_split=pick_sweep_split(n_tri_blocks),
         )
         add = jnp.logical_and(nee_act, s_t >= thresh)
         rr = rr + jnp.where(add, contrib[0], 0.0)
@@ -233,6 +236,7 @@ def _grad_bwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
         cull=cull, tri_t=n_tri_blocks > 0,
         box_scr=box_scr, sem_box=sem_box, key_scr=key_scr,
         tri_hyp_ref=hyp_ref, n_hyper=n_hyper, checker=checker,
+        sweep_split=pick_sweep_split(n_tri_blocks),
     )
     draws = _draw_scatter(lane, salt)
 
@@ -266,6 +270,7 @@ def _grad_bwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
             box_scr=box_scr, sem_box=sem_box, key_scr=key_scr,
             tri_hyp_ref=hyp_ref, n_hyper=n_hyper,
             t_init=thresh, fetch=False,
+            sweep_split=pick_sweep_split(n_tri_blocks),
         )
         open_ = s_t >= thresh
 

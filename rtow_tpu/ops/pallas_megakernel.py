@@ -53,7 +53,12 @@ import os as _os
 TILE_ROWS = int(_os.environ.get("RTOW_TILE_ROWS", "8"))
 LANES = 128
 TILE = TILE_ROWS * LANES
-SPHERE_BLOCK = 128
+#: Spheres per Morton block (env-tunable; must be a multiple of 8 —
+#: the pair tensor's sublane axis).  The cover's 487 spheres fit 4
+#: blocks of 128 whose unions a tile almost never culls (3.7 of 4
+#: swept per iteration); smaller blocks buy finer cull granularity at
+#: more per-block cond machinery.
+SPHERE_BLOCK = int(_os.environ.get("RTOW_SPHERE_BLOCK", "128"))
 #: Triangles per Morton block (env-tunable for experiments).  128
 #: measured best on the knot meshes: smaller blocks buy tighter AABBs
 #: but pay more per-block cond/reduce machinery (32 was ~20% slower).
@@ -150,9 +155,25 @@ def build_sphere_table(scene: Scene) -> Tuple[jax.Array, jax.Array]:
 
 def _morton_order(cmin: jax.Array, cmax: jax.Array, cent: jax.Array) -> jax.Array:
     """Morton (z-order) permutation of centroids — spatially coherent
-    128-triangle blocks get tight AABBs for the block-cull test."""
-    ext = jnp.maximum(cmax - cmin, 1e-9)
-    q = ((cent - cmin) / ext * 1023.0).astype(jnp.uint32)  # (M, 3) 10 bits
+    128-primitive blocks get tight AABBs for the block-cull test.
+
+    Quantization uses ROBUST (5th-95th percentile) centroid bounds, not
+    the full extent: one outlier primitive (the cover's radius-1000
+    ground sphere, main.cpp:24) otherwise stretches the grid ~80x past
+    the ball field, every ball lands in one Morton cell, and the order
+    degenerates to insertion order — measured on the cover bench as
+    3.63 of 4 blocks swept per tile-iteration (no cull at all).
+    Outliers clamp into the extreme cells and simply join an edge
+    block, whose AABB they already dominate."""
+    plo = jnp.quantile(cent, 0.05, axis=0)
+    phi = jnp.quantile(cent, 0.95, axis=0)
+    # Degenerate axes (flat percentile range) fall back to full bounds.
+    ok = (phi - plo) > 1e-9
+    lo = jnp.where(ok, plo, cmin)
+    hi = jnp.where(ok, phi, cmax)
+    ext = jnp.maximum(hi - lo, 1e-9)
+    q = jnp.clip((cent - lo) / ext * 1023.0, 0.0, 1023.0).astype(
+        jnp.uint32)  # (M, 3) 10 bits
 
     def spread(x):  # interleave 10 bits with two zero bits each
         x = (x | (x << 16)) & jnp.uint32(0x030000FF)
@@ -168,12 +189,26 @@ def _morton_order(cmin: jax.Array, cmax: jax.Array, cent: jax.Array) -> jax.Arra
 #: 128-triangle blocks per super-block for the two-level cull.
 SUPER = 16
 
-#: Sub-tile sweep split (1 = off): each TILE_ROWS/nsplit row group of a
-#: tile culls and sweeps triangle blocks independently — post-sort row
-#: groups span tighter key ranges than the whole-tile union, so
-#: straggler tiles skip blocks only some of their lanes need, at the
-#: cost of nsplit conds per descended block.
-WF_SWEEP_SPLIT = int(_os.environ.get("RTOW_WF_SWEEP_SPLIT", "1"))
+#: Sub-tile sweep split env override (0 = pick by mesh size): each
+#: TILE_ROWS/nsplit row group of a tile culls and sweeps triangle
+#: blocks independently — post-sort row groups span tighter key ranges
+#: than the whole-tile union, so straggler tiles skip blocks only some
+#: of their lanes need, at the cost of nsplit conds per descended
+#: block.  Measured on v5e (morton chunks, 400px spp64 depth20):
+#: 65k knot 5.41 / 5.34 / 5.67 Mrays/s at split 1/2/4; 360k knot
+#: 2.23 / 2.45 / 2.37 — finer groups pay off until the per-block cond
+#: machinery (x nsplit per descended block) catches up, which happens
+#: sooner on big meshes where more blocks descend per tile.
+WF_SWEEP_SPLIT = int(_os.environ.get("RTOW_WF_SWEEP_SPLIT", "0"))
+
+
+def pick_sweep_split(n_tri_blocks: int) -> int:
+    """Measured-default sub-tile sweep split for a mesh size."""
+    if WF_SWEEP_SPLIT:
+        return WF_SWEEP_SPLIT
+    if n_tri_blocks == 0:
+        return 1
+    return 4 if n_tri_blocks <= 1024 else 2
 
 #: Width of one front-to-back key-scratch row (children per ordered
 #: hierarchy level); 3 rows = one per level (hyper/super/block).
@@ -312,7 +347,8 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
                n_blocks, n_tri_blocks, n_super=0, cull=True,
                tri_hbm=False, tri_scr=None, box_scr=None, sem_tri=None,
                sem_box=None, tri_hyp_ref=None, n_hyper=0, tri_t=False,
-               key_scr=None, t_init=None, fetch=True, checker=False):
+               key_scr=None, t_init=None, fetch=True, checker=False,
+               sweep_split=1):
     """Nearest-hit sweep over Morton blocks with AABB culling and fused
     one-hot winner fetch.
 
@@ -620,7 +656,7 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
         def _tri_block_sweep(b, carry, box_hit=None):
             if _os.environ.get("RTOW_WF_ABLATE") == "nosweep":
                 return carry  # measure cull/cond machinery alone
-            nsplit = WF_SWEEP_SPLIT if (defer and box_hit is not None) else 1
+            nsplit = sweep_split if (defer and box_hit is not None) else 1
             rows_tile = ox.shape[0]
             if nsplit > 1 and rows_tile % nsplit == 0:
                 # Sub-tile sweep split: each row group culls this block
@@ -1247,7 +1283,8 @@ def _bounce_core(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
                  sem_box=None, tri_hyp_ref=None, n_hyper=0, tri_t=False,
                  key_scr=None, emissive=False, bg=None,
                  lights_ref=None, nee_kinds=(), from_diffuse=None,
-                 checker=False, vol_kinds=(), vol_row0=0, roulette=False):
+                 checker=False, vol_kinds=(), vol_row0=0, roulette=False,
+                 sweep_split=1):
     """One intersect+shade step for every live lane of a tile.
 
     The shared heart of the megakernels (persistent whole-frame,
@@ -1274,6 +1311,7 @@ def _bounce_core(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
         cull=cull, tri_hbm=tri_hbm, tri_scr=tri_scr, box_scr=box_scr,
         sem_tri=sem_tri, sem_box=sem_box, tri_hyp_ref=tri_hyp_ref,
         n_hyper=n_hyper, tri_t=tri_t, key_scr=key_scr, checker=checker,
+        sweep_split=sweep_split,
     )
     if ablate == "nofetch":
         zero = jnp.zeros(ox.shape, jnp.float32)
@@ -1322,7 +1360,7 @@ def _bounce_core(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
             cull=cull, tri_hbm=tri_hbm, tri_scr=tri_scr, box_scr=box_scr,
             sem_tri=sem_tri, sem_box=sem_box, tri_hyp_ref=tri_hyp_ref,
             n_hyper=n_hyper, tri_t=tri_t, key_scr=key_scr,
-            t_init=thresh, fetch=False,
+            t_init=thresh, fetch=False, sweep_split=sweep_split,
         )
         add = jnp.logical_and(nee_act, s_t >= thresh)
         rr = rr + jnp.where(add, contrib[0], 0.0)
@@ -1498,7 +1536,7 @@ def _flat_bounce_kernel(
     n_blocks, n_tri_blocks, n_super=0, cull=True, tri_hbm=False,
     n_hyper=0, tri_t=False, f2b=True, stats=False, emissive=False,
     bg=None, nee_kinds=(), checker=False, vol_kinds=(), vol_row0=0,
-    roulette=False,
+    roulette=False, sweep_split=1,
 ):
     """One bounce over a tile of pre-generated (sorted) rays.
 
@@ -1564,7 +1602,7 @@ def _flat_bounce_kernel(
             lights_ref=lights_ref, nee_kinds=nee_kinds,
             from_diffuse=(al > 1) if nee_kinds else None,
             checker=checker, vol_kinds=vol_kinds, vol_row0=vol_row0,
-            roulette=roulette,
+            roulette=roulette, sweep_split=sweep_split,
         )
         (ox, oy, oz, dx, dy, dz, tpr, tpg, tpb, rr, rg, rb, can, bo) = out
         return (ox, oy, oz, dx, dy, dz, tmv, tpr, tpg, tpb, rr, rg, rb,
@@ -1610,8 +1648,13 @@ def bounce_step_pallas(
     vol_kinds=(),
     vol_row0: int = 0,
     roulette: bool = False,
+    sweep_split: int = 0,
 ):
     """Advance L flat lanes one bounce through the megakernel core.
+
+    ``sweep_split`` (0 = pick by mesh size, see
+    :func:`pick_sweep_split`) sets the sub-tile sweep-split factor —
+    bit-identical at every setting, only the skipped work differs.
 
     ``stats=True`` additionally returns a (n_tiles, 128) f32 array of
     per-tile counters [blocks swept, supers, hypers, live lanes, 0...]
@@ -1666,6 +1709,7 @@ def bounce_step_pallas(
         tri_t=tri_t, f2b=f2b, stats=stats, emissive=emissive, bg=bg,
         nee_kinds=nee_kinds, checker=checker, vol_kinds=vol_kinds,
         vol_row0=vol_row0, roulette=roulette,
+        sweep_split=sweep_split or pick_sweep_split(n_tri_blocks),
     )
     if n_super:
         # Pack each super's 16 block AABBs into one (1, SUPER*8) row so

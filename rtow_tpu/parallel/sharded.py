@@ -20,6 +20,7 @@ schedule — unlike the reference's racy shared mt19937.
 from __future__ import annotations
 
 import functools
+import os
 import sys
 import time as _time
 from typing import Callable, Optional
@@ -230,20 +231,29 @@ def _sharded_wavefront_step(flat_mesh, width: int, height: int, spp: int,
                             n_chunks_local: int, counts, cull: bool,
                             emissive: bool = False, bg=None, nee_kinds=(),
                             checker: bool = False, vol_kinds=(),
-                            vol_row0: int = 0):
+                            vol_row0: int = 0, morton_px: bool = False):
     """Cached jitted shard-mapped sorted-wavefront step: each device owns
-    a contiguous pixel range and runs its own sort+bounce chunk loop."""
+    a contiguous pixel range and runs its own sort+bounce chunk loop.
+
+    ``morton_px=True`` reads chunk pixel ids from the replicated
+    ``pix_perm`` operand (Morton-ordered pixel permutation, sentinel-
+    padded): chunks then cover compact ~square image tiles, tightening
+    the sorted tiles' block-cull unions (ops/wavefront_sorted.py
+    _morton_pixel_perm)."""
     from ..ops.wavefront_sorted import trace_wavefront_sorted
 
     n_pixels = width * height
 
-    def dev_fn(tables, bmin, inv_ext, camera, key, seed):
+    def dev_fn(tables, bmin, inv_ext, camera, key, seed, pix_perm):
         d = jax.lax.axis_index("dev")
         dev_key = jax.random.fold_in(key, d)
 
         def chunk_body(c, fb):
             pix0 = d * ppd + c * ppc
-            pixel_ids = pix0 + jnp.arange(ppc, dtype=jnp.int32)
+            if morton_px:
+                pixel_ids = jax.lax.dynamic_slice(pix_perm, (pix0,), (ppc,))
+            else:
+                pixel_ids = pix0 + jnp.arange(ppc, dtype=jnp.int32)
             pix_safe = jnp.minimum(pixel_ids, n_pixels - 1)
             sums = trace_wavefront_sorted(
                 None, camera, jax.random.fold_in(dev_key, c), pix_safe,
@@ -262,7 +272,7 @@ def _sharded_wavefront_step(flat_mesh, width: int, height: int, spp: int,
 
     sharded = shard_map(
         dev_fn, mesh=flat_mesh,
-        in_specs=(P(), P(), P(), P(), P(), P()),
+        in_specs=(P(), P(), P(), P(), P(), P(), P()),
         out_specs=P("dev", None),
         check_vma=False,
     )
@@ -309,14 +319,26 @@ def render_sharded_wavefront(
     tables, counts, bmin, inv_ext = _scene_tables(scene)
     nee_kinds = (tuple(k for k, _ in scene.light_ids)
                  if scene.has_emissive else ())
+    morton_px = os.environ.get("RTOW_WF_MORTON_PX", "1") == "1"
+    perm_len = (devs - 1) * ppd + n_chunks_local * ppc
+    if morton_px:
+        from ..ops.wavefront_sorted import _morton_pixel_perm
+
+        perm = np.full((perm_len,), n_pixels, np.int32)
+        perm[:n_pixels] = _morton_pixel_perm(width, height)
+        pix_perm = jnp.asarray(perm)
+    else:
+        pix_perm = jnp.zeros((1,), jnp.int32)
     step = _sharded_wavefront_step(
         flat, width, height, spp, cfg.max_child_rays, ppd, ppc, lpp,
         n_chunks_local, counts, cull_backfaces, scene.has_emissive,
         None if scene.background == "sky" else scene.background,
         nee_kinds, scene.has_checker, scene.volume_kinds, len(nee_kinds),
+        morton_px,
     )
     t0 = _time.perf_counter()
-    fb = step(tables, bmin, inv_ext, camera, key, jnp.int32(cfg.seed))
+    fb = step(tables, bmin, inv_ext, camera, key, jnp.int32(cfg.seed),
+              pix_perm)
     fb.block_until_ready()
     elapsed = _time.perf_counter() - t0
     if progress:
@@ -326,7 +348,14 @@ def render_sharded_wavefront(
                             backend="pallas-sorted", n_devices=devs)
         print(stats.summary(), file=sys.stderr)
 
-    fb_np = np.asarray(fb, dtype=np.float64)[:n_pixels]
+    fb_np = np.asarray(fb, dtype=np.float64)
+    if morton_px:
+        out = np.zeros((n_pixels, 3), np.float64)
+        m = perm[: fb_np.shape[0]] < n_pixels
+        out[perm[: fb_np.shape[0]][m]] = fb_np[m]
+        fb_np = out
+    else:
+        fb_np = fb_np[:n_pixels]
     return fb_np.reshape(height, width, 3) / spp
 
 

@@ -63,8 +63,9 @@ def main():
 
         code = (spread(cols) | (spread(rows) << 1)).ravel()
         perm = np.argsort(code)
-        # middle chunk (on-knot pixels)
-        pix = jnp.asarray(perm[19 * ppc:20 * ppc], jnp.int32)
+        # chunk containing the image-center pixel (on-knot)
+        c = int(np.where(perm == (H // 2) * W + W // 2)[0][0]) // ppc
+        pix = jnp.asarray(perm[c * ppc:(c + 1) * ppc], jnp.int32)
     else:
         pix = jnp.asarray(np.arange(19 * ppc, 20 * ppc), jnp.int32)
 
