@@ -347,8 +347,8 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
                n_blocks, n_tri_blocks, n_super=0, cull=True,
                tri_hbm=False, tri_scr=None, box_scr=None, sem_tri=None,
                sem_box=None, tri_hyp_ref=None, n_hyper=0, tri_t=False,
-               key_scr=None, t_init=None, fetch=True, checker=False,
-               sweep_split=1):
+               key_scr=None, cnt_scr=None, t_init=None, fetch=True,
+               checker=False, sweep_split=1):
     """Nearest-hit sweep over Morton blocks with AABB culling and fused
     one-hot winner fetch.
 
@@ -434,11 +434,17 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
         m = jnp.logical_and(exit_ > enter, alive)
         return jnp.min(jnp.where(m, enter, BIG))
 
-    def _count(lvl):
+    def _count(lvl, w=1.0):
         """Bump a per-tile sweep counter (stats builds only): row 3 of
-        the key scratch holds [blocks, supers, hypers] swept."""
-        if key_scr is not None and key_scr.shape[0] > 3:
-            key_scr[3, lvl] = key_scr[3, lvl] + 1.0
+        the counter scratch holds [blocks, supers, hypers] swept.
+
+        ``cnt_scr`` is a DEDICATED argument so enabling stats cannot
+        change traversal order (``ordered_ok`` keys off ``key_scr``
+        alone); ``w`` scales sub-tile row-group sweeps so the roofline
+        formula pairs = block sweeps x TILE x 128 stays exact under
+        ``sweep_split``."""
+        if cnt_scr is not None and cnt_scr.shape[0] > 3:
+            cnt_scr[3, lvl] = cnt_scr[3, lvl] + w
 
     def _ordered(nc, lvl, child_key, child_visit, carry):
         """Visit children 0..nc-1 in increasing ``child_key`` order.
@@ -612,7 +618,7 @@ def _sweep_all(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
 
             ``carry`` holds (best_t, best_k) slices matching ``sl``; the
             pair tensor is (rows(sl), TRI_BLOCK, LANES)."""
-            _count(0)
+            _count(0, carry[0].shape[0] / TILE_ROWS)
             best_t, best_k = carry[0], carry[1]
             bt3 = best_t[:, None, :]
             ax_, ay_, az_ = col(blk, 0), col(blk, 1), col(blk, 2)
@@ -1281,7 +1287,7 @@ def _bounce_core(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
                  n_blocks, n_tri_blocks, n_super=0, cull=True, ablate="full",
                  tri_hbm=False, tri_scr=None, box_scr=None, sem_tri=None,
                  sem_box=None, tri_hyp_ref=None, n_hyper=0, tri_t=False,
-                 key_scr=None, emissive=False, bg=None,
+                 key_scr=None, cnt_scr=None, emissive=False, bg=None,
                  lights_ref=None, nee_kinds=(), from_diffuse=None,
                  checker=False, vol_kinds=(), vol_row0=0, roulette=False,
                  sweep_split=1):
@@ -1310,8 +1316,8 @@ def _bounce_core(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
         n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, n_super=n_super,
         cull=cull, tri_hbm=tri_hbm, tri_scr=tri_scr, box_scr=box_scr,
         sem_tri=sem_tri, sem_box=sem_box, tri_hyp_ref=tri_hyp_ref,
-        n_hyper=n_hyper, tri_t=tri_t, key_scr=key_scr, checker=checker,
-        sweep_split=sweep_split,
+        n_hyper=n_hyper, tri_t=tri_t, key_scr=key_scr, cnt_scr=cnt_scr,
+        checker=checker, sweep_split=sweep_split,
     )
     if ablate == "nofetch":
         zero = jnp.zeros(ox.shape, jnp.float32)
@@ -1360,7 +1366,8 @@ def _bounce_core(tbl_ref, sph_box_ref, tri_ref, tri_box_ref, tri_sup_ref,
             cull=cull, tri_hbm=tri_hbm, tri_scr=tri_scr, box_scr=box_scr,
             sem_tri=sem_tri, sem_box=sem_box, tri_hyp_ref=tri_hyp_ref,
             n_hyper=n_hyper, tri_t=tri_t, key_scr=key_scr,
-            t_init=thresh, fetch=False, sweep_split=sweep_split,
+            cnt_scr=cnt_scr, t_init=thresh, fetch=False,
+            sweep_split=sweep_split,
         )
         add = jnp.logical_and(nee_act, s_t >= thresh)
         rr = rr + jnp.where(add, contrib[0], 0.0)
@@ -1505,7 +1512,10 @@ def _kernel(cam_ref, meta_ref, tbl_ref, sph_box_ref, tri_ref, tri_box_ref,
             lights_ref=lights_ref, nee_kinds=nee_kinds,
             from_diffuse=from_diffuse, checker=checker,
             vol_kinds=vol_kinds, vol_row0=vol_row0, roulette=roulette,
-            key_scr=key_scr,
+            # Counters only: the production (stats=False) persistent
+            # kernel never orders its traversal, so the instrument must
+            # not either (key_scr stays None — ADVICE r3 #1).
+            cnt_scr=key_scr,
         )
         return (ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb,
                 can.astype(jnp.int32), bounce, started, it + 1)
@@ -1598,6 +1608,7 @@ def _flat_bounce_kernel(
             sem_tri=sem_tri, sem_box=sem_box, tri_hyp_ref=tri_hyp_ref,
             n_hyper=n_hyper, tri_t=tri_t,
             key_scr=key_scr if f2b else None,
+            cnt_scr=key_scr if stats else None,
             emissive=emissive, bg=bg,
             lights_ref=lights_ref, nee_kinds=nee_kinds,
             from_diffuse=(al > 1) if nee_kinds else None,

@@ -105,13 +105,13 @@ def sort_keys(
         live0 = alive > 0
         big0 = jnp.float32(3.0e38)
 
-        def qorig(o, ax):
+        def qorig(o):
             lo = jnp.min(jnp.where(live0, o, big0))
             hi = jnp.max(jnp.where(live0, o, -big0))
             scale = (lim + 0.999) / jnp.maximum(hi - lo, 1e-6)
             return jnp.clip((o - lo) * scale, 0.0, lim)
 
-        qx, qy, qz = qorig(ox, 0), qorig(oy, 1), qorig(oz, 2)
+        qx, qy, qz = qorig(ox), qorig(oy), qorig(oz)
     else:
         qx = jnp.clip((ox - bmin[0]) * inv_ext[0] * lim, 0.0, lim)
         qy = jnp.clip((oy - bmin[1]) * inv_ext[1] * lim, 0.0, lim)
@@ -218,13 +218,23 @@ def _trace_lane_per_sample(
     camera, key, lane_pix, seed, *, L_raw, L, P, lpp, max_depth,
     width, height, cull_backfaces, tables, counts, bmin, inv_ext,
     emissive=False, bg=None, nee_kinds=(), checker=False,
-    vol_kinds=(), vol_row0=0, roulette=False,
+    vol_kinds=(), vol_row0=0, roulette=False, sync_axis=None,
+    stats=False, fixed_trips=None,
 ):
     """The default lane-per-sample fast path (one lane = one sample).
 
     Camera rays generate once up front and the per-bounce sort moves
     only the 16 state arrays + key — no regeneration machinery, no
     extra sort operands (the committed 5.0 Mrays/s 65k-knot path).
+
+    ``sync_axis``: mesh axis name when running inside ``shard_map`` —
+    the bounce-loop conditions then count live lanes GLOBALLY (psum),
+    so every device runs the same trip count.  Required under Pallas
+    interpret mode, whose per-``pallas_call`` global barrier deadlocks
+    if devices launch different kernel counts; safe on hardware (the
+    global count bounds every local count, so window narrowing stays
+    correct, and finished devices' extra bounces are all-dead tiles
+    that cond-skip their sweeps).
     """
     n_blocks, n_tri_blocks, n_super = counts
     f32 = jnp.float32
@@ -258,8 +268,14 @@ def _trace_lane_per_sample(
     #: every bounce (the image is sort-schedule independent — lane-id
     #: counter RNG).  K=1 is the default and the measured winner.
     sort_every = int(_os.environ.get("RTOW_WF_SORT_EVERY", "1"))
+    #: Tail-window sweep split override: ladder levels BELOW the full
+    #: width can use a finer sub-tile split than the whole-frame default
+    #: (their tiles are incoherent stragglers where finer row-group
+    #: culling pays; each level compiles its own kernel shape anyway,
+    #: so this adds no compile cost).  0 = same split everywhere.
+    tail_split = int(_os.environ.get("RTOW_WF_TAIL_SPLIT", "0"))
 
-    def sorted_bounce(st, it):
+    def sorted_bounce(st, it, acc, split=0):
         # Sort EVERY bounce including bounce 0: skipping the bounce-0
         # sort (primary rays are already pixel-coherent) measured
         # neutral-to-slightly-negative on the 65k knot — the sort's
@@ -274,14 +290,36 @@ def _trace_lane_per_sample(
                               lambda s: s, st)
         else:
             st = do_sort(st)
-        st = bounce_step_pallas(
-            st, it, seed, max_depth, tables,
+        bounce_kwargs = dict(
             n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, n_super=n_super,
             cull=cull_backfaces, emissive=emissive, bg=bg,
             nee_kinds=nee_kinds, checker=checker,
             vol_kinds=vol_kinds, vol_row0=vol_row0, roulette=roulette,
+            sweep_split=split,
         )
-        return st, it + 1
+        if stats:
+            # Roofline accumulator (tools/mesh_roofline.py):
+            # [0] block sweeps (sub-tile-split scaled, so
+            #     pairs = acc[0] * TILE * TRI_BLOCK is exact),
+            # [1] super descends, [2] hyper descends,
+            # [3] tile-iterations (window tiles per bounce call),
+            # [4] live-lane-iterations, [5] live-tile-iterations.
+            Lw = st[0].shape[0]
+            live = st[13] > 0
+            st2, s = bounce_step_pallas(st, it, seed, max_depth, tables,
+                                        stats=True, **bounce_kwargs)
+            tiles_live = jnp.any(live.reshape(Lw // TILE, TILE), axis=1)
+            acc = acc + jnp.stack([
+                s[:, 0].sum(), s[:, 1].sum(), s[:, 2].sum(),
+                jnp.float32(Lw // TILE),
+                live.sum().astype(jnp.float32),
+                tiles_live.sum().astype(jnp.float32),
+            ])
+            st = st2
+        else:
+            st = bounce_step_pallas(st, it, seed, max_depth, tables,
+                                    **bounce_kwargs)
+        return st, it + 1, acc
 
     # Shrinking-window tail: survivors thin out fast (measured on the
     # 360k knot: 44% of lanes die at bounce 1, 90% by bounce 2, and the
@@ -294,21 +332,46 @@ def _trace_lane_per_sample(
     widths = _window_ladder(L)
 
     it = jnp.int32(0)
+    # Stats builds thread a (6,) accumulator through the loop carries;
+    # production (stats=False) carries are UNCHANGED (the accumulator
+    # stays out of the while state entirely).
+    acc = jnp.zeros((6,), jnp.float32) if stats else None
+    level_its = []
     for i, w in enumerate(widths):
         nxt = widths[i + 1] if i + 1 < len(widths) else 0
 
         def cond(carry, nxt=nxt):
-            st, _ = carry
+            st = carry[0]
             # COUNT live lanes (alive is a {0,1,2} code under NEE).
             n_live = jnp.sum((st[13] > 0).astype(jnp.int32))
+            if sync_axis is not None:
+                n_live = jax.lax.psum(n_live, sync_axis)
             return jnp.logical_and(n_live > 0, n_live > nxt)
 
-        def body(carry):
-            st, it = carry
-            return sorted_bounce(st, it)
+        lvl_split = tail_split if (tail_split and w != L) else 0
+
+        def body(carry, lvl_split=lvl_split):
+            st, it = carry[0], carry[1]
+            a = carry[2] if stats else None
+            st, it, a = sorted_bounce(st, it, a, split=lvl_split)
+            return (st, it, a) if stats else (st, it)
+
+        def run_level(carry, i=i):
+            # ``fixed_trips`` pins each ladder level's trip count (the
+            # roofline's prefix profile: same computation, bounded
+            # trips).
+            if fixed_trips is not None:
+                return jax.lax.fori_loop(
+                    0, int(fixed_trips[i]), lambda _, c: body(c), carry)
+            return jax.lax.while_loop(cond, body, carry)
+
+        def pack(st, it, acc):
+            return (st, it, acc) if stats else (st, it)
 
         if w == L:
-            (state, it) = jax.lax.while_loop(cond, body, (state, it))
+            out = run_level(pack(state, it, acc))
+            state, it = out[0], out[1]
+            acc = out[2] if stats else None
         else:
             keys = sort_keys(state[0], state[1], state[2], state[3],
                              state[4], state[5], state[13], bmin, inv_ext)
@@ -316,16 +379,22 @@ def _trace_lane_per_sample(
                                  num_keys=1)[1:]
             win = tuple(x[:w] for x in state)
             rest = tuple(x[w:] for x in state)
-            (win, it) = jax.lax.while_loop(cond, body, (win, it))
+            out = run_level(pack(win, it, acc))
+            win, it = out[0], out[1]
+            acc = out[2] if stats else None
             state = tuple(jnp.concatenate([a, b])
                           for a, b in zip(win, rest))
+        level_its.append(it)
 
     final = state
     _, rr, rg, rb = jax.lax.sort(
         (final[15], final[10], final[11], final[12]), dimension=0, num_keys=1
     )
     rad = jnp.stack([rr[:L_raw], rg[:L_raw], rb[:L_raw]], axis=-1)
-    return rad.reshape(P, lpp, 3).sum(axis=1)
+    rad = rad.reshape(P, lpp, 3).sum(axis=1)
+    if stats:
+        return rad, acc, jnp.stack(level_its)
+    return rad
 
 
 def trace_wavefront_sorted(
@@ -352,6 +421,9 @@ def trace_wavefront_sorted(
     vol_kinds=(),
     vol_row0=0,
     roulette=False,
+    sync_axis=None,
+    stats=False,
+    fixed_trips=None,
 ) -> jax.Array:
     """Radiance sums for a chunk of pixels -> (P, 3).
 
@@ -409,7 +481,11 @@ def trace_wavefront_sorted(
             bmin=bmin, inv_ext=inv_ext, emissive=emissive, bg=bg,
             nee_kinds=nee_kinds, checker=checker,
             vol_kinds=vol_kinds, vol_row0=vol_row0, roulette=roulette,
+            sync_axis=sync_axis, stats=stats, fixed_trips=fixed_trips,
         )
+    assert not stats and fixed_trips is None, (
+        "stats/fixed_trips cover the lane-per-sample path only"
+    )
 
     zero = jnp.zeros((L,), f32)
     # All lanes start dead with a full sample budget; the first regen
@@ -493,6 +569,8 @@ def trace_wavefront_sorted(
             st, started, _, _ = carry
             pend = jnp.sum(jnp.logical_or(st[13] > 0,
                                           started < n_samples))
+            if sync_axis is not None:
+                pend = jax.lax.psum(pend, sync_axis)
             return jnp.logical_and(pend > 0, pend > nxt)
 
         def body(carry):

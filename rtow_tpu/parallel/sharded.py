@@ -263,6 +263,12 @@ def _sharded_wavefront_step(flat_mesh, width: int, height: int, spp: int,
                 bmin=bmin, inv_ext=inv_ext, lanes_per_pixel=lpp,
                 emissive=emissive, bg=bg, nee_kinds=nee_kinds,
                 checker=checker, vol_kinds=vol_kinds, vol_row0=vol_row0,
+                # Global (psum'd) bounce-loop trip counts: every device
+                # launches the SAME kernel count, which the Pallas
+                # interpret-mode per-call barrier requires (local counts
+                # deadlocked the 8-device dryrun, MULTICHIP_r03) and
+                # which costs one scalar psum per bounce on hardware.
+                sync_axis="dev",
             )
             sums = jnp.where((pixel_ids < n_pixels)[:, None], sums, 0.0)
             return jax.lax.dynamic_update_slice(fb, sums, (c * ppc, 0))
