@@ -101,7 +101,8 @@ def _salt(seed, it):
 def _grad_fwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
                      sup_ref, hyp_ref, lights_ref, *refs,
                      n_blocks, n_tri_blocks, n_super, n_hyper, cull,
-                     emissive, bg, checker, nee_kinds):
+                     emissive, bg, checker, nee_kinds, vol_kinds=(),
+                     vol_row0=0):
     """Forward bounce for the gradient path (spheres + triangles).
 
     refs = 16 inputs (13 cont f32 + alive i32 + bounce i32 + lid i32),
@@ -113,6 +114,11 @@ def _grad_fwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
     ``nee_kinds`` non-empty runs next-event estimation exactly as the
     production forward kernels do (shadow sweep + MIS, _bounce_core):
     alive becomes the {0,1,2} diffuse-history code.
+
+    ``vol_kinds`` non-empty samples constant-density media exactly as
+    ``_bounce_core`` does (ops/volumes.py, volume rows ride the light
+    operand at rows >= ``vol_row0``, one uniform per volume at salts
+    16+).
     """
     ins, outs = refs[:16], refs[16:32]
     box_scr = sem_box = key_scr = None
@@ -139,6 +145,19 @@ def _grad_fwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
         sweep_split=pick_sweep_split(n_tri_blocks),
     )
     draws = _draw_scatter(lane, salt)
+    v_event = None
+    if vol_kinds:
+        from .volumes import _OffsetAlbedo, _OffsetRows, sample_volume_event
+
+        vus = tuple(_uniform(lane, salt, 16 + j)
+                    for j in range(len(vol_kinds)))
+        v_hit0, v_t, (v_ar, v_ag, v_ab) = sample_volume_event(
+            _OffsetRows(lights_ref, vol_row0),
+            _OffsetAlbedo(lights_ref, vol_row0),
+            vol_kinds, vus, ox, oy, oz, dx, dy, dz, best_t)
+        uvx, uvy, uvz, _choice = draws
+        v_event = (v_hit0, v_t, v_ar, v_ag, v_ab,
+                   uvx * 0.5, uvy * 0.5, uvz * 0.5)
     basics = None
     from_diffuse = None
     if nee_kinds:
@@ -150,7 +169,8 @@ def _grad_fwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
                          alive, bounce, max_depth, nee_us, lights_ref,
                          nee_kinds, n_blocks=n_blocks,
                          n_tri_blocks=n_tri_blocks, cull=cull,
-                         checker=checker)
+                         checker=checker, v_event=v_event,
+                         vol_kinds=vol_kinds, vol_row0=vol_row0)
         s_t, _sk, _sp, _tp = _sweep_all(
             tbl_ref, box_ref, tri_ref, tri_box_ref, sup_ref,
             px, py, pz, ldx, ldy, ldz, tm, nee_act,
@@ -172,7 +192,7 @@ def _grad_fwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
                       cull=cull, emissive=emissive, bg=bg,
                       basics=basics, from_diffuse=from_diffuse,
                       checker=checker, lights_ref=lights_ref,
-                      nee_kinds=nee_kinds)
+                      nee_kinds=nee_kinds, v_event=v_event)
     (nox, noy, noz, ndx, ndy, ndz, ntpr, ntpg, ntpb, nrr, nrg, nrb, can,
      nbounce) = out
     new_vals = [nox, noy, noz, ndx, ndy, ndz, tm, ntpr, ntpg, ntpb,
@@ -184,7 +204,8 @@ def _grad_fwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
 def _grad_bwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
                      sup_ref, hyp_ref, lights_ref, *refs,
                      n_blocks, n_tri_blocks, n_super, n_hyper, cull,
-                     emissive, bg, checker, nee_kinds):
+                     emissive, bg, checker, nee_kinds, vol_kinds=(),
+                     vol_row0=0):
     """Backward bounce: replay forward, vjp the shade, one-hot the
     parameter cotangents into the shared gradient-table accumulators.
 
@@ -202,6 +223,16 @@ def _grad_bwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
     (:func:`pallas_megakernel._nee_contrib`) plus the MIS-weighted
     shade, so material, emission, AND light-table cotangents are exact
     under common random numbers.
+
+    Constant-density media (``vol_kinds``) follow the same convention
+    (VERDICT r3 #4): the free-flight uniforms replay from the counter
+    RNG (salts 16+), the scatter-vs-pass EVENT is the replayed
+    comparisons' piecewise-constant bit, and the reparameterized
+    free-flight distance, medium albedo, and shadow-ray transmittance
+    are recomputed INSIDE the vjp from the differentiable table rows —
+    so density/albedo/boundary-geometry cotangents flow into the
+    volume rows (packed behind the light rows in the same operand and
+    the same ``glgt`` accumulator).
     """
     ins = refs[:16]
     cot_out = refs[16:16 + N_CONT]
@@ -209,8 +240,9 @@ def _grad_bwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
     gtbl = refs[16 + 2 * N_CONT]
     gtri = refs[16 + 2 * N_CONT + 1]
     nxt = 16 + 2 * N_CONT + 2
+    need_lt = bool(nee_kinds) or bool(vol_kinds)
     glgt = None
-    if nee_kinds:
+    if need_lt:
         glgt = refs[nxt]
         nxt += 1
     box_scr = sem_box = key_scr = None
@@ -240,28 +272,53 @@ def _grad_bwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
     )
     draws = _draw_scatter(lane, salt)
 
+    vus = None
+    if vol_kinds:
+        vus = tuple(_uniform(lane, salt, 16 + j)
+                    for j in range(len(vol_kinds)))
+
+    def _mk_v_event(table_like, st):
+        """Volume event from a (possibly differentiable) row table and
+        (possibly differentiable) ray state — the free-flight distance
+        is a reparameterized function of density and boundary geometry
+        (ops/volumes.py); the scatter-vs-pass bit is the replayed
+        comparisons (piecewise-constant, zero cotangent)."""
+        from .volumes import _OffsetAlbedo, _OffsetRows, sample_volume_event
+
+        v_hit0, v_t, (v_ar, v_ag, v_ab) = sample_volume_event(
+            _OffsetRows(table_like, vol_row0),
+            _OffsetAlbedo(table_like, vol_row0),
+            vol_kinds, vus, st[0], st[1], st[2], st[3], st[4], st[5],
+            best_t)
+        uvx, uvy, uvz, _choice = draws
+        return (v_hit0, v_t, v_ar, v_ag, v_ab,
+                uvx * 0.5, uvy * 0.5, uvz * 0.5)
+
     from_diffuse = None
     open_ = None
     nee_us = None
     lt_rows = None
     n_rows = 0
-    if nee_kinds:
-        from_diffuse = alive_i > 1
-        nee_us = (_uniform(lane, salt, 8), _uniform(lane, salt, 9),
-                  _uniform(lane, salt, 10))
+    if need_lt:
         n_rows = lights_ref.shape[0]
         lt_rows = tuple(
             tuple(lights_ref[r, c] for c in range(_LIGHT_COLS))
             for r in range(n_rows)
         )
+    if nee_kinds:
+        from_diffuse = alive_i > 1
+        nee_us = (_uniform(lane, salt, 8), _uniform(lane, salt, 9),
+                  _uniform(lane, salt, 10))
         # Replay the shadow ray (non-differentiated) to recover the
         # occlusion bit — visibility is piecewise-constant.
+        v_ev0 = _mk_v_event(lights_ref, state) if vol_kinds else None
         _b, (px, py, pz), (ldx, ldy, ldz), thresh, _c, nee_act = \
             _nee_contrib(state, sph_params, tri_params, best_t, best_k,
                          alive, bounce, max_depth, nee_us,
                          _RowsVal(lt_rows), nee_kinds,
                          n_blocks=n_blocks, n_tri_blocks=n_tri_blocks,
-                         cull=cull, checker=checker)
+                         cull=cull, checker=checker, v_event=v_ev0,
+                         vol_kinds=vol_kinds, vol_row0=vol_row0)
         s_t, _sk, _sp, _tp = _sweep_all(
             tbl_ref, box_ref, tri_ref, tri_box_ref, sup_ref,
             px, py, pz, ldx, ldy, ldz, tm, nee_act,
@@ -277,13 +334,15 @@ def _grad_bwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
     def _shade_full(state_cont, sparams, tparams, lt):
         """NEE contribution + MIS shade — everything differentiable."""
         basics = None
-        lt_ref = _RowsVal(lt) if nee_kinds else None
+        lt_ref = _RowsVal(lt) if need_lt else None
+        v_ev = _mk_v_event(lt_ref, state_cont) if vol_kinds else None
         if nee_kinds:
             basics, _so, _sd, _th, contrib, nee_act2 = _nee_contrib(
                 state_cont, sparams, tparams, best_t, best_k, alive,
                 bounce, max_depth, nee_us, lt_ref, nee_kinds,
                 n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, cull=cull,
-                checker=checker)
+                checker=checker, v_event=v_ev, vol_kinds=vol_kinds,
+                vol_row0=vol_row0)
             add = jnp.logical_and(nee_act2, open_)
             s = list(state_cont)
             s[10] = s[10] + jnp.where(add, contrib[0], 0.0)
@@ -296,10 +355,10 @@ def _grad_bwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
                           cull=cull, emissive=emissive, bg=bg,
                           basics=basics, from_diffuse=from_diffuse,
                           checker=checker, lights_ref=lt_ref,
-                          nee_kinds=nee_kinds)
+                          nee_kinds=nee_kinds, v_event=v_ev)
         return tuple(out[:12])  # cont outputs (tm passes through)
 
-    if n_tri_blocks and nee_kinds:
+    if n_tri_blocks and need_lt:
         _, vjp_fn = jax.vjp(
             lambda st, sp, tp, lt: _shade_full(st, sp, tp, lt),
             state, sph_params, tri_params, lt_rows)
@@ -307,7 +366,7 @@ def _grad_bwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
         _, vjp_fn = jax.vjp(
             lambda st, sp, tp: _shade_full(st, sp, tp, None),
             state, sph_params, tri_params)
-    elif nee_kinds:
+    elif need_lt:
         _, vjp_fn = jax.vjp(
             lambda st, sp, lt: _shade_full(st, sp, tri_params, lt),
             state, sph_params, lt_rows)
@@ -321,11 +380,11 @@ def _grad_bwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
     g_out = (ct[0], ct[1], ct[2], ct[3], ct[4], ct[5],
              ct[7], ct[8], ct[9], ct[10], ct[11], ct[12])
     g_tparams = g_lt = None
-    if n_tri_blocks and nee_kinds:
+    if n_tri_blocks and need_lt:
         g_state, g_params, g_tparams, g_lt = vjp_fn(g_out)
     elif n_tri_blocks:
         g_state, g_params, g_tparams = vjp_fn(g_out)
-    elif nee_kinds:
+    elif need_lt:
         g_state, g_params, g_lt = vjp_fn(g_out)
     else:
         g_state, g_params = vjp_fn(g_out)
@@ -349,14 +408,14 @@ def _grad_bwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
     def _init():
         gtbl[...] = jnp.zeros(gtbl.shape, jnp.float32)
         gtri[...] = jnp.zeros(gtri.shape, jnp.float32)
-        if nee_kinds:
+        if need_lt:
             glgt[...] = jnp.zeros(glgt.shape, jnp.float32)
 
-    if nee_kinds:
-        # Light-table cotangent: tiny (R x 14), assembled from the
-        # vjp's nested scalar cotangents with one-hot masks (no
+    if need_lt:
+        # Light/volume-table cotangent: tiny (R x 14), assembled from
+        # the vjp's nested scalar cotangents with one-hot masks (no
         # scatter) and accumulated into a shared (1, 16, LANES) block
-        # exactly like gtbl (param rows on sublanes, light index on
+        # exactly like gtbl (param rows on sublanes, row index on
         # lanes).
         p_iota = jax.lax.broadcasted_iota(jnp.int32, (16, LANES), 0)
         r_iota = jax.lax.broadcasted_iota(jnp.int32, (16, LANES), 1)
@@ -487,9 +546,10 @@ def bounce_grad(cont, ints, tbl, boxes, tri, tri_boxes, tri_sup, tri_hyp,
     are the sphere/triangle tables (differentiable), ``boxes``/
     ``tri_boxes``/``tri_sup``/``tri_hyp`` the cull AABBs (decisions
     only — piecewise-constant, no cotangent); ``lights`` the (R, 14)
-    light table (differentiable when ``nee_kinds``).  ``statics`` =
-    (n_blocks, n_tri_blocks, n_super, n_hyper, cull, emissive, bg,
-    checker, nee_kinds) python constants.
+    light + volume row table (differentiable when ``nee_kinds`` or
+    ``vol_kinds``).  ``statics`` = (n_blocks, n_tri_blocks, n_super,
+    n_hyper, cull, emissive, bg, checker, nee_kinds, vol_kinds,
+    vol_row0) python constants.
     """
     out, _ = _bounce_fwd_impl(cont, ints, tbl, boxes, tri, tri_boxes,
                               tri_sup, tri_hyp, lights, statics, scalars)
@@ -499,7 +559,7 @@ def bounce_grad(cont, ints, tbl, boxes, tri, tri_boxes, tri_sup, tri_hyp,
 def _bounce_fwd_impl(cont, ints, tbl, boxes, tri, tri_boxes, tri_sup,
                      tri_hyp, lights, statics, scalars):
     (n_blocks, n_tri_blocks, n_super, n_hyper, cull, emissive, bg,
-     checker, nee_kinds) = statics
+     checker, nee_kinds, vol_kinds, vol_row0) = statics
     L = cont[0].shape[0]
     n_tiles = L // TILE
     it, seed, max_depth = scalars
@@ -510,7 +570,8 @@ def _bounce_fwd_impl(cont, ints, tbl, boxes, tri, tri_boxes, tri_sup,
         functools.partial(_grad_fwd_kernel, n_blocks=n_blocks,
                           n_tri_blocks=n_tri_blocks, n_super=n_super,
                           n_hyper=n_hyper, cull=cull, emissive=emissive,
-                          bg=bg, checker=checker, nee_kinds=nee_kinds),
+                          bg=bg, checker=checker, nee_kinds=nee_kinds,
+                          vol_kinds=vol_kinds, vol_row0=vol_row0),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=32 * 1024 * 1024 + tri.size * 4
         ),
@@ -546,7 +607,8 @@ def _bounce_grad_bwd(statics, res, cot):
     (cont, ints, tbl, boxes, tri, tri_boxes, tri_sup, tri_hyp, lights,
      scalars) = res
     (n_blocks, n_tri_blocks, n_super, n_hyper, cull, emissive, bg,
-     checker, nee_kinds) = statics
+     checker, nee_kinds, vol_kinds, vol_row0) = statics
+    need_lt = bool(nee_kinds) or bool(vol_kinds)
     cot_cont, _cot_ints = cot
     it, seed, max_depth = scalars
     L = cont[0].shape[0]
@@ -572,7 +634,7 @@ def _bounce_grad_bwd(statics, res, cot):
         + [pl.BlockSpec((1, 16, npad), lambda i: (0, 0, 0)),
            pl.BlockSpec((1, 16, mpad), lambda i: (0, 0, 0))]
     )
-    if nee_kinds:
+    if need_lt:
         out_shapes.append(
             jax.ShapeDtypeStruct((1, 16, LANES), jnp.float32))
         out_specs.append(pl.BlockSpec((1, 16, LANES), lambda i: (0, 0, 0)))
@@ -580,7 +642,8 @@ def _bounce_grad_bwd(statics, res, cot):
         functools.partial(_grad_bwd_kernel, n_blocks=n_blocks,
                           n_tri_blocks=n_tri_blocks, n_super=n_super,
                           n_hyper=n_hyper, cull=cull, emissive=emissive,
-                          bg=bg, checker=checker, nee_kinds=nee_kinds),
+                          bg=bg, checker=checker, nee_kinds=nee_kinds,
+                          vol_kinds=vol_kinds, vol_row0=vol_row0),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=(32 * 1024 * 1024 + tri.size * 4
                               + 16 * (npad + mpad) * 4)
@@ -609,7 +672,7 @@ def _bounce_grad_bwd(statics, res, cot):
         g_tri = g_tri.reshape(16, -1, TRI_BLOCK).transpose(1, 0, 2)
     else:
         g_tri = g_tri.T  # (mpad, 16)
-    if nee_kinds:
+    if need_lt:
         n_rows = lights.shape[0]
         g_lights = out[N_CONT + 2][0, :_LIGHT_COLS, :n_rows].T  # (R, 14)
     else:
@@ -712,17 +775,25 @@ def render_pixels_kernel(
     rendering runs at kernel speed: the backward replays the shadow
     sweep (visibility is a piecewise-constant replayed bit) and vjp's
     the full NEE contribution + MIS-weighted shade, giving exact
-    material, emission, and light-table gradients under common random
-    numbers.  Light GEOMETRY keeps the detached-sampling convention
-    (ops/lights.py docstring); the light-table cotangent flows back
-    into the Scene through build_light_table.
+    material, emission, AND light-geometry gradients under common
+    random numbers (the cone-sampling reparameterization carries the
+    radius/center interior derivative; FD-gated in
+    tests/test_pallas_grad_nee.py); the light-table cotangent flows
+    back into the Scene through build_light_table.
+
+    Constant-density media run in BOTH gradient kernels too (VERDICT
+    r3 #4): the free-flight event replays from the counter RNG, its
+    scatter-vs-pass bit is piecewise-constant, and the reparameterized
+    distance, medium albedo, and shadow transmittance are vjp'd from
+    the volume rows (packed behind the light rows), so density/albedo/
+    boundary gradients flow through pack_volume_rows.  Only image
+    textures stay jnp-only (per-lane texel gathers — ROADMAP 9c).
     """
-    if scene.volume_kinds or scene.has_image:
+    if scene.has_image:
         raise NotImplementedError(
-            "constant-density media / image textures are not in the "
-            "gradient kernels; "
-            "use diff.loss_and_grad (the jnp path differentiates volume "
-            "scenes, including the reparameterized free-flight distance)"
+            "image textures are not in the gradient kernels (per-lane "
+            "texel gathers are a measured architectural no-go on the "
+            "VPU, ROADMAP 9c); use diff.loss_and_grad"
         )
     if sort_lanes is None:
         from .wavefront_sorted import WAVEFRONT_MIN_TRIS
@@ -770,16 +841,27 @@ def render_pixels_kernel(
             raise ValueError("nee=True needs an emissive scene "
                              "(SceneBuilder.add_light)")
         nee_kinds = tuple(k for k, _ in scene.light_ids)
+    rows = []
     if nee_kinds:
         from .lights import build_light_table
 
-        lights = build_light_table(scene)
-    else:
-        lights = jnp.zeros((1, _LIGHT_COLS), jnp.float32)
+        rows.append(build_light_table(scene))
+    vol_kinds = scene.volume_kinds
+    vol_row0 = rows[0].shape[0] if rows else 0
+    if vol_kinds:
+        # Volume rows pack behind the light rows in the same (R, 14)
+        # differentiable operand (the forward kernels' layout) — the
+        # table cotangent flows back into the Scene's density/albedo/
+        # boundary leaves through pack_volume_rows.
+        from .volumes import pack_volume_rows
+
+        rows.append(pack_volume_rows(scene))
+    lights = (jnp.concatenate(rows) if rows
+              else jnp.zeros((1, _LIGHT_COLS), jnp.float32))
     statics = (n_blocks, n_tri_blocks, n_super, n_hyper, True,
                scene.has_emissive,
                None if scene.background == "sky" else scene.background,
-               scene.has_checker, nee_kinds)
+               scene.has_checker, nee_kinds, vol_kinds, vol_row0)
 
     P = pixel_ids.shape[0]
     L_raw = P * spp

@@ -109,6 +109,39 @@ def test_kernel_nee_grad_matches_fd(setup, which):
     assert abs(ad - fd) / denom < 0.05, f"{which}: AD {ad} vs FD {fd}"
 
 
+@pytest.mark.parametrize("which", ["radius", "center_y"])
+def test_kernel_nee_light_geometry_grad_matches_fd(setup, which):
+    """Light GEOMETRY gradients (sphere-light radius / center) through
+    the NEE KERNELS match finite differences — the kernel counterpart
+    of tests/test_nee_grad.py::test_nee_light_geometry_grad_matches_fd
+    (VERDICT r3 #3).  The light table is a differentiable kernel input;
+    its center/radius columns must carry the cone-sampling
+    reparameterized derivative back through build_light_table AND the
+    sphere table's own geometry rows (direct BRDF hits on the lamp)."""
+    scene, cam, pix, target, _ = setup
+    with pltpu.force_tpu_interpret_mode():
+        _, grads = jax.value_and_grad(_loss, allow_int=True)(
+            scene, cam, pix, target)
+
+        def _shift(v):
+            sp = scene.spheres
+            if which == "radius":
+                sp = dataclasses.replace(sp, radius=sp.radius.at[2].add(v))
+            else:
+                sp = dataclasses.replace(
+                    sp, center0=sp.center0.at[2, 1].add(v))
+            return _loss(dataclasses.replace(scene, spheres=sp), cam, pix,
+                         target)
+
+        ad = float(grads.spheres.radius[2] if which == "radius"
+                   else grads.spheres.center0[2, 1])
+        eps = 1e-3
+        fd = (float(_shift(eps)) - float(_shift(-eps))) / (2 * eps)
+    assert fd != 0.0, f"{which}: FD gate is degenerate (no light reaches)"
+    denom = max(abs(fd), abs(ad), 1e-6)
+    assert abs(ad - fd) / denom < 0.05, f"{which}: AD {ad} vs FD {fd}"
+
+
 def test_kernel_nee_grads_finite_everywhere(setup):
     scene, cam, pix, target, _ = setup
     with pltpu.force_tpu_interpret_mode():
