@@ -1,9 +1,15 @@
 # Convenience targets mirroring the reference's make UX (reference
 # Makefile:16-24: run-release piped a PPM to /tmp; watch-* live-reloaded).
-.PHONY: test lint bench render render-mesh verify inventory floor watch
+.PHONY: test test-fast lint bench render render-mesh verify inventory floor watch dryrun
 
 test: lint
 	python -m pytest tests/ -q
+
+test-fast:  ## <5 min tier: skips interpret-mode-heavy / golden gates
+	python -m pytest tests/ -q -m "not slow"
+
+dryrun:  ## exactly what the driver's multichip gate runs: 8 virtual CPU devices
+	timeout 2400 python tools/run_dryrun.py 8
 
 lint:  ## enforced lint gate (the reference enforces clang-tidy, .clang-tidy:2)
 	python tools/lint.py

@@ -39,9 +39,14 @@ A russian-roulette run of the cover config (``roulette_mrays`` +
 throughput lever at the reference's depth-50 budget unless
 RTOW_BENCH_RR=0.
 
+The n=1 shard_map leg (``sharded_vs_direct`` — the measurable leg of
+the >=90% scaling gate, re-measured every round) runs unless
+RTOW_BENCH_SHARDED=0.
+
 Env overrides: RTOW_BENCH_SPP, RTOW_BENCH_WIDTH, RTOW_BENCH_DEPTH,
 RTOW_BENCH_BACKEND (jnp|pallas), RTOW_BENCH_REPEATS, RTOW_BENCH_NORTHSTAR,
-RTOW_BENCH_MESH, RTOW_BENCH_MESH360, RTOW_BENCH_GRAD, RTOW_BENCH_RR.
+RTOW_BENCH_MESH, RTOW_BENCH_MESH360, RTOW_BENCH_GRAD, RTOW_BENCH_RR,
+RTOW_BENCH_SHARDED.
 """
 from __future__ import annotations
 
@@ -132,6 +137,30 @@ def main() -> int:
         print(f"bench: russian roulette spp{spp}: {rr_elapsed:.2f}s "
               f"= {rr_mrays:.2f} Mrays/s (plain {med:.2f}), "
               f"mean-radiance delta {rr_drad:+.5f}", file=sys.stderr)
+
+    sharded_ratio = None
+    if (os.environ.get("RTOW_BENCH_SHARDED", "1") != "0"
+            and jax.devices()[0].platform == "tpu"):
+        # The measurable leg of the >=90% scaling gate re-measured every
+        # round (VERDICT r3 #6): the n=1 shard_map megakernel step vs
+        # the direct dispatch above.
+        from rtow_tpu.parallel.mesh import make_mesh
+        from rtow_tpu.parallel.sharded import render_sharded_pallas
+
+        try:
+            smesh = make_mesh(1, spp)
+            render_sharded_pallas(scene, camera, cfg, mesh=smesh)  # compile
+            t0 = time.perf_counter()
+            render_sharded_pallas(scene, camera, cfg, mesh=smesh)
+            s_elapsed = time.perf_counter() - t0
+            s_mrays = lanes / s_elapsed / 1e6
+            sharded_ratio = s_mrays / med
+            print(f"bench: sharded n=1: {s_elapsed:.2f}s = {s_mrays:.2f} "
+                  f"Mrays/s ({sharded_ratio:.1%} of direct)",
+                  file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — report partial results
+            print(f"bench: sharded bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
 
     mesh_mrays = None
     if (os.environ.get("RTOW_BENCH_MESH", "1") != "0"
@@ -259,6 +288,8 @@ def main() -> int:
     if rr_mrays is not None:
         out["roulette_mrays"] = round(rr_mrays, 3)
         out["roulette_dradiance"] = round(rr_drad, 5)
+    if sharded_ratio is not None:
+        out["sharded_vs_direct"] = round(sharded_ratio, 3)
     if grad_mrays is not None:
         out["grad_fwd_mrays"] = round(grad_mrays, 3)
         out["grad_fwdbwd_ratio"] = round(grad_ratio, 3)

@@ -24,3 +24,59 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(1234)
+
+
+# ---------------------------------------------------------------------------
+# Fast tier (VERDICT r3 #7): `pytest -m "not slow"` (`make test-fast`)
+# finishes in ~4-5 min by skipping the interpret-mode-heavy kernel gates
+# below (each >= ~8 s on CPU; durations from the round-4 full run).
+# The full suite (`make test`) remains the snapshot gate.  Centralized
+# here so the list is one grep away and test files stay unmarked.
+
+#: whole modules dominated by interpret-mode Pallas gradient kernels
+SLOW_MODULES = {
+    "test_pallas_grad.py",
+    "test_pallas_grad_nee.py",
+    "test_pallas_grad_volumes.py",
+    "test_golden.py",
+    "test_f64_oracle.py",
+}
+
+#: individual heavy tests in otherwise-fast modules (match ignores
+#: parametrization brackets)
+SLOW_TESTS = {
+    "test_volumes.py::test_absorbing_slab_transmittance_kernel",
+    "test_volumes.py::test_absorbing_slab_transmittance_jnp",
+    "test_volumes.py::test_sorted_wavefront_volumes",
+    "test_volumes.py::test_fog_kernel_matches_jnp",
+    "test_volumes.py::test_fog_miss_grads_finite",
+    "test_emissive.py::test_cornell_box_kernel_matches_jnp",
+    "test_emissive.py::test_emission_gradient_fd",
+    "test_emissive.py::test_kernel_matches_jnp_light_scene",
+    "test_emissive.py::test_sorted_wavefront_emissive",
+    "test_checker.py::test_checker_grad_matches_fd",
+    "test_checker.py::test_checker_grads_flow_to_both_colors",
+    "test_roulette.py::test_kernel_rr_matches_plain_kernel",
+    "test_nee_grad.py::test_nee_triangle_light_grad_matches_fd",
+    "test_nee_grad.py::test_nee_grads_finite_inside_light",
+    "test_wavefront.py::test_banded_dispatch_bit_identical",
+    "test_wavefront.py::test_chunked_matches_unchunked",
+    "test_wavefront.py::test_mixed_sphere_triangle",
+    "test_wavefront.py::test_hbm_dma_mode_matches_jnp",
+    "test_wavefront.py::test_deferred_winner_fetch_matches_eager",
+    "test_wavefront.py::test_matches_jnp",
+    "test_sharded.py::test_sharded_pallas_interpret",
+    "test_sharded.py::test_overlap_grad_allreduce_parity",
+    "test_image_texture.py::test_gradients_flow_into_texels",
+    "test_diff.py::test_bvh_grads_match_bruteforce",
+    "test_diff.py::test_triangle_grad_matches_fd",
+    "test_cli.py::test_render_demo_scenes",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        fname = os.path.basename(str(item.fspath))
+        key = f"{fname}::{item.name.split('[')[0]}"
+        if fname in SLOW_MODULES or key in SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)

@@ -12,7 +12,7 @@ Triangles = 2 * segments * rings  (default 600x300 -> 360k).
 """
 from __future__ import annotations
 
-import sys
+import argparse
 
 import numpy as np
 
@@ -61,9 +61,17 @@ def make_knot(segments: int, rings: int, radius: float = 0.12) -> tuple:
 
 
 def main() -> int:
-    out = sys.argv[1] if len(sys.argv) > 1 else "knot.obj"
-    segments = int(sys.argv[2]) if len(sys.argv) > 2 else 600
-    rings = int(sys.argv[3]) if len(sys.argv) > 3 else 300
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("out", nargs="?", default="knot.obj",
+                    help="output OBJ path (default: knot.obj)")
+    ap.add_argument("segments", nargs="?", type=int, default=600)
+    ap.add_argument("rings", nargs="?", type=int, default=300)
+    args = ap.parse_args()
+    out, segments, rings = args.out, args.segments, args.rings
+    if out.startswith("-"):
+        # A 13 MB mesh literally named `--help` was once committed this
+        # way; refuse option-like output paths outright.
+        ap.error(f"output path {out!r} looks like an option")
     verts, faces = make_knot(segments, rings)
     with open(out, "w") as f:
         f.write(f"# trefoil knot {segments}x{rings}\n")
