@@ -1444,24 +1444,121 @@ def _kernel(cam_ref, meta_ref, tbl_ref, sph_box_ref, tri_ref, tri_box_ref,
 
     zero = jnp.zeros(shape, jnp.float32)
 
+    # ---- drain-balanced work pool (RTOW_POOL) --------------------------
+    # Classic layout binds each lane to ONE pixel for all spp samples, so
+    # a tile runs until its hardest pixel finishes — measured live-lane
+    # occupancy 55-62% on the cover (the drain is pixel-difficulty
+    # spread, not path-length variance).  Pool mode instead treats a
+    # ROW's 128 pixels x spp samples as a shared queue of
+    # (column, CHUNK-sample) items: at every K-th iteration, idle lanes
+    # take the next item (distinct via an exclusive prefix sum — one
+    # small triangular matmul) and FLUSH their accumulated
+    # radiance into a per-pixel accumulator through a one-hot matmul, so
+    # accumulation never needs a scatter.  Exact spp accounting is
+    # preserved: items partition (pixel, sample) space and the row
+    # counter hands each out exactly once.
+    # Default ON (production): cover spp128 15.0 -> 19.0 Mrays/s and the
+    # spp500 north star 18.4 -> 24.4 on v5e (bench methodology, round 4);
+    # golden parity vs the C++ reference and the exact sample audit both
+    # pass in pool mode.  Stats builds keep the classic layout (the
+    # occupancy instrument measures the drain pool mode removes).
+    pool = _os.environ.get("RTOW_POOL", "1") == "1" and not stats
+    POOL_CHUNK = int(_os.environ.get("RTOW_POOL_CHUNK", "16"))
+    POOL_K = int(_os.environ.get("RTOW_POOL_K", "8"))
+    if pool:
+        n_chunks = (spp + POOL_CHUNK - 1) // POOL_CHUNK  # runtime scalar
+        n_items = n_chunks * LANES
+        pcol0 = (pid % tiles_x) * LANES  # tile's first image column
+        row_ok = prow < height  # (8,128), constant per row
+        # Exclusive-prefix-sum matrix: out[j] = sum_{i<j} in[i] needs
+        # M[i, j] = 1 iff i < j (strictly upper triangular) — built from
+        # iota in-kernel (pallas kernels cannot capture constant arrays).
+        iota_i = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+        iota_j = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+        slt = (iota_i < iota_j).astype(jnp.float32)
+
+        def item_budget(col, chunk):
+            """Samples in item (col, chunk): 0 off-image / past spp."""
+            ok = jnp.logical_and(row_ok, pcol0 + col < width)
+            left = spp - chunk * POOL_CHUNK
+            return jnp.where(ok, jnp.clip(left, 0, POOL_CHUNK), 0)
+
     def cond(c):
         # c[13] is the int32 alive mask (bool vectors fail Mosaic's
         # while-carry legalization).
+        if pool:
+            # rem>0: mid-chunk; next<n_items: pool not drained.
+            return jnp.any((c[13] > 0) | (c[15] > 0)
+                           | (c[17] < jnp.int32(n_items)))
         return jnp.any((c[13] > 0) | (c[15] < spp_lim))
 
     def body(c):
-        (ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb,
-         alive_i, bounce, started, it) = c
+        if pool:
+            (ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb,
+             alive_i, bounce, rem, cur_col, nxt, ar, ag, ab, it) = c
+        else:
+            (ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb,
+             alive_i, bounce, started, it) = c
         alive = alive_i > 0
         from_diffuse = alive_i > 1 if nee_kinds else None
         salt = (meta_ref[0, 0] + it * jnp.int32(40503)).astype(jnp.uint32)
         salt = _mix(salt)
 
-        # ---- regeneration: idle lanes with samples left ----------------
-        need = jnp.logical_and(jnp.logical_not(alive), started < spp_lim)
+        if pool:
+            # ---- boundary: take new items + flush adopted radiance ----
+            def take_items(args):
+                (rr, rg, rb, rem, cur_col, nxt, ar, ag, ab) = args
+                done = jnp.logical_and(jnp.logical_not(alive), rem == 0)
+                done_f = done.astype(jnp.float32)
+                off = jax.lax.dot_general(
+                    done_f, slt, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.int32)  # exclusive prefix sum along lanes
+                item = nxt + off
+                take = jnp.logical_and(done, item < n_items)
+                # Flush BEFORE switching pixels: lane radiance belongs
+                # to cur_col; one-hot matmul per row (no scatter).
+                # Bool (128,)->(128,1) reshapes are not legal in Mosaic
+                # (1-bit minor-dim insert); mask via f32 products.
+                take_f = take.astype(jnp.float32)
+                new_a = []
+                for ch, acc in ((rr, ar), (rg, ag), (rb, ab)):
+                    outs = []
+                    for r in range(TILE_ROWS):
+                        oh = jnp.where(iota_j == cur_col[r][:, None],
+                                       1.0, 0.0)
+                        oh = oh * take_f[r][:, None]
+                        outs.append(acc[r][None, :] + jax.lax.dot_general(
+                            ch[r][None, :], oh, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )[0][None, :])
+                    new_a.append(jnp.concatenate(outs, axis=0))
+                ar, ag, ab = new_a
+                rr = jnp.where(take, 0.0, rr)
+                rg = jnp.where(take, 0.0, rg)
+                rb = jnp.where(take, 0.0, rb)
+                chunk = item // LANES
+                col = item % LANES
+                cur_col = jnp.where(take, col, cur_col)
+                rem = jnp.where(take, item_budget(col, chunk), rem)
+                nxt = nxt + jnp.sum(
+                    take.astype(jnp.int32), axis=1, keepdims=True
+                ).astype(jnp.int32) * jnp.ones((1, LANES), jnp.int32)
+                return (rr, rg, rb, rem, cur_col, nxt, ar, ag, ab)
+
+            (rr, rg, rb, rem, cur_col, nxt, ar, ag, ab) = jax.lax.cond(
+                it % POOL_K == 0, take_items, lambda a: a,
+                (rr, rg, rb, rem, cur_col, nxt, ar, ag, ab))
+            need = jnp.logical_and(jnp.logical_not(alive), rem > 0)
+            fcol_cur = (pcol0 + cur_col).astype(jnp.float32)
+        else:
+            # ---- regeneration: idle lanes with samples left -----------
+            need = jnp.logical_and(jnp.logical_not(alive),
+                                   started < spp_lim)
+            fcol_cur = fcol
         ju = _uniform(lane_u32, salt, 0)
         jv = _uniform(lane_u32, salt, 1)
-        s = (fcol + ju) * inv_w
+        s = (fcol_cur + ju) * inv_w
         t = (frow + jv) * inv_h
         du = _uniform(lane_u32, salt, 2)
         dv = _uniform(lane_u32, salt, 3)
@@ -1491,7 +1588,10 @@ def _kernel(cam_ref, meta_ref, tbl_ref, sph_box_ref, tri_ref, tri_box_ref,
         tpg = jnp.where(need, 1.0, tpg)
         tpb = jnp.where(need, 1.0, tpb)
         bounce = jnp.where(need, 0, bounce)
-        started = started + need.astype(jnp.int32)
+        if pool:
+            rem = rem - need.astype(jnp.int32)
+        else:
+            started = started + need.astype(jnp.int32)
         alive = jnp.logical_or(alive, need)
         if stats:
             key_scr[3, 3] = key_scr[3, 3] + 1.0
@@ -1517,22 +1617,55 @@ def _kernel(cam_ref, meta_ref, tbl_ref, sph_box_ref, tri_ref, tri_box_ref,
             # not either (key_scr stays None — ADVICE r3 #1).
             cnt_scr=key_scr,
         )
+        if pool:
+            return (ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg,
+                    rb, can.astype(jnp.int32), bounce, rem, cur_col,
+                    nxt, ar, ag, ab, it + 1)
         return (ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb,
                 can.astype(jnp.int32), bounce, started, it + 1)
 
     izero = jnp.zeros(shape, jnp.int32)
-    init = (zero, zero, zero, zero + 1.0, zero, zero, zero,
-            zero, zero, zero, zero, zero, zero, izero, izero, izero,
-            jnp.int32(0))
+    if pool:
+        # Initial assignment: lane (r, i) takes item i (its own column,
+        # chunk 0); the row counter starts past those 128 items.
+        init = (zero, zero, zero, zero + 1.0, zero, zero, zero,
+                zero, zero, zero, zero, zero, zero, izero, izero,
+                item_budget(cols, jnp.int32(0)), cols,
+                izero + jnp.int32(LANES), zero, zero, zero,
+                jnp.int32(0))
+    else:
+        init = (zero, zero, zero, zero + 1.0, zero, zero, zero,
+                zero, zero, zero, zero, zero, zero, izero, izero, izero,
+                jnp.int32(0))
     if fixed_iters:
         final = jax.lax.fori_loop(
             0, fixed_iters, lambda i, c: body(c), init
         )
     else:
         final = jax.lax.while_loop(cond, body, init)
-    out_r[...] = final[10]
-    out_g[...] = final[11]
-    out_b[...] = final[12]
+    if pool:
+        # Final flush: every lane's residual radiance joins its pixel's
+        # accumulator (one one-hot matmul per row), then write accum.
+        rr, rg, rb = final[10], final[11], final[12]
+        cur_col = final[16]
+        ar, ag, ab = final[18], final[19], final[20]
+        outs3 = []
+        for ch, acc in ((rr, ar), (rg, ag), (rb, ab)):
+            outs = []
+            for r in range(TILE_ROWS):
+                oh = jnp.where(iota_j == cur_col[r][:, None], 1.0, 0.0)
+                outs.append(acc[r][None, :] + jax.lax.dot_general(
+                    ch[r][None, :], oh, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )[0][None, :])
+            outs3.append(jnp.concatenate(outs, axis=0))
+        out_r[...] = outs3[0]
+        out_g[...] = outs3[1]
+        out_b[...] = outs3[2]
+    else:
+        out_r[...] = final[10]
+        out_g[...] = final[11]
+        out_b[...] = final[12]
     if stats_o is not None:
         scols = jax.lax.broadcasted_iota(jnp.int32, (8, LANES), 1)
         srow = jnp.zeros((8, LANES), jnp.float32)
