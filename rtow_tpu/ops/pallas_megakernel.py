@@ -1464,7 +1464,10 @@ def _kernel(cam_ref, meta_ref, tbl_ref, sph_box_ref, tri_ref, tri_box_ref,
     # occupancy instrument measures the drain pool mode removes).
     pool = _os.environ.get("RTOW_POOL", "1") == "1" and not stats
     POOL_CHUNK = int(_os.environ.get("RTOW_POOL_CHUNK", "16"))
-    POOL_K = int(_os.environ.get("RTOW_POOL_K", "8"))
+    # Handout period: measured on the cover (spp500) K=8 24.41, K=4
+    # 25.01, K=2 24.26 Mrays/s — boundary-wait idle halves from 8 to 4,
+    # then the flush cost catches up.
+    POOL_K = int(_os.environ.get("RTOW_POOL_K", "4"))
     if pool:
         n_chunks = (spp + POOL_CHUNK - 1) // POOL_CHUNK  # runtime scalar
         n_items = n_chunks * LANES
