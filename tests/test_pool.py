@@ -1,0 +1,87 @@
+"""Drain-balanced work pool (RTOW_POOL) gates — the round-4 persistent
+kernel scheduler (pallas_megakernel._kernel pool mode).
+
+The pool shares each row's 128 pixels x spp samples as a queue of
+(column, chunk) items; these tests pin its two invariants:
+
+1. EXACT sample accounting — a constant-background scene turns radiance
+   sums into sample counts, so every pixel must read exactly spp
+   (including chunk remainders and off-image columns);
+2. estimator equivalence — pool and classic layouts are the same Monte
+   Carlo estimator, so their images agree within seed-to-seed noise.
+
+Run in interpret mode on tiny shapes; the production-scale audit
+(1200x675/spp128 exact) and golden parity vs the C++ reference ran on
+hardware before the default flipped (BASELINE.md round-4 section).
+"""
+import importlib
+
+import jax
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from rtow_tpu.models.builders import three_sphere_scene
+from rtow_tpu.models.camera import make_camera
+from rtow_tpu.models.scene import SceneBuilder
+
+W = H = 24
+
+
+def _render(monkeypatch, scene, cam, *, pool, spp, seed=0, depth=4,
+            roulette=False):
+    monkeypatch.setenv("RTOW_POOL", "1" if pool else "0")
+    import rtow_tpu.ops.pallas_megakernel as mk
+
+    importlib.reload(mk)
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            r, g, b = mk.render_blocks_pallas(
+                scene, cam, seed, width=W, height=H, spp=spp,
+                max_depth=depth, roulette=roulette)
+            img = mk.unblock_image(r, g, b, width=W, height=H)
+        return np.asarray(img)
+    finally:
+        monkeypatch.delenv("RTOW_POOL")
+        importlib.reload(mk)
+
+
+@pytest.fixture(scope="module")
+def const_bg():
+    """Empty scene + white background: radiance sums == sample counts."""
+    cam = make_camera(lookfrom=(0.0, 0.0, 1.0), lookat=(0.0, 0.0, 0.0),
+                      fov_degrees=60.0, aspect_ratio=1.0, aperture=0.0,
+                      focus_dist=1.0)
+    b = SceneBuilder()
+    m = b.add_lambertian((0.5, 0.5, 0.5))
+    b.add_sphere((0.0, 0.0, -99999.0), 1.0, m)  # never hit
+    return b.build(background=(1.0, 1.0, 1.0)), cam
+
+
+@pytest.mark.parametrize("spp", [24, 17])  # 17 exercises chunk remainder
+def test_pool_exact_sample_accounting(monkeypatch, const_bg, spp):
+    scene, cam = const_bg
+    img = _render(monkeypatch, scene, cam, pool=True, spp=spp)
+    np.testing.assert_array_equal(img, float(spp))
+
+
+def test_pool_matches_classic_estimator(monkeypatch):
+    """Pool-vs-classic difference must be bounded by classic
+    seed-to-seed noise (same estimator, different jitter streams)."""
+    scene, cam = three_sphere_scene(aspect_ratio=1.0)
+    c0 = _render(monkeypatch, scene, cam, pool=False, spp=24, seed=0)
+    c1 = _render(monkeypatch, scene, cam, pool=False, spp=24, seed=123)
+    p0 = _render(monkeypatch, scene, cam, pool=True, spp=24, seed=0)
+    noise = np.abs(c0 - c1).mean()
+    assert np.abs(c0 - p0).mean() < 1.5 * noise
+    assert abs(c0.mean() - p0.mean()) / 24.0 < 0.01
+
+
+def test_pool_roulette_smoke(monkeypatch, const_bg):
+    """Russian roulette + pool: the kill path zeroes rem-budget lanes
+    without stranding pool items (the loop must still terminate and
+    counts stay exact on a surface-free scene where RR never fires)."""
+    scene, cam = const_bg
+    img = _render(monkeypatch, scene, cam, pool=True, spp=8,
+                  roulette=True)
+    np.testing.assert_array_equal(img, 8.0)
