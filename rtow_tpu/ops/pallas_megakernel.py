@@ -1457,12 +1457,13 @@ def _kernel(cam_ref, meta_ref, tbl_ref, sph_box_ref, tri_ref, tri_box_ref,
     # accumulation never needs a scatter.  Exact spp accounting is
     # preserved: items partition (pixel, sample) space and the row
     # counter hands each out exactly once.
-    # Default ON (production): cover spp128 15.0 -> 19.0 Mrays/s and the
-    # spp500 north star 18.4 -> 24.4 on v5e (bench methodology, round 4);
+    # Default ON (production): cover spp128 15.0 -> 19.5 Mrays/s and the
+    # spp500 north star 18.4 -> 25.0 on v5e (bench methodology, round 4);
     # golden parity vs the C++ reference and the exact sample audit both
-    # pass in pool mode.  Stats builds keep the classic layout (the
-    # occupancy instrument measures the drain pool mode removes).
-    pool = _os.environ.get("RTOW_POOL", "1") == "1" and not stats
+    # pass in pool mode.  Stats builds follow the same setting so the
+    # roofline instruments the PRODUCTION scheduler; RTOW_POOL=0
+    # measures the classic layout's drain for comparison.
+    pool = _os.environ.get("RTOW_POOL", "1") == "1"
     POOL_CHUNK = int(_os.environ.get("RTOW_POOL_CHUNK", "16"))
     # Handout period: measured on the cover (spp500) K=8 24.41, K=4
     # 25.01, K=2 24.26 Mrays/s — boundary-wait idle halves from 8 to 4,

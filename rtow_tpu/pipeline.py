@@ -89,6 +89,24 @@ def _banded_pallas_fn(width: int, height: int, band_tiles: int,
     return jax.jit(fn)
 
 
+@functools.lru_cache(maxsize=8)
+def _whole_frame_pallas_fn(width: int, height: int, roulette: bool):
+    """Jitted whole-frame megakernel step (non-progress path): keeps the
+    scene->table build on-device instead of eager tunnel round trips —
+    measured ~10% of the spp128 bench before jitting."""
+    import jax
+
+    from .ops.pallas_megakernel import render_spheres_pallas
+
+    def fn(scene, camera, seed, spp, max_depth):
+        return render_spheres_pallas(
+            scene, camera, seed, width=width, height=height, spp=spp,
+            max_depth=max_depth, roulette=roulette,
+        )
+
+    return jax.jit(fn)
+
+
 def render_pallas(
     scene: Scene,
     camera: Camera,
@@ -142,12 +160,11 @@ def render_pallas(
         b = jnp.concatenate([p[2] for p in parts])[:rows]
         rad = unblock_image(r, g, b, width=width, height=height)
     else:
-        rad = render_spheres_pallas(
-            scene, camera, seed,
-            width=width, height=height, spp=spp,
-            max_depth=cfg.max_child_rays,
-            roulette=cfg.russian_roulette,
-        )
+        import jax.numpy as jnp
+
+        fn = _whole_frame_pallas_fn(width, height, cfg.russian_roulette)
+        rad = fn(scene, camera, jnp.int32(seed), jnp.int32(spp),
+                 jnp.int32(cfg.max_child_rays))
         rad.block_until_ready()
     elapsed = _time.perf_counter() - t0
     if progress:

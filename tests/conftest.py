@@ -13,6 +13,14 @@ os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
 
+# Interpret-mode runs of the persistent kernel use the CLASSIC lane
+# scheduler: the work pool's per-boundary prefix-sum/one-hot machinery
+# is ~free on hardware but multiplies serial interpret time, and the
+# scheduler does not change the estimator.  Pool-specific invariants
+# are gated by tests/test_pool.py (which sets RTOW_POOL itself) and by
+# the hardware audits in BASELINE.md.
+os.environ.setdefault("RTOW_POOL", "0")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
