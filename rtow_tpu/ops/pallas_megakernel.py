@@ -260,6 +260,16 @@ def build_tri_table(scene: Scene) -> Tuple[jax.Array, jax.Array, jax.Array]:
     # two-level cull (kernel only descends into hit super-blocks).
     if mpad // TRI_BLOCK >= 2 * SUPER:
         mpad = -(-mpad // (TRI_BLOCK * SUPER)) * TRI_BLOCK * SUPER
+    # When the HYPER level activates (>= 2*SUPER supers), pad supers to
+    # whole hypers too: meshes whose super count was NOT a multiple of
+    # SUPER (e.g. a 200k-tri mesh -> 98 supers) reproducibly ABORTED on
+    # device at default settings with padded inverted super boxes, while
+    # every exact-super mesh (65k/131k/360k benches) works — padding the
+    # table instead sidesteps the padded-super kernel path entirely
+    # (degenerate rows cost nothing: inverted boxes never descend).
+    if mpad // (TRI_BLOCK * SUPER) >= 2 * SUPER:
+        mpad = (-(-mpad // (TRI_BLOCK * SUPER * SUPER))
+                * TRI_BLOCK * SUPER * SUPER)
     f32 = jnp.float32
 
     verts = tr.verts

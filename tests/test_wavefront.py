@@ -246,3 +246,35 @@ def test_banded_dispatch_bit_identical(knot_scene, monkeypatch):
         img3 = render_wavefront(scene, cam, Config(**base))
     np.testing.assert_array_equal(img1, img2)
     np.testing.assert_array_equal(img1, img3)
+
+
+def test_tri_table_pads_supers_to_whole_hypers():
+    """Regression (round 4): meshes whose super count was not a SUPER
+    multiple (e.g. ~200k tris -> 98 supers) reproducibly ABORTED on
+    device once the hyper level activated — every exact-super mesh
+    worked.  build_tri_table must pad the table so supers divide into
+    whole hypers whenever the hyper level will be active."""
+    from rtow_tpu.ops.pallas_megakernel import (
+        SUPER, TRI_BLOCK, build_tri_table,
+    )
+
+    # 70,000 tris -> 547 blocks -> 35 supers pre-fix (not a multiple of
+    # 16) with the hyper level active (>= 32 supers).
+    rng = np.random.default_rng(0)
+    verts = rng.standard_normal((70_000, 3, 3)).astype(np.float32) * 0.01
+    verts += rng.standard_normal((70_000, 1, 3)).astype(np.float32)
+    b = SceneBuilder()
+    m = b.add_lambertian((0.5, 0.5, 0.5))
+    b.add_mesh(verts, m)
+    scene = b.build()
+    tbl, boxes, sup, hyp = build_tri_table(scene)
+    nb = tbl.shape[0] // TRI_BLOCK
+    assert nb % SUPER == 0
+    nsb = nb // SUPER
+    assert nsb >= 2 * SUPER  # hyper level active for this size
+    assert nsb % SUPER == 0, (
+        f"{nsb} supers do not divide into whole hypers — the padded-"
+        "super kernel path aborts on device"
+    )
+    # Padding rows are degenerate: inverted boxes (never descended).
+    assert float(boxes[-1, 0]) > float(boxes[-1, 3])
