@@ -117,11 +117,13 @@ def main() -> int:
         ns_cfg = cfg_for(500)
         _render_once(scene, camera, ns_cfg)  # compile (new spp is dynamic;
         # shapes identical — warm anyway for queue effects)
-        # Median of 2: the tunnel sporadically serves a single 3-4x
-        # outlier (observed 66s vs 16.5s on identical code).
+        # Median of 3 (same methodology as every other leg): the tunnel
+        # sporadically serves a single 3-4x outlier (observed 66s vs
+        # 16.5s on identical code), which a median of 3 rejects without
+        # the systematic fast bias a min-of-N would have (ADVICE r4).
         ns_samples = [_render_once(scene, camera, ns_cfg)[0]
-                      for _ in range(2)]
-        ns_elapsed = min(ns_samples)
+                      for _ in range(3)]
+        ns_elapsed = statistics.median(ns_samples)
         ns_lanes = cfg.image_width * cfg.image_height * 500
         ns_mrays = ns_lanes / ns_elapsed / 1e6
         print(f"bench: north-star 500spp: {ns_elapsed:.2f}s "

@@ -45,6 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..models.camera import camera_rays, pixel_coords
 from ..models.scene import Scene
+from . import pallas_megakernel as _mk
 from .pallas_megakernel import (
     KEY_ROW,
     LANES,
@@ -59,7 +60,6 @@ from .pallas_megakernel import (
     _shade_pure,
     _sweep_all,
     _uniform,
-    TRI_BLOCK,
     pick_sweep_split,
     build_sphere_table,
     build_tri_table,
@@ -128,77 +128,97 @@ def _grad_fwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
     seed = meta_ref[0, 1]
     max_depth = meta_ref[0, 2]
     vals = [r[...] for r in ins]
-    state = tuple(vals[:N_CONT])
     alive_i, bounce, lid = vals[13], vals[14], vals[15]
-    alive = alive_i > 0
-    lane = _lane_u32(lid)
-    salt = _salt(seed, it)
+    any_alive = jnp.any(alive_i > 0)
 
-    (ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb) = state
-    best_t, best_k, sph_params, tri_params = _sweep_all(
-        tbl_ref, box_ref, tri_ref, tri_box_ref, sup_ref,
-        ox, oy, oz, dx, dy, dz, tm, alive,
-        n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, n_super=n_super,
-        cull=cull, tri_t=n_tri_blocks > 0,
-        box_scr=box_scr, sem_box=sem_box, key_scr=key_scr,
-        tri_hyp_ref=hyp_ref, n_hyper=n_hyper, checker=checker,
-        sweep_split=pick_sweep_split(n_tri_blocks),
-    )
-    draws = _draw_scatter(lane, salt)
-    v_event = None
-    if vol_kinds:
-        from .volumes import _OffsetAlbedo, _OffsetRows, sample_volume_event
+    @pl.when(jnp.logical_not(any_alive))
+    def _drained_tile():
+        # A fully-drained tile's bounce is the IDENTITY: every per-lane
+        # output is where(dead, old, new) with dead everywhere, so the
+        # sweeps + shade can be skipped and the state copied through.
+        # At the bench shapes (pixel-major lanes, cover scene) 30-60%
+        # of tile-bounces are all-dead by mid-depth — this skip is the
+        # scan-path analogue of the forward persistent kernel's
+        # dead-tile cond-skip (grad roofline, round 5).
+        for o, v in zip(outs, vals):
+            o[...] = v
 
-        vus = tuple(_uniform(lane, salt, 16 + j)
-                    for j in range(len(vol_kinds)))
-        v_hit0, v_t, (v_ar, v_ag, v_ab) = sample_volume_event(
-            _OffsetRows(lights_ref, vol_row0),
-            _OffsetAlbedo(lights_ref, vol_row0),
-            vol_kinds, vus, ox, oy, oz, dx, dy, dz, best_t)
-        uvx, uvy, uvz, _choice = draws
-        v_event = (v_hit0, v_t, v_ar, v_ag, v_ab,
-                   uvx * 0.5, uvy * 0.5, uvz * 0.5)
-    basics = None
-    from_diffuse = None
-    if nee_kinds:
-        from_diffuse = alive_i > 1
-        nee_us = (_uniform(lane, salt, 8), _uniform(lane, salt, 9),
-                  _uniform(lane, salt, 10))
-        basics, (px, py, pz), (ldx, ldy, ldz), thresh, contrib, nee_act = \
-            _nee_contrib(state, sph_params, tri_params, best_t, best_k,
-                         alive, bounce, max_depth, nee_us, lights_ref,
-                         nee_kinds, n_blocks=n_blocks,
-                         n_tri_blocks=n_tri_blocks, cull=cull,
-                         checker=checker, v_event=v_event,
-                         vol_kinds=vol_kinds, vol_row0=vol_row0)
-        s_t, _sk, _sp, _tp = _sweep_all(
+    @pl.when(any_alive)
+    def _live_tile():
+        state = tuple(vals[:N_CONT])
+        alive = alive_i > 0
+        lane = _lane_u32(lid)
+        salt = _salt(seed, it)
+
+        (ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb) = state
+        best_t, best_k, sph_params, tri_params = _sweep_all(
             tbl_ref, box_ref, tri_ref, tri_box_ref, sup_ref,
-            px, py, pz, ldx, ldy, ldz, tm, nee_act,
+            ox, oy, oz, dx, dy, dz, tm, alive,
             n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, n_super=n_super,
             cull=cull, tri_t=n_tri_blocks > 0,
             box_scr=box_scr, sem_box=sem_box, key_scr=key_scr,
-            tri_hyp_ref=hyp_ref, n_hyper=n_hyper,
-            t_init=thresh, fetch=False,
+            tri_hyp_ref=hyp_ref, n_hyper=n_hyper, checker=checker,
             sweep_split=pick_sweep_split(n_tri_blocks),
         )
-        add = jnp.logical_and(nee_act, s_t >= thresh)
-        rr = rr + jnp.where(add, contrib[0], 0.0)
-        rg = rg + jnp.where(add, contrib[1], 0.0)
-        rb = rb + jnp.where(add, contrib[2], 0.0)
-        state = (ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb)
-    out = _shade_pure(state, sph_params, tri_params, draws, best_t, best_k,
-                      alive, bounce, max_depth,
-                      n_blocks=n_blocks, n_tri_blocks=n_tri_blocks,
-                      cull=cull, emissive=emissive, bg=bg,
-                      basics=basics, from_diffuse=from_diffuse,
-                      checker=checker, lights_ref=lights_ref,
-                      nee_kinds=nee_kinds, v_event=v_event)
-    (nox, noy, noz, ndx, ndy, ndz, ntpr, ntpg, ntpb, nrr, nrg, nrb, can,
-     nbounce) = out
-    new_vals = [nox, noy, noz, ndx, ndy, ndz, tm, ntpr, ntpg, ntpb,
-                nrr, nrg, nrb, can.astype(jnp.int32), nbounce, lid]
-    for o, v in zip(outs, new_vals):
-        o[...] = v
+        draws = _draw_scatter(lane, salt)
+        v_event = None
+        if vol_kinds:
+            from .volumes import (
+                _OffsetAlbedo, _OffsetRows, sample_volume_event,
+            )
+
+            vus = tuple(_uniform(lane, salt, 16 + j)
+                        for j in range(len(vol_kinds)))
+            v_hit0, v_t, (v_ar, v_ag, v_ab) = sample_volume_event(
+                _OffsetRows(lights_ref, vol_row0),
+                _OffsetAlbedo(lights_ref, vol_row0),
+                vol_kinds, vus, ox, oy, oz, dx, dy, dz, best_t)
+            uvx, uvy, uvz, _choice = draws
+            v_event = (v_hit0, v_t, v_ar, v_ag, v_ab,
+                       uvx * 0.5, uvy * 0.5, uvz * 0.5)
+        basics = None
+        from_diffuse = None
+        if nee_kinds:
+            from_diffuse = alive_i > 1
+            nee_us = (_uniform(lane, salt, 8), _uniform(lane, salt, 9),
+                      _uniform(lane, salt, 10))
+            basics, (px, py, pz), (ldx, ldy, ldz), thresh, contrib, \
+                nee_act = _nee_contrib(
+                    state, sph_params, tri_params, best_t, best_k,
+                    alive, bounce, max_depth, nee_us, lights_ref,
+                    nee_kinds, n_blocks=n_blocks,
+                    n_tri_blocks=n_tri_blocks, cull=cull,
+                    checker=checker, v_event=v_event,
+                    vol_kinds=vol_kinds, vol_row0=vol_row0)
+            s_t, _sk, _sp, _tp = _sweep_all(
+                tbl_ref, box_ref, tri_ref, tri_box_ref, sup_ref,
+                px, py, pz, ldx, ldy, ldz, tm, nee_act,
+                n_blocks=n_blocks, n_tri_blocks=n_tri_blocks,
+                n_super=n_super,
+                cull=cull, tri_t=n_tri_blocks > 0,
+                box_scr=box_scr, sem_box=sem_box, key_scr=key_scr,
+                tri_hyp_ref=hyp_ref, n_hyper=n_hyper,
+                t_init=thresh, fetch=False,
+                sweep_split=pick_sweep_split(n_tri_blocks),
+            )
+            add = jnp.logical_and(nee_act, s_t >= thresh)
+            rr = rr + jnp.where(add, contrib[0], 0.0)
+            rg = rg + jnp.where(add, contrib[1], 0.0)
+            rb = rb + jnp.where(add, contrib[2], 0.0)
+            state = (ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb)
+        out = _shade_pure(state, sph_params, tri_params, draws, best_t,
+                          best_k, alive, bounce, max_depth,
+                          n_blocks=n_blocks, n_tri_blocks=n_tri_blocks,
+                          cull=cull, emissive=emissive, bg=bg,
+                          basics=basics, from_diffuse=from_diffuse,
+                          checker=checker, lights_ref=lights_ref,
+                          nee_kinds=nee_kinds, v_event=v_event)
+        (nox, noy, noz, ndx, ndy, ndz, ntpr, ntpg, ntpb, nrr, nrg, nrb,
+         can, nbounce) = out
+        new_vals = [nox, noy, noz, ndx, ndy, ndz, tm, ntpr, ntpg, ntpb,
+                    nrr, nrg, nrb, can.astype(jnp.int32), nbounce, lid]
+        for o, v in zip(outs, new_vals):
+            o[...] = v
 
 
 def _grad_bwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
@@ -253,157 +273,12 @@ def _grad_bwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
     seed = meta_ref[0, 1]
     max_depth = meta_ref[0, 2]
     vals = [r[...] for r in ins]
-    state = tuple(vals[:N_CONT])
     alive_i, bounce, lid = vals[13], vals[14], vals[15]
-    alive = alive_i > 0
-    lane = _lane_u32(lid)
-    salt = _salt(seed, it)
-
-    (ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb) = state
-    # Replay the discrete half exactly (counter RNG + same sweep).
-    best_t, best_k, sph_params, tri_params = _sweep_all(
-        tbl_ref, box_ref, tri_ref, tri_box_ref, sup_ref,
-        ox, oy, oz, dx, dy, dz, tm, alive,
-        n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, n_super=n_super,
-        cull=cull, tri_t=n_tri_blocks > 0,
-        box_scr=box_scr, sem_box=sem_box, key_scr=key_scr,
-        tri_hyp_ref=hyp_ref, n_hyper=n_hyper, checker=checker,
-        sweep_split=pick_sweep_split(n_tri_blocks),
-    )
-    draws = _draw_scatter(lane, salt)
-
-    vus = None
-    if vol_kinds:
-        vus = tuple(_uniform(lane, salt, 16 + j)
-                    for j in range(len(vol_kinds)))
-
-    def _mk_v_event(table_like, st):
-        """Volume event from a (possibly differentiable) row table and
-        (possibly differentiable) ray state — the free-flight distance
-        is a reparameterized function of density and boundary geometry
-        (ops/volumes.py); the scatter-vs-pass bit is the replayed
-        comparisons (piecewise-constant, zero cotangent)."""
-        from .volumes import _OffsetAlbedo, _OffsetRows, sample_volume_event
-
-        v_hit0, v_t, (v_ar, v_ag, v_ab) = sample_volume_event(
-            _OffsetRows(table_like, vol_row0),
-            _OffsetAlbedo(table_like, vol_row0),
-            vol_kinds, vus, st[0], st[1], st[2], st[3], st[4], st[5],
-            best_t)
-        uvx, uvy, uvz, _choice = draws
-        return (v_hit0, v_t, v_ar, v_ag, v_ab,
-                uvx * 0.5, uvy * 0.5, uvz * 0.5)
-
-    from_diffuse = None
-    open_ = None
-    nee_us = None
-    lt_rows = None
-    n_rows = 0
-    if need_lt:
-        n_rows = lights_ref.shape[0]
-        lt_rows = tuple(
-            tuple(lights_ref[r, c] for c in range(_LIGHT_COLS))
-            for r in range(n_rows)
-        )
-    if nee_kinds:
-        from_diffuse = alive_i > 1
-        nee_us = (_uniform(lane, salt, 8), _uniform(lane, salt, 9),
-                  _uniform(lane, salt, 10))
-        # Replay the shadow ray (non-differentiated) to recover the
-        # occlusion bit — visibility is piecewise-constant.
-        v_ev0 = _mk_v_event(lights_ref, state) if vol_kinds else None
-        _b, (px, py, pz), (ldx, ldy, ldz), thresh, _c, nee_act = \
-            _nee_contrib(state, sph_params, tri_params, best_t, best_k,
-                         alive, bounce, max_depth, nee_us,
-                         _RowsVal(lt_rows), nee_kinds,
-                         n_blocks=n_blocks, n_tri_blocks=n_tri_blocks,
-                         cull=cull, checker=checker, v_event=v_ev0,
-                         vol_kinds=vol_kinds, vol_row0=vol_row0)
-        s_t, _sk, _sp, _tp = _sweep_all(
-            tbl_ref, box_ref, tri_ref, tri_box_ref, sup_ref,
-            px, py, pz, ldx, ldy, ldz, tm, nee_act,
-            n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, n_super=n_super,
-            cull=cull, tri_t=n_tri_blocks > 0,
-            box_scr=box_scr, sem_box=sem_box, key_scr=key_scr,
-            tri_hyp_ref=hyp_ref, n_hyper=n_hyper,
-            t_init=thresh, fetch=False,
-            sweep_split=pick_sweep_split(n_tri_blocks),
-        )
-        open_ = s_t >= thresh
-
-    def _shade_full(state_cont, sparams, tparams, lt):
-        """NEE contribution + MIS shade — everything differentiable."""
-        basics = None
-        lt_ref = _RowsVal(lt) if need_lt else None
-        v_ev = _mk_v_event(lt_ref, state_cont) if vol_kinds else None
-        if nee_kinds:
-            basics, _so, _sd, _th, contrib, nee_act2 = _nee_contrib(
-                state_cont, sparams, tparams, best_t, best_k, alive,
-                bounce, max_depth, nee_us, lt_ref, nee_kinds,
-                n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, cull=cull,
-                checker=checker, v_event=v_ev, vol_kinds=vol_kinds,
-                vol_row0=vol_row0)
-            add = jnp.logical_and(nee_act2, open_)
-            s = list(state_cont)
-            s[10] = s[10] + jnp.where(add, contrib[0], 0.0)
-            s[11] = s[11] + jnp.where(add, contrib[1], 0.0)
-            s[12] = s[12] + jnp.where(add, contrib[2], 0.0)
-            state_cont = tuple(s)
-        out = _shade_pure(state_cont, sparams, tparams, draws, best_t,
-                          best_k, alive, bounce, max_depth,
-                          n_blocks=n_blocks, n_tri_blocks=n_tri_blocks,
-                          cull=cull, emissive=emissive, bg=bg,
-                          basics=basics, from_diffuse=from_diffuse,
-                          checker=checker, lights_ref=lt_ref,
-                          nee_kinds=nee_kinds, v_event=v_ev)
-        return tuple(out[:12])  # cont outputs (tm passes through)
-
-    if n_tri_blocks and need_lt:
-        _, vjp_fn = jax.vjp(
-            lambda st, sp, tp, lt: _shade_full(st, sp, tp, lt),
-            state, sph_params, tri_params, lt_rows)
-    elif n_tri_blocks:
-        _, vjp_fn = jax.vjp(
-            lambda st, sp, tp: _shade_full(st, sp, tp, None),
-            state, sph_params, tri_params)
-    elif need_lt:
-        _, vjp_fn = jax.vjp(
-            lambda st, sp, lt: _shade_full(st, sp, tri_params, lt),
-            state, sph_params, lt_rows)
-    else:
-        _, vjp_fn = jax.vjp(
-            lambda st, sp: _shade_full(st, sp, tri_params, None),
-            state, sph_params)
-    # Output cotangents in shade's output order: ox..dz, tpr..b, rr..b
-    # (cot_out is the full 13-cont ordering incl. tm at index 6).
-    ct = tuple(r[...] for r in cot_out)
-    g_out = (ct[0], ct[1], ct[2], ct[3], ct[4], ct[5],
-             ct[7], ct[8], ct[9], ct[10], ct[11], ct[12])
-    g_tparams = g_lt = None
-    if n_tri_blocks and need_lt:
-        g_state, g_params, g_tparams, g_lt = vjp_fn(g_out)
-    elif n_tri_blocks:
-        g_state, g_params, g_tparams = vjp_fn(g_out)
-    elif need_lt:
-        g_state, g_params, g_lt = vjp_fn(g_out)
-    else:
-        g_state, g_params = vjp_fn(g_out)
-    # tm is an identity passthrough output plus a shade input; add the
-    # downstream tm cotangent to shade's contribution.
-    g_state = list(g_state)
-    g_state[6] = g_state[6] + ct[6]
-    for o, v in zip(cot_in, g_state):
-        o[...] = v
-
-    # ---- parameter cotangents -> per-block table gradients ----------
-    # Layout (1, 16 params, N prims): primitives on the LANE axis so
-    # each block's contribution writes lane-contiguously.
-    shape = ox.shape
-    bk3 = best_k[:, None, :]
-    hit3 = (best_t < np.float32(3.0e38))[:, None, :]
+    any_alive = jnp.any(alive_i > 0)
 
     # Shared accumulators: every grid step maps to the same output
-    # block, so zero once and accumulate across tiles.
+    # block, so zero once and accumulate across tiles.  Unconditional:
+    # program 0's own tile can itself be drained.
     @pl.when(pl.program_id(0) == 0)
     def _init():
         gtbl[...] = jnp.zeros(gtbl.shape, jnp.float32)
@@ -411,99 +286,257 @@ def _grad_bwd_kernel(meta_ref, tbl_ref, box_ref, tri_ref, tri_box_ref,
         if need_lt:
             glgt[...] = jnp.zeros(glgt.shape, jnp.float32)
 
-    if need_lt:
-        # Light/volume-table cotangent: tiny (R x 14), assembled from
-        # the vjp's nested scalar cotangents with one-hot masks (no
-        # scatter) and accumulated into a shared (1, 16, LANES) block
-        # exactly like gtbl (param rows on sublanes, row index on
-        # lanes).
-        p_iota = jax.lax.broadcasted_iota(jnp.int32, (16, LANES), 0)
-        r_iota = jax.lax.broadcasted_iota(jnp.int32, (16, LANES), 1)
-        gl = jnp.zeros((16, LANES), jnp.float32)
-        for r in range(n_rows):
-            for c in range(_LIGHT_COLS):
-                gl = gl + jnp.where(
-                    jnp.logical_and(p_iota == c, r_iota == r),
-                    g_lt[r][c], 0.0)
-        glgt[0] += gl
+    @pl.when(jnp.logical_not(any_alive))
+    def _drained_tile():
+        # All lanes dead -> the forward bounce was the identity, so its
+        # vjp passes every cotangent through untouched and contributes
+        # nothing to the parameter tables (grad roofline, round 5).
+        for o, ct_ref in zip(cot_in, cot_out):
+            o[...] = ct_ref[...]
 
-    if n_blocks:
-        k_iota = jax.lax.broadcasted_iota(
-            jnp.int32, (shape[0], SPHERE_BLOCK, shape[1]), 1
+    @pl.when(any_alive)
+    def _live_tile():
+        state = tuple(vals[:N_CONT])
+        alive = alive_i > 0
+        lane = _lane_u32(lid)
+        salt = _salt(seed, it)
+
+        (ox, oy, oz, dx, dy, dz, tm, tpr, tpg, tpb, rr, rg, rb) = state
+        # Replay the discrete half exactly (counter RNG + same sweep).
+        best_t, best_k, sph_params, tri_params = _sweep_all(
+            tbl_ref, box_ref, tri_ref, tri_box_ref, sup_ref,
+            ox, oy, oz, dx, dy, dz, tm, alive,
+            n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, n_super=n_super,
+            cull=cull, tri_t=n_tri_blocks > 0,
+            box_scr=box_scr, sem_box=sem_box, key_scr=key_scr,
+            tri_hyp_ref=hyp_ref, n_hyper=n_hyper, checker=checker,
+            sweep_split=pick_sweep_split(n_tri_blocks),
         )
+        draws = _draw_scatter(lane, salt)
 
-        def accum_block(b, _):
-            oh = jnp.where(hit3, (bk3 - b * SPHERE_BLOCK == k_iota)
-                           .astype(jnp.float32), 0.0)
-            for p in range(16 if checker else _TBL_ROWS):
-                # (rows, prims, lanes): rows reduce (sublane, cheap)
-                # then lanes -> per-primitive contribution.
-                contrib = jnp.sum(
-                    jnp.sum(oh * g_params[p][:, None, :], axis=0), axis=1
-                )
-                sl = pl.ds(pl.multiple_of(b * SPHERE_BLOCK, SPHERE_BLOCK),
-                           SPHERE_BLOCK)
-                gtbl[0, p, sl] += contrib
-            return 0
+        vus = None
+        if vol_kinds:
+            vus = tuple(_uniform(lane, salt, 16 + j)
+                        for j in range(len(vol_kinds)))
 
-        # Distinct-winner-block accumulation (see the tri loop below).
-        sph_lim = jnp.int32(n_blocks * SPHERE_BLOCK)
-        sph_hit = jnp.logical_and(hit3[:, 0, :], best_k < sph_lim)
-        blk_sph = best_k // jnp.int32(SPHERE_BLOCK)
-        big_b = jnp.int32(0x7FFFFFFF)
+        def _mk_v_event(table_like, st):
+            """Volume event from a (possibly differentiable) row table and
+            (possibly differentiable) ray state — the free-flight distance
+            is a reparameterized function of density and boundary geometry
+            (ops/volumes.py); the scatter-vs-pass bit is the replayed
+            comparisons (piecewise-constant, zero cotangent)."""
+            from .volumes import _OffsetAlbedo, _OffsetRows, sample_volume_event
 
-        def scond(c):
-            return jnp.any(c[0] > 0)
+            v_hit0, v_t, (v_ar, v_ag, v_ab) = sample_volume_event(
+                _OffsetRows(table_like, vol_row0),
+                _OffsetAlbedo(table_like, vol_row0),
+                vol_kinds, vus, st[0], st[1], st[2], st[3], st[4], st[5],
+                best_t)
+            uvx, uvy, uvz, _choice = draws
+            return (v_hit0, v_t, v_ar, v_ag, v_ab,
+                    uvx * 0.5, uvy * 0.5, uvz * 0.5)
 
-        def sbody(c):
-            pend = c[0]
-            b = jnp.min(jnp.where(pend > 0, blk_sph, big_b))
-            accum_block(b, 0)
-            return (jnp.where(blk_sph == b, 0, pend),)
+        from_diffuse = None
+        open_ = None
+        nee_us = None
+        lt_rows = None
+        n_rows = 0
+        if need_lt:
+            n_rows = lights_ref.shape[0]
+            lt_rows = tuple(
+                tuple(lights_ref[r, c] for c in range(_LIGHT_COLS))
+                for r in range(n_rows)
+            )
+        if nee_kinds:
+            from_diffuse = alive_i > 1
+            nee_us = (_uniform(lane, salt, 8), _uniform(lane, salt, 9),
+                      _uniform(lane, salt, 10))
+            # Replay the shadow ray (non-differentiated) to recover the
+            # occlusion bit — visibility is piecewise-constant.
+            v_ev0 = _mk_v_event(lights_ref, state) if vol_kinds else None
+            _b, (px, py, pz), (ldx, ldy, ldz), thresh, _c, nee_act = \
+                _nee_contrib(state, sph_params, tri_params, best_t, best_k,
+                             alive, bounce, max_depth, nee_us,
+                             _RowsVal(lt_rows), nee_kinds,
+                             n_blocks=n_blocks, n_tri_blocks=n_tri_blocks,
+                             cull=cull, checker=checker, v_event=v_ev0,
+                             vol_kinds=vol_kinds, vol_row0=vol_row0)
+            s_t, _sk, _sp, _tp = _sweep_all(
+                tbl_ref, box_ref, tri_ref, tri_box_ref, sup_ref,
+                px, py, pz, ldx, ldy, ldz, tm, nee_act,
+                n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, n_super=n_super,
+                cull=cull, tri_t=n_tri_blocks > 0,
+                box_scr=box_scr, sem_box=sem_box, key_scr=key_scr,
+                tri_hyp_ref=hyp_ref, n_hyper=n_hyper,
+                t_init=thresh, fetch=False,
+                sweep_split=pick_sweep_split(n_tri_blocks),
+            )
+            open_ = s_t >= thresh
 
-        jax.lax.while_loop(scond, sbody, (sph_hit.astype(jnp.int32),))
+        def _shade_full(state_cont, sparams, tparams, lt):
+            """NEE contribution + MIS shade — everything differentiable."""
+            basics = None
+            lt_ref = _RowsVal(lt) if need_lt else None
+            v_ev = _mk_v_event(lt_ref, state_cont) if vol_kinds else None
+            if nee_kinds:
+                basics, _so, _sd, _th, contrib, nee_act2 = _nee_contrib(
+                    state_cont, sparams, tparams, best_t, best_k, alive,
+                    bounce, max_depth, nee_us, lt_ref, nee_kinds,
+                    n_blocks=n_blocks, n_tri_blocks=n_tri_blocks, cull=cull,
+                    checker=checker, v_event=v_ev, vol_kinds=vol_kinds,
+                    vol_row0=vol_row0)
+                add = jnp.logical_and(nee_act2, open_)
+                s = list(state_cont)
+                s[10] = s[10] + jnp.where(add, contrib[0], 0.0)
+                s[11] = s[11] + jnp.where(add, contrib[1], 0.0)
+                s[12] = s[12] + jnp.where(add, contrib[2], 0.0)
+                state_cont = tuple(s)
+            out = _shade_pure(state_cont, sparams, tparams, draws, best_t,
+                              best_k, alive, bounce, max_depth,
+                              n_blocks=n_blocks, n_tri_blocks=n_tri_blocks,
+                              cull=cull, emissive=emissive, bg=bg,
+                              basics=basics, from_diffuse=from_diffuse,
+                              checker=checker, lights_ref=lt_ref,
+                              nee_kinds=nee_kinds, v_event=v_ev)
+            return tuple(out[:12])  # cont outputs (tm passes through)
 
-    if n_tri_blocks:
-        sph_pad = n_blocks * SPHERE_BLOCK
-        t_iota = jax.lax.broadcasted_iota(
-            jnp.int32, (shape[0], TRI_BLOCK, shape[1]), 1
-        )
+        if n_tri_blocks and need_lt:
+            _, vjp_fn = jax.vjp(
+                lambda st, sp, tp, lt: _shade_full(st, sp, tp, lt),
+                state, sph_params, tri_params, lt_rows)
+        elif n_tri_blocks:
+            _, vjp_fn = jax.vjp(
+                lambda st, sp, tp: _shade_full(st, sp, tp, None),
+                state, sph_params, tri_params)
+        elif need_lt:
+            _, vjp_fn = jax.vjp(
+                lambda st, sp, lt: _shade_full(st, sp, tri_params, lt),
+                state, sph_params, lt_rows)
+        else:
+            _, vjp_fn = jax.vjp(
+                lambda st, sp: _shade_full(st, sp, tri_params, None),
+                state, sph_params)
+        # Output cotangents in shade's output order: ox..dz, tpr..b, rr..b
+        # (cot_out is the full 13-cont ordering incl. tm at index 6).
+        ct = tuple(r[...] for r in cot_out)
+        g_out = (ct[0], ct[1], ct[2], ct[3], ct[4], ct[5],
+                 ct[7], ct[8], ct[9], ct[10], ct[11], ct[12])
+        g_tparams = g_lt = None
+        if n_tri_blocks and need_lt:
+            g_state, g_params, g_tparams, g_lt = vjp_fn(g_out)
+        elif n_tri_blocks:
+            g_state, g_params, g_tparams = vjp_fn(g_out)
+        elif need_lt:
+            g_state, g_params, g_lt = vjp_fn(g_out)
+        else:
+            g_state, g_params = vjp_fn(g_out)
+        # tm is an identity passthrough output plus a shade input; add the
+        # downstream tm cotangent to shade's contribution.
+        g_state = list(g_state)
+        g_state[6] = g_state[6] + ct[6]
+        for o, v in zip(cot_in, g_state):
+            o[...] = v
 
-        def accum_tri(b, _):
-            oh = jnp.where(hit3, (bk3 - sph_pad - b * TRI_BLOCK == t_iota)
-                           .astype(jnp.float32), 0.0)
-            for p in range(15):  # v0(3), e1(3), e2(3), albedo(3), fuzz, ir, kind
-                contrib = jnp.sum(
-                    jnp.sum(oh * g_tparams[p][:, None, :], axis=0), axis=1
-                )
-                sl = pl.ds(pl.multiple_of(b * TRI_BLOCK, TRI_BLOCK),
-                           TRI_BLOCK)
-                gtri[0, p, sl] += contrib
-            return 0
+        # ---- parameter cotangents -> per-block table gradients ----------
+        # Layout (1, 16 params, N prims): primitives on the LANE axis so
+        # each block's contribution writes lane-contiguously.
+        shape = ox.shape
+        bk3 = best_k[:, None, :]
+        hit3 = (best_t < np.float32(3.0e38))[:, None, :]
 
-        # Accumulate once per DISTINCT winner block (a while over the
-        # pending-lane min block id, the deferred-fetch trick): a
-        # sorted tile's winners live in ~1-3 blocks, and a fori over
-        # all n_tri_blocks made the backward 5.9x the forward at 512
-        # blocks (measured, 65k knot).
-        tri_hit = jnp.logical_and(hit3[:, 0, :],
-                                  best_k >= np.int32(sph_pad))
-        blk_of = (best_k - sph_pad) // np.int32(TRI_BLOCK)
-        sentinel = jnp.int32(0x7FFFFFFF)
 
-        def tcond(c):
-            return jnp.any(c[0] > 0)
+        if need_lt:
+            # Light/volume-table cotangent: tiny (R x 14), assembled from
+            # the vjp's nested scalar cotangents with one-hot masks (no
+            # scatter) and accumulated into a shared (1, 16, LANES) block
+            # exactly like gtbl (param rows on sublanes, row index on
+            # lanes).
+            p_iota = jax.lax.broadcasted_iota(jnp.int32, (16, LANES), 0)
+            r_iota = jax.lax.broadcasted_iota(jnp.int32, (16, LANES), 1)
+            gl = jnp.zeros((16, LANES), jnp.float32)
+            for r in range(n_rows):
+                for c in range(_LIGHT_COLS):
+                    gl = gl + jnp.where(
+                        jnp.logical_and(p_iota == c, r_iota == r),
+                        g_lt[r][c], 0.0)
+            glgt[0] += gl
 
-        def tbody(c):
-            pend = c[0]
-            b = jnp.min(jnp.where(pend > 0, blk_of, sentinel))
-            accum_tri(b, 0)
-            return (jnp.where(blk_of == b, 0, pend),)
+        if n_blocks:
+            k_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (shape[0], SPHERE_BLOCK, shape[1]), 1
+            )
 
-        jax.lax.while_loop(
-            tcond, tbody, (tri_hit.astype(jnp.int32),)
-        )
+            def accum_block(b, _):
+                oh = jnp.where(hit3, (bk3 - b * SPHERE_BLOCK == k_iota)
+                               .astype(jnp.float32), 0.0)
+                for p in range(16 if checker else _TBL_ROWS):
+                    # (rows, prims, lanes): rows reduce (sublane, cheap)
+                    # then lanes -> per-primitive contribution.
+                    contrib = jnp.sum(
+                        jnp.sum(oh * g_params[p][:, None, :], axis=0), axis=1
+                    )
+                    sl = pl.ds(pl.multiple_of(b * SPHERE_BLOCK, SPHERE_BLOCK),
+                               SPHERE_BLOCK)
+                    gtbl[0, p, sl] += contrib
+                return 0
 
+            # Distinct-winner-block accumulation (see the tri loop below).
+            sph_lim = jnp.int32(n_blocks * SPHERE_BLOCK)
+            sph_hit = jnp.logical_and(hit3[:, 0, :], best_k < sph_lim)
+            blk_sph = best_k // jnp.int32(SPHERE_BLOCK)
+            big_b = jnp.int32(0x7FFFFFFF)
+
+            def scond(c):
+                return jnp.any(c[0] > 0)
+
+            def sbody(c):
+                pend = c[0]
+                b = jnp.min(jnp.where(pend > 0, blk_sph, big_b))
+                accum_block(b, 0)
+                return (jnp.where(blk_sph == b, 0, pend),)
+
+            jax.lax.while_loop(scond, sbody, (sph_hit.astype(jnp.int32),))
+
+        if n_tri_blocks:
+            sph_pad = n_blocks * SPHERE_BLOCK
+            t_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (shape[0], _mk.TRI_BLOCK, shape[1]), 1
+            )
+
+            def accum_tri(b, _):
+                oh = jnp.where(hit3, (bk3 - sph_pad - b * _mk.TRI_BLOCK == t_iota)
+                               .astype(jnp.float32), 0.0)
+                for p in range(15):  # v0(3), e1(3), e2(3), albedo(3), fuzz, ir, kind
+                    contrib = jnp.sum(
+                        jnp.sum(oh * g_tparams[p][:, None, :], axis=0), axis=1
+                    )
+                    sl = pl.ds(pl.multiple_of(b * _mk.TRI_BLOCK, _mk.TRI_BLOCK),
+                               _mk.TRI_BLOCK)
+                    gtri[0, p, sl] += contrib
+                return 0
+
+            # Accumulate once per DISTINCT winner block (a while over the
+            # pending-lane min block id, the deferred-fetch trick): a
+            # sorted tile's winners live in ~1-3 blocks, and a fori over
+            # all n_tri_blocks made the backward 5.9x the forward at 512
+            # blocks (measured, 65k knot).
+            tri_hit = jnp.logical_and(hit3[:, 0, :],
+                                      best_k >= np.int32(sph_pad))
+            blk_of = (best_k - sph_pad) // np.int32(_mk.TRI_BLOCK)
+            sentinel = jnp.int32(0x7FFFFFFF)
+
+            def tcond(c):
+                return jnp.any(c[0] > 0)
+
+            def tbody(c):
+                pend = c[0]
+                b = jnp.min(jnp.where(pend > 0, blk_of, sentinel))
+                accum_tri(b, 0)
+                return (jnp.where(blk_of == b, 0, pend),)
+
+            jax.lax.while_loop(
+                tcond, tbody, (tri_hit.astype(jnp.int32),)
+            )
 
 def _lane_spec():
     return pl.BlockSpec((TILE_ROWS, LANES), lambda i: (i, 0))
@@ -530,7 +563,7 @@ def _hier_specs(n_super):
     """
     if not n_super:
         return pl.BlockSpec(memory_space=pltpu.SMEM), []
-    return pl.BlockSpec(memory_space=pltpu.ANY), [
+    return pl.BlockSpec(memory_space=pl.ANY), [
         pltpu.SMEM((1, SUPER * 8), jnp.float32),
         pltpu.SemaphoreType.DMA,
         pltpu.SMEM((3, KEY_ROW), jnp.float32),
@@ -618,7 +651,7 @@ def _bounce_grad_bwd(statics, res, cot):
     spec = _lane_spec()
     npad = tbl.shape[0]
     tri_transposed = tri.ndim == 3  # (NB, 16, TRI_BLOCK) VMEM layout
-    mpad = tri.shape[0] * TRI_BLOCK if tri_transposed else tri.shape[0]
+    mpad = tri.shape[0] * _mk.TRI_BLOCK if tri_transposed else tri.shape[0]
     tri_box_spec, scratch = _hier_specs(n_super)
     # Gradient tables are single shared accumulator blocks (constant
     # index map): memory is O(table), not O(tiles x table) — a 360k-tri
@@ -669,7 +702,7 @@ def _bounce_grad_bwd(statics, res, cot):
     g_tri = out[N_CONT + 1][0]  # (16, mpad)
     if tri_transposed:
         # Match the (NB, 16, TRI_BLOCK) input layout.
-        g_tri = g_tri.reshape(16, -1, TRI_BLOCK).transpose(1, 0, 2)
+        g_tri = g_tri.reshape(16, -1, _mk.TRI_BLOCK).transpose(1, 0, 2)
     else:
         g_tri = g_tri.T  # (mpad, 16)
     if need_lt:
@@ -806,12 +839,12 @@ def render_pixels_kernel(
     n_blocks = tbl.shape[0] // SPHERE_BLOCK if scene.n_spheres else 0
     if scene.n_triangles:
         tri, tri_boxes, tri_sup, tri_hyp = build_tri_table(scene)
-        n_tri_blocks = tri.shape[0] // TRI_BLOCK
+        n_tri_blocks = tri.shape[0] // _mk.TRI_BLOCK
         # Transposed (NB, 16, TRI_BLOCK) VMEM layout — 64 B/tri instead
         # of the row-major form's 512 (lane-dim tile padding); the
         # transpose is differentiable, so the table cotangent flows
         # back to build_tri_table's row-major output for free.
-        tri = tri.reshape(n_tri_blocks, TRI_BLOCK, 16).transpose(0, 2, 1)
+        tri = tri.reshape(n_tri_blocks, _mk.TRI_BLOCK, 16).transpose(0, 2, 1)
         # VMEM budget: the backward holds the table AND its gradient
         # accumulator resident (64 B/tri each) — caps around half a
         # million triangles on a 128MB-VMEM chip.
@@ -821,7 +854,7 @@ def render_pixels_kernel(
         n_hyper = (tri_hyp.shape[0] if tri_hyp.shape[0] > 1
                    and n_super else 0)
     else:
-        tri = jnp.zeros((TRI_BLOCK, 16), jnp.float32)
+        tri = jnp.zeros((_mk.TRI_BLOCK, 16), jnp.float32)
         tri_boxes = jnp.zeros((1, 8), jnp.float32)
         tri_sup = jnp.zeros((1, 8), jnp.float32)
         tri_hyp = jnp.zeros((1, 8), jnp.float32)

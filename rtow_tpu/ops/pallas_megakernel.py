@@ -45,6 +45,7 @@ from ..models.scene import (
     CHECKER, DIELECTRIC, EMISSIVE, LAMBERTIAN, METAL, NOISE, Scene,
 )
 
+import contextlib as _contextlib
 import os as _os
 
 # Sublane rows per program (8 -> 1024 pixels/tile). Overridable for tile
@@ -59,10 +60,44 @@ TILE = TILE_ROWS * LANES
 #: swept per iteration); smaller blocks buy finer cull granularity at
 #: more per-block cond machinery.
 SPHERE_BLOCK = int(_os.environ.get("RTOW_SPHERE_BLOCK", "128"))
-#: Triangles per Morton block (env-tunable for experiments).  128
-#: measured best on the knot meshes: smaller blocks buy tighter AABBs
-#: but pay more per-block cond/reduce machinery (32 was ~20% slower).
-TRI_BLOCK = int(_os.environ.get("RTOW_TRI_BLOCK", "128"))
+#: Triangles per Morton block.  Smaller blocks buy tighter AABBs but
+#: pay more per-block cond/reduce machinery (32 was ~20% slower); the
+#: round-4 bisect measured 256 WINNING +3-4% at <= ~131k tris (bigger
+#: sweeps amortize the per-block descent) and LOSING past ~200k
+#: (coarser culling), so ``render_wavefront`` auto-picks per scene via
+#: ``tri_block_for`` below.  RTOW_TRI_BLOCK pins a single value for
+#: every scene (experiments); other paths read the 128 default.
+_TRI_BLOCK_FORCED = int(_os.environ.get("RTOW_TRI_BLOCK", "0"))  # 0 = auto
+TRI_BLOCK = _TRI_BLOCK_FORCED or 128
+#: Auto-pick crossover: between the measured 131k win and 200k loss.
+TRI_BLOCK_256_MAX_TRIS = int(_os.environ.get("RTOW_TRI_BLOCK_256_MAX",
+                                             "160000"))
+
+
+def pick_tri_block(n_triangles: int) -> int:
+    """Per-scene triangle block width (round-4 measured crossover)."""
+    if _TRI_BLOCK_FORCED:
+        return _TRI_BLOCK_FORCED
+    return 256 if 0 < n_triangles <= TRI_BLOCK_256_MAX_TRIS else 128
+
+
+@_contextlib.contextmanager
+def tri_block_for(n_triangles: int):
+    """Pin the module-global ``TRI_BLOCK`` to the per-scene pick for one
+    table-build + kernel-trace span.
+
+    Every kernel constructor and ``build_tri_table`` read the global at
+    TRACE time, so wrapping a whole render call keeps table layout and
+    sweep code consistent; distinct picks cannot collide in any jit
+    cache because the block count changes every traced table shape
+    (``tri_boxes`` has one row per block) and ``_frame_fn`` keys on the
+    block counts."""
+    global TRI_BLOCK
+    old, TRI_BLOCK = TRI_BLOCK, pick_tri_block(n_triangles)
+    try:
+        yield TRI_BLOCK
+    finally:
+        TRI_BLOCK = old
 
 # Sphere-table rows.
 _C0X, _C0Y, _C0Z, _DCX, _DCY, _DCZ, _R, _ALR, _ALG, _ALB, _FUZZ, _IR, _KIND = range(13)
@@ -1874,7 +1909,7 @@ def bounce_step_pallas(
         # the per-descend DMA slice is tile-aligned; a full per-block
         # box table would blow the 1MB SMEM past ~2000 blocks.
         tri_boxes = tri_boxes[: n_super * SUPER].reshape(n_super, SUPER * 8)
-        tri_box_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        tri_box_spec = pl.BlockSpec(memory_space=pl.ANY)
         scratch_shapes = [
             pltpu.VMEM((TRI_BLOCK, LANES if tri_hbm else 16), jnp.float32),
             pltpu.SMEM((1, SUPER * 8), jnp.float32),
@@ -1902,7 +1937,7 @@ def bounce_step_pallas(
         # 128-multiples; 8x HBM padding is noise next to 16GB, and a
         # block DMA is ~100ns of HBM bandwidth).
         tri = jnp.pad(tri, ((0, 0), (0, LANES - tri.shape[1])))
-        tri_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        tri_spec = pl.BlockSpec(memory_space=pl.ANY)
         vmem_limit = 64 * 1024 * 1024
     else:
         if tri_t:

@@ -43,15 +43,19 @@ import numpy as np
 from ..config import Config
 from ..models.camera import Camera, camera_rays, pixel_coords
 from ..models.scene import Scene
+from . import pallas_megakernel as _mk
 from .pallas_megakernel import (
     SPHERE_BLOCK,
     SUPER,
     TILE,
-    TRI_BLOCK,
     bounce_step_pallas,
     build_sphere_table,
     build_tri_table,
 )
+
+# TRI_BLOCK is read through _mk (NOT imported by value): it is
+# per-scene since round 5 (_mk.tri_block_for) and must be the value
+# pinned at table-build/trace time.
 
 DEAD_KEY = np.int32(0x7FFFFFFF)
 
@@ -160,10 +164,10 @@ def _scene_tables(scene: Scene):
         n_blocks = 0
     if scene.n_triangles:
         tri, tri_boxes, tri_super, tri_hyper = build_tri_table(scene)
-        n_tri_blocks = tri.shape[0] // TRI_BLOCK
+        n_tri_blocks = tri.shape[0] // _mk.TRI_BLOCK
         n_super = n_tri_blocks // SUPER if tri_super.shape[0] > 1 else 0
     else:
-        tri = jnp.zeros((TRI_BLOCK, 16), jnp.float32)
+        tri = jnp.zeros((_mk.TRI_BLOCK, 16), jnp.float32)
         tri_boxes = jnp.zeros((1, 8), jnp.float32)
         tri_super = jnp.zeros((1, 8), jnp.float32)
         tri_hyper = jnp.zeros((1, 8), jnp.float32)
@@ -700,7 +704,25 @@ def render_wavefront(
     progress: bool = False,
     cull_backfaces: bool = True,
 ) -> np.ndarray:
-    """Whole-frame mean-radiance render (H, W, 3) via the sorted path."""
+    """Whole-frame mean-radiance render (H, W, 3) via the sorted path.
+
+    Wraps the whole table-build + trace + run span in the per-scene
+    TRI_BLOCK pick (round-4 bisect: 256 wins +3-4% on <= ~131k-tri
+    meshes, 128 past the crossover)."""
+    with _mk.tri_block_for(scene.n_triangles):
+        return _render_wavefront_impl(
+            scene, camera, cfg, key=key, progress=progress,
+            cull_backfaces=cull_backfaces)
+
+
+def _render_wavefront_impl(
+    scene: Scene,
+    camera: Camera,
+    cfg: Config,
+    key=None,
+    progress: bool = False,
+    cull_backfaces: bool = True,
+) -> np.ndarray:
     width, height = cfg.image_width, cfg.image_height
     spp = cfg.samples_per_pixel
     n_pixels = width * height

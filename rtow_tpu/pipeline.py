@@ -71,9 +71,22 @@ def wavefront_supported(scene: Scene, cfg: Config) -> bool:
     return cfg.backend == "auto" and jax.devices()[0].platform == "tpu"
 
 
+def _pool_knobs() -> tuple:
+    """Trace-time pool-scheduler env knobs, read here so they join the
+    jit cache keys below: _kernel reads RTOW_POOL/RTOW_POOL_K/
+    RTOW_POOL_CHUNK at trace time, so without them in the key a pool
+    toggle after the first render would silently reuse the previously
+    traced scheduler (ADVICE r4)."""
+    import os
+
+    return (os.environ.get("RTOW_POOL", "1"),
+            os.environ.get("RTOW_POOL_K", "4"),
+            os.environ.get("RTOW_POOL_CHUNK", "16"))
+
+
 @functools.lru_cache(maxsize=8)
 def _banded_pallas_fn(width: int, height: int, band_tiles: int,
-                      roulette: bool = False):
+                      roulette: bool = False, pool_knobs: tuple = ()):
     """Jitted tile-band megakernel call (one compile serves every band)."""
     import jax
 
@@ -90,7 +103,8 @@ def _banded_pallas_fn(width: int, height: int, band_tiles: int,
 
 
 @functools.lru_cache(maxsize=8)
-def _whole_frame_pallas_fn(width: int, height: int, roulette: bool):
+def _whole_frame_pallas_fn(width: int, height: int, roulette: bool,
+                           pool_knobs: tuple = ()):
     """Jitted whole-frame megakernel step (non-progress path): keeps the
     scene->table build on-device instead of eager tunnel round trips —
     measured ~10% of the spp128 bench before jitting."""
@@ -141,7 +155,7 @@ def render_pallas(
         n_bands = 10
         band_tiles = -(-tiles_total // n_bands)
         fn = _banded_pallas_fn(width, height, band_tiles,
-                               cfg.russian_roulette)
+                               cfg.russian_roulette, _pool_knobs())
         parts = []
         for band in range(n_bands):
             out = fn(scene, camera, jnp.int32(seed), jnp.int32(spp),
@@ -162,7 +176,8 @@ def render_pallas(
     else:
         import jax.numpy as jnp
 
-        fn = _whole_frame_pallas_fn(width, height, cfg.russian_roulette)
+        fn = _whole_frame_pallas_fn(width, height, cfg.russian_roulette,
+                                    _pool_knobs())
         rad = fn(scene, camera, jnp.int32(seed), jnp.int32(spp),
                  jnp.int32(cfg.max_child_rays))
         rad.block_until_ready()

@@ -4,9 +4,11 @@ Round-2 left "kernel-speed gradients" excluding the round's own NEE
 estimator (``diff.render_pixels(nee=True)`` was jnp-only).  These tests
 gate the kernel NEE gradient path the same way tests/test_nee_grad.py
 gates the jnp one: forward parity with the production NEE renderer,
-central finite differences under common random numbers for material AND
-emission gradients, and finiteness everywhere (including the detached
-light-geometry leaves).
+central finite differences under common random numbers for material,
+emission, AND light-geometry (radius/center) gradients — the cone-
+sampling reparameterization carries the interior derivative, so those
+leaves are no longer detached (round 4); only the occluder-silhouette
+boundary term is dropped.
 """
 import dataclasses
 

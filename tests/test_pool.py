@@ -83,3 +83,100 @@ def test_pool_roulette_smoke(monkeypatch, const_bg):
     img = _render(monkeypatch, scene, cam, pool=True, spp=8,
                   roulette=True)
     np.testing.assert_array_equal(img, 8.0)
+
+
+# ---------------------------------------------------------------------------
+# Pool x kernel-feature gates (VERDICT r4 #5): the production-default
+# scheduler must be suite-gated against every feature the persistent
+# kernel supports, not just constant-background accounting.  Each gate
+# uses the estimator-equivalence pattern of
+# test_pool_matches_classic_estimator (pool-vs-classic difference
+# bounded by classic seed-to-seed noise + mean agreement) on a tiny
+# interpret-mode frame.
+
+
+def _assert_pool_equiv(monkeypatch, scene, cam, *, spp=24, depth=4,
+                       rel_mean_tol=0.02):
+    c0 = _render(monkeypatch, scene, cam, pool=False, spp=spp, seed=0,
+                 depth=depth)
+    c1 = _render(monkeypatch, scene, cam, pool=False, spp=spp, seed=123,
+                 depth=depth)
+    p0 = _render(monkeypatch, scene, cam, pool=True, spp=spp, seed=0,
+                 depth=depth)
+    assert np.abs(c0 - p0).max() > 0.0, "env toggle had no effect"
+    noise = np.abs(c0 - c1).mean()
+    assert np.abs(c0 - p0).mean() < 1.5 * noise
+    assert abs(c0.mean() - p0.mean()) <= rel_mean_tol * abs(c0.mean()) + 1e-6
+
+
+def test_pool_matches_jnp_oracle(monkeypatch):
+    """Absolute anchor (ADVICE r4): the pool scheduler vs the jnp
+    renderer (itself golden-gated vs the C++ oracle in test_golden.py),
+    not just vs the classic kernel layout."""
+    from rtow_tpu.config import Config
+    from rtow_tpu.render import render
+
+    scene, cam = three_sphere_scene(aspect_ratio=1.0)
+    img_p = _render(monkeypatch, scene, cam, pool=True, spp=48,
+                    depth=5) / 48.0
+    img_p = img_p.reshape(H, W, 3)
+    cfg = Config(image_width=W, aspect_ratio=1.0, samples_per_pixel=48,
+                 max_child_rays=5)
+    img_j = np.asarray(render(scene, cam, cfg))
+    cfg2 = Config(image_width=W, aspect_ratio=1.0, samples_per_pixel=48,
+                  max_child_rays=5, seed=77)
+    noise = np.abs(np.asarray(render(scene, cam, cfg2)) - img_j).mean()
+    assert np.abs(img_p - img_j).mean() < max(3 * noise, 0.03)
+
+
+def test_pool_direct_light_hit_exact(monkeypatch):
+    """Emissive: a camera staring straight at a sphere light reads the
+    EXACT emitted radiance per sample regardless of jitter stream, so
+    the pool's accounting must reproduce emit * spp exactly."""
+    emit = (2.0, 3.0, 4.0)
+    cam = make_camera(lookfrom=(0.0, 0.0, 2.0), lookat=(0.0, 0.0, 0.0),
+                      fov_degrees=20.0, aspect_ratio=1.0, aperture=0.0,
+                      focus_dist=2.0)
+    b = SceneBuilder()
+    b.add_sphere((0.0, 0.0, 0.0), 1.5, b.add_light(emit))
+    scene = b.build(background=(0.0, 0.0, 0.0))
+    img = _render(monkeypatch, scene, cam, pool=True, spp=8)
+    np.testing.assert_allclose(
+        img, np.broadcast_to(np.array(emit) * 8.0, img.shape), rtol=1e-5)
+
+
+def test_pool_emissive_nee_equivalent(monkeypatch):
+    """Emissive + NEE shadow sweeps under the pool scheduler: same
+    estimator as classic (light_scene fires NEE at every diffuse hit)."""
+    from rtow_tpu.models.builders import light_scene
+
+    scene, cam = light_scene(aspect_ratio=1.0)
+    _assert_pool_equiv(monkeypatch, scene, cam, depth=6)
+
+
+def test_pool_volumes_equivalent(monkeypatch):
+    """Constant-density media (free-flight sampling + phase scatter +
+    NEE-from-volume-events) under the pool scheduler."""
+    cam = make_camera(lookfrom=(0.0, 0.5, 3.0), lookat=(0.0, 0.5, 0.0),
+                      fov_degrees=40.0, aspect_ratio=1.0, aperture=0.0,
+                      focus_dist=3.0)
+    b = SceneBuilder()
+    b.add_sphere((0.0, -100.0, 0.0), 100.0, b.add_lambertian((0.6, 0.6, 0.6)))
+    b.add_fog_sphere((0.0, 0.8, 0.0), 0.8, 2.5, albedo=(0.9, 0.9, 0.9))
+    scene = b.build(background=(0.8, 0.8, 1.0))
+    _assert_pool_equiv(monkeypatch, scene, cam, depth=6)
+
+
+def test_pool_checker_equivalent(monkeypatch):
+    """Procedural checker texture lookups under the pool scheduler (the
+    hit-point -> texel evaluation must follow the pooled lane's pixel,
+    not the lane's original column)."""
+    cam = make_camera(lookfrom=(0.0, 1.0, 3.0), lookat=(0.0, 0.0, 0.0),
+                      fov_degrees=50.0, aspect_ratio=1.0, aperture=0.0,
+                      focus_dist=3.0)
+    b = SceneBuilder()
+    check = b.add_checker((0.9, 0.1, 0.1), (0.1, 0.1, 0.9), scale=4.0)
+    b.add_sphere((0.0, -100.5, 0.0), 100.0, check)
+    b.add_sphere((0.0, 0.3, 0.0), 0.8, b.add_metal((0.8, 0.8, 0.8), 0.05))
+    scene = b.build()
+    _assert_pool_equiv(monkeypatch, scene, cam)

@@ -43,7 +43,7 @@ from make_mesh import make_knot  # noqa: E402
 from rtow_tpu.config import Config  # noqa: E402
 from rtow_tpu.models.camera import make_camera  # noqa: E402
 from rtow_tpu.models.scene import SceneBuilder  # noqa: E402
-from rtow_tpu.ops.pallas_megakernel import TRI_BLOCK  # noqa: E402
+from rtow_tpu.ops import pallas_megakernel as _mk  # noqa: E402
 from rtow_tpu.ops.wavefront_sorted import (  # noqa: E402
     TILE, _morton_pixel_perm, _scene_tables, render_wavefront,
     trace_wavefront_sorted,
@@ -81,6 +81,12 @@ def main():
     b.add_mesh(verts[faces], b.add_lambertian((0.6, 0.5, 0.4)))
     scene = b.build()
     n_tris = len(faces)
+    # Per-scene TRI_BLOCK (round 5): pin the same pick render_wavefront
+    # uses for the whole instrumentation session so table build, stats
+    # sweeps, and pair math all match the production kernel.
+    ctx = _mk.tri_block_for(scene.n_triangles)
+    TRI_BLOCK = ctx.__enter__()
+    print(f"TRI_BLOCK {TRI_BLOCK} (per-scene pick)")
 
     # 1. Whole-frame production timing (the bench number).
     t_full, ts = med_time(lambda: render_wavefront(scene, cam, cfg), repeats)
