@@ -2,15 +2,16 @@
 # Makefile:16-24: run-release piped a PPM to /tmp; watch-* live-reloaded).
 .PHONY: test test-fast lint bench render render-mesh verify inventory floor watch dryrun
 
-# Three pytest processes: one 40-minute process accumulates enough
-# Pallas-interpret state (threads/callbacks) to segfault XLA's CPU
-# compiler near the end of the suite (reproduced twice at ~170/190
-# tests; every module passes standalone).  Process-splitting bounds the
-# accumulation; coverage is identical.
+# pytest-xdist, one worker per core, whole files per worker: a single
+# 40-minute pytest process accumulates enough Pallas-interpret state
+# (threads/callbacks) to segfault XLA's CPU compiler near the end of
+# the suite (reproduced twice at ~170/190 tests; every module passes
+# standalone — round 4 fenced this with a manual 3-process split).
+# Worker processes bound the accumulation the same way, restart on a
+# crash (--max-worker-restart), and run in parallel: full suite 22min
+# -> ~13min measured.  loadfile keeps module-scoped fixtures whole.
 test: lint
-	python -m pytest tests/test_[a-n]*.py -q
-	python -m pytest tests/test_[o-r]*.py -q
-	python -m pytest tests/test_[s-z]*.py -q
+	python -m pytest tests/ -q -n 4 --dist loadfile --max-worker-restart 4
 
 test-fast:  ## <5 min tier: skips interpret-mode-heavy / golden gates
 	python -m pytest tests/ -q -m "not slow"

@@ -1514,6 +1514,13 @@ def _kernel(cam_ref, meta_ref, tbl_ref, sph_box_ref, tri_ref, tri_box_ref,
     # 25.01, K=2 24.26 Mrays/s — boundary-wait idle halves from 8 to 4,
     # then the flush cost catches up.
     POOL_K = int(_os.environ.get("RTOW_POOL_K", "4"))
+    # Emergency mid-K handout (round-5 experiment, VERDICT r4 #6): when
+    # a whole ROW has gone idle with pool items left, fire take_items
+    # immediately instead of waiting for the K boundary — targets the
+    # residual ~10% occupancy (K-boundary idle).  Two cheap reduces per
+    # iteration; semantically a no-op (take_items at any iteration
+    # preserves the handout/flush invariants).
+    POOL_EMERGENCY = _os.environ.get("RTOW_POOL_EMERGENCY", "0") == "1"
     if pool:
         n_chunks = (spp + POOL_CHUNK - 1) // POOL_CHUNK  # runtime scalar
         n_items = n_chunks * LANES
@@ -1595,8 +1602,14 @@ def _kernel(cam_ref, meta_ref, tbl_ref, sph_box_ref, tri_ref, tri_box_ref,
                 ).astype(jnp.int32) * jnp.ones((1, LANES), jnp.int32)
                 return (rr, rg, rb, rem, cur_col, nxt, ar, ag, ab)
 
+            take_now = it % POOL_K == 0
+            if POOL_EMERGENCY:
+                done0 = jnp.logical_and(jnp.logical_not(alive), rem == 0)
+                starved = jnp.any(jnp.logical_and(
+                    jnp.all(done0, axis=1), nxt[:, 0] < n_items))
+                take_now = jnp.logical_or(take_now, starved)
             (rr, rg, rb, rem, cur_col, nxt, ar, ag, ab) = jax.lax.cond(
-                it % POOL_K == 0, take_items, lambda a: a,
+                take_now, take_items, lambda a: a,
                 (rr, rg, rb, rem, cur_col, nxt, ar, ag, ab))
             need = jnp.logical_and(jnp.logical_not(alive), rem > 0)
             fcol_cur = (pcol0 + cur_col).astype(jnp.float32)

@@ -109,6 +109,17 @@ def _assert_pool_equiv(monkeypatch, scene, cam, *, spp=24, depth=4,
     assert abs(c0.mean() - p0.mean()) <= rel_mean_tol * abs(c0.mean()) + 1e-6
 
 
+@pytest.mark.parametrize("spp", [24, 17])
+def test_pool_emergency_take_exact(monkeypatch, const_bg, spp):
+    """RTOW_POOL_EMERGENCY (round-5 mid-K handout experiment) must keep
+    the exact-accounting invariant: firing take_items off the K
+    boundary is semantically a no-op."""
+    monkeypatch.setenv("RTOW_POOL_EMERGENCY", "1")
+    scene, cam = const_bg
+    img = _render(monkeypatch, scene, cam, pool=True, spp=spp)
+    np.testing.assert_array_equal(img, float(spp))
+
+
 def test_pool_matches_jnp_oracle(monkeypatch):
     """Absolute anchor (ADVICE r4): the pool scheduler vs the jnp
     renderer (itself golden-gated vs the C++ oracle in test_golden.py),
