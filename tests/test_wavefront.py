@@ -278,3 +278,27 @@ def test_tri_table_pads_supers_to_whole_hypers():
     )
     # Padding rows are degenerate: inverted boxes (never descended).
     assert float(boxes[-1, 0]) > float(boxes[-1, 3])
+
+
+def test_tri_block_auto_pick():
+    """Round-5 per-scene TRI_BLOCK: 256 at <= ~160k tris (the round-4
+    bisect's winning width there), 128 past the crossover; the context
+    manager must pin the global for table build + trace and restore it."""
+    from rtow_tpu.ops import pallas_megakernel as mk
+
+    assert mk.pick_tri_block(65_536) == 256
+    assert mk.pick_tri_block(131_072) == 256
+    assert mk.pick_tri_block(360_000) == 128
+    before = mk.TRI_BLOCK
+    with mk.tri_block_for(65_536) as tb:
+        assert tb == 256
+        assert mk.TRI_BLOCK == 256
+        # A table built inside the context uses the pinned width.
+        rng = np.random.default_rng(0)
+        verts = rng.standard_normal((3000, 3, 3)).astype(np.float32) * 0.01
+        verts += rng.standard_normal((3000, 1, 3)).astype(np.float32)
+        b = SceneBuilder()
+        b.add_mesh(verts, b.add_lambertian((0.5, 0.5, 0.5)))
+        tbl = mk.build_tri_table(b.build())[0]
+        assert tbl.shape[0] % 256 == 0
+    assert mk.TRI_BLOCK == before
