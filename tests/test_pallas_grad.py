@@ -373,3 +373,36 @@ def test_sorted_lanes_grads_match_unsorted():
             continue
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=2e-4, atol=1e-6)
+
+def test_sorted_lanes_sphere_and_nee_match_unsorted():
+    """Round 5 prepares sort_lanes for SPHERE scenes too (the grad
+    drain census: sorted compaction + the all-dead tile skip reclaims
+    ~70% of dispatched tile-bounces at bench shapes).  The sorted path
+    must stay bit-equal in loss for sphere-only AND emissive+NEE
+    scenes, not just the large-mesh path the default enables."""
+    from rtow_tpu.models.builders import light_scene, three_sphere_scene
+
+    w = h = 8
+    pix = jnp.arange(w * h, dtype=jnp.int32)
+    target = jnp.zeros((w * h, 3))
+    for name, (scene, cam), nee in (
+        ("spheres", three_sphere_scene(aspect_ratio=1.0), False),
+        ("nee", light_scene(aspect_ratio=1.0), True),
+    ):
+        out = {}
+        for sort_lanes in (False, True):
+            with pltpu.force_tpu_interpret_mode():
+                loss, grads = loss_and_grad_kernel(
+                    scene, cam, KEY, target, pix, width=w, height=h,
+                    spp=8, max_depth=2, seed=SEED,
+                    sort_lanes=sort_lanes, nee=nee,
+                )
+            out[sort_lanes] = (float(loss), grads)
+        assert out[False][0] == pytest.approx(out[True][0], rel=1e-6), name
+        g0 = jax.tree_util.tree_leaves(out[False][1])
+        g1 = jax.tree_util.tree_leaves(out[True][1])
+        for a, b_ in zip(g0, g1):
+            if a.dtype == jax.dtypes.float0:
+                continue
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=2e-4, atol=1e-6)
