@@ -131,48 +131,13 @@ def main() -> int:
               f"(runs {', '.join(f'{t:.2f}' for t in ns_samples)})",
               file=sys.stderr)
 
-    rr_mrays = rr_drad = None
-    if (os.environ.get("RTOW_BENCH_RR", "1") != "0"
-            and jax.devices()[0].platform == "tpu"):
-        # Russian-roulette throughput lever at the reference's depth-50
-        # budget (north star names RR; off by default for fidelity —
-        # the estimator is unbiased, so the radiance delta is MC noise).
-        rr_cfg = cfg_for(spp, roulette=True)
-        _render_once(scene, camera, rr_cfg)  # compile
-        rr_elapsed, rr_img = _render_once(scene, camera, rr_cfg)
-        rr_mrays = lanes / rr_elapsed / 1e6
-        rr_drad = float(rr_img.mean()) - float(img.mean())
-        print(f"bench: russian roulette spp{spp}: {rr_elapsed:.2f}s "
-              f"= {rr_mrays:.2f} Mrays/s (plain {med:.2f}), "
-              f"mean-radiance delta {rr_drad:+.5f}", file=sys.stderr)
-
-    sharded_ratio = None
-    if (os.environ.get("RTOW_BENCH_SHARDED", "1") != "0"
-            and jax.devices()[0].platform == "tpu"):
-        # The measurable leg of the >=90% scaling gate re-measured every
-        # round (VERDICT r3 #6): the n=1 shard_map megakernel step vs
-        # the direct dispatch above.
-        from rtow_tpu.parallel.mesh import make_mesh
-        from rtow_tpu.parallel.sharded import render_sharded_pallas
-
-        try:
-            smesh = make_mesh(1, spp)
-            render_sharded_pallas(scene, camera, cfg, mesh=smesh)  # compile
-            s_samples = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                render_sharded_pallas(scene, camera, cfg, mesh=smesh)
-                s_samples.append(time.perf_counter() - t0)
-            s_elapsed = statistics.median(s_samples)
-            s_mrays = lanes / s_elapsed / 1e6
-            sharded_ratio = s_mrays / med
-            print(f"bench: sharded n=1: {s_elapsed:.2f}s = {s_mrays:.2f} "
-                  f"Mrays/s ({sharded_ratio:.1%} of direct)",
-                  file=sys.stderr)
-        except Exception as e:  # noqa: BLE001 — report partial results
-            print(f"bench: sharded bench failed: {type(e).__name__}: {e}",
-                  file=sys.stderr)
-
+    # Mesh legs run FIRST after the cover/north-star warm state and
+    # BEFORE the RR/sharded legs: BENCH_r04 measured the mesh legs
+    # 12-17% slower with the sharded leg newly ahead of them (r03
+    # order had them earlier), and the repeats trended upward —
+    # device/allocator state from the shard_map step is the suspected
+    # contaminant (VERDICT r4 #1).  Ordering them first removes the
+    # confound either way.
     mesh_mrays = None
     if (os.environ.get("RTOW_BENCH_MESH", "1") != "0"
             and jax.devices()[0].platform == "tpu"):
@@ -214,6 +179,48 @@ def main() -> int:
                 mesh360_mrays = mesh_bench(600, 300, "mesh360k")  # 360k tris
         except Exception as e:  # noqa: BLE001 — report partial results
             print(f"bench: mesh bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
+    rr_mrays = rr_drad = None
+    if (os.environ.get("RTOW_BENCH_RR", "1") != "0"
+            and jax.devices()[0].platform == "tpu"):
+        # Russian-roulette throughput lever at the reference's depth-50
+        # budget (north star names RR; off by default for fidelity —
+        # the estimator is unbiased, so the radiance delta is MC noise).
+        rr_cfg = cfg_for(spp, roulette=True)
+        _render_once(scene, camera, rr_cfg)  # compile
+        rr_elapsed, rr_img = _render_once(scene, camera, rr_cfg)
+        rr_mrays = lanes / rr_elapsed / 1e6
+        rr_drad = float(rr_img.mean()) - float(img.mean())
+        print(f"bench: russian roulette spp{spp}: {rr_elapsed:.2f}s "
+              f"= {rr_mrays:.2f} Mrays/s (plain {med:.2f}), "
+              f"mean-radiance delta {rr_drad:+.5f}", file=sys.stderr)
+
+    sharded_ratio = None
+    if (os.environ.get("RTOW_BENCH_SHARDED", "1") != "0"
+            and jax.devices()[0].platform == "tpu"):
+        # The measurable leg of the >=90% scaling gate re-measured every
+        # round (VERDICT r3 #6): the n=1 shard_map megakernel step vs
+        # the direct dispatch above.
+        from rtow_tpu.parallel.mesh import make_mesh
+        from rtow_tpu.parallel.sharded import render_sharded_pallas
+
+        try:
+            smesh = make_mesh(1, spp)
+            render_sharded_pallas(scene, camera, cfg, mesh=smesh)  # compile
+            s_samples = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                render_sharded_pallas(scene, camera, cfg, mesh=smesh)
+                s_samples.append(time.perf_counter() - t0)
+            s_elapsed = statistics.median(s_samples)
+            s_mrays = lanes / s_elapsed / 1e6
+            sharded_ratio = s_mrays / med
+            print(f"bench: sharded n=1: {s_elapsed:.2f}s = {s_mrays:.2f} "
+                  f"Mrays/s ({sharded_ratio:.1%} of direct)",
+                  file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — report partial results
+            print(f"bench: sharded bench failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
 
     grad_mrays = grad_ratio = None
