@@ -829,9 +829,23 @@ def render_pixels_kernel(
             "VPU, ROADMAP 9c); use diff.loss_and_grad"
         )
     if sort_lanes is None:
-        from .wavefront_sorted import WAVEFRONT_MIN_TRIS
+        # Default ON for every scene since round 5 (was: large meshes
+        # only).  The bench-shape drain census (tools/grad_census_cpu,
+        # BASELINE round-5): mean live lanes 29.5%, and the sort
+        # compacts them so 64-98% of tiles go all-dead from bounce 2 —
+        # which the round-5 dead-tile skip then drops, reclaiming ~70%
+        # of dispatched tile-bounces vs ~17% unsorted.  The sort
+        # itself is ~0.3 ms per 1M lanes (round-2 measurement).
+        # RTOW_GRAD_SORT=0 restores the old mesh-only auto-pick for
+        # A/B runs.
+        import os as _os2
 
-        sort_lanes = scene.n_triangles > WAVEFRONT_MIN_TRIS
+        if _os2.environ.get("RTOW_GRAD_SORT", "1") == "0":
+            from .wavefront_sorted import WAVEFRONT_MIN_TRIS
+
+            sort_lanes = scene.n_triangles > WAVEFRONT_MIN_TRIS
+        else:
+            sort_lanes = True
     tbl, boxes = build_sphere_table(scene) if scene.n_spheres else (
         jnp.zeros((SPHERE_BLOCK, 16), jnp.float32),
         jnp.zeros((1, 8), jnp.float32),

@@ -93,6 +93,31 @@ def union_box_hits(o, e, live, boxes):
     )
 
 
+SUBSEG = 8
+
+
+def subseg_box_hits(o, e, live, boxes):
+    """Model D: split each lane's segment into SUBSEG parametric
+    pieces; a block is swept iff >= 1 sub-piece UNION box overlaps it.
+    A swept-volume approximation of the ray bundle that a kernel can
+    afford (SUBSEG boxes per row group per bounce, scalar tests in the
+    descent) — kills the diagonal-AABB inflation that makes the single
+    union box sweep blocks no ray passes near."""
+    big = jnp.float32(3e38)
+    hit_any = jnp.zeros((boxes.shape[0],), bool)
+    for s in range(SUBSEG):
+        a = o + (e - o) * (s / SUBSEG)
+        b_ = o + (e - o) * ((s + 1) / SUBSEG)
+        pmin = jnp.minimum(a, b_)
+        pmax = jnp.maximum(a, b_)
+        gmin = jnp.where(live[:, None], pmin, big).min(axis=0)
+        gmax = jnp.where(live[:, None], pmax, -big).max(axis=0)
+        hit_any = jnp.logical_or(hit_any, jnp.logical_and(
+            (gmin <= boxes[:, 3:6]).all(axis=1),
+            (gmax >= boxes[:, 0:3]).all(axis=1)))
+    return hit_any
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "65k"
     n_lanes = int(sys.argv[2]) if len(sys.argv) > 2 else 262144
@@ -166,8 +191,8 @@ def main():
     alive = jnp.ones((n_lanes,), bool)
 
     group = TILE // SPLIT
-    tot = {"A": 0.0, "B": 0.0, "C": 0.0, "live": 0.0,
-           "tilesA": 0.0}
+    tot = {"A": 0.0, "B": 0.0, "C": 0.0, "D": 0.0, "E": 0.0,
+           "live": 0.0}
 
     @jax.jit
     def bounce(o, d, tm, alive, key):
@@ -216,18 +241,48 @@ def main():
         # are in the same currency (a group sweep costs 1/SPLIT of a
         # tile sweep: same blocks, quarter the rows).
         A = jnp.where(lg.any(axis=1)[:, None], swept, False).sum() / SPLIT
+        sweptD = jax.vmap(subseg_box_hits, in_axes=(0, 0, 0, None))(
+            og, eg, lg, boxes)
+        D = jnp.where(lg.any(axis=1)[:, None], sweptD, False).sum() / SPLIT
         tiles_live = live_t.any(axis=1).sum()
-        return A, B, C, alive.sum(), tiles_live
+        return A, B, C, D, alive.sum(), tiles_live
 
-    CHUNK = 16 * TILE
+    # Keep the (lanes, NB, 3) slab intermediates bounded: 16 tiles at
+    # the 65k knot's 512 blocks, proportionally fewer at larger tables
+    # (the 360k knot's 2816 blocks OOM'd the host at 16).
+    CHUNK = max(2, (16 * 512) // nb) * TILE
 
     def census(o, d, t_hit, alive):
-        acc = np.zeros(5)
+        acc = np.zeros(6)
         for i in range(0, o.shape[0], CHUNK):
             sl = slice(i, i + CHUNK)
             part = census_chunk(o[sl], d[sl], t_hit[sl], alive[sl])
             acc += np.array([float(x) for x in part])
         return acc
+
+    @jax.jit
+    def winner_block(o, d, t_hit, alive):
+        """Oracle binning key: the block holding each lane's hit point
+        (dead/miss lanes -> NB, sorted last)."""
+        hp = o + t_hit[:, None] * d
+        inside = jnp.logical_and(
+            (hp[:, None, :] >= boxes[None, :, 0:3] - 1e-4).all(axis=2),
+            (hp[:, None, :] <= boxes[None, :, 3:6] + 1e-4).all(axis=2))
+        first = jnp.argmax(inside, axis=1)
+        ok = jnp.logical_and(alive, inside.any(axis=1))
+        return jnp.where(ok, first, nb).astype(jnp.int32)
+
+    def census_binned(o, d, t_hit, alive):
+        """Model E: lanes re-tiled by winner block (achievable with a
+        sort by hit-block id) -> distinct per-tile needs."""
+        wb = np.zeros((o.shape[0],), np.int32)
+        for i in range(0, o.shape[0], CHUNK):
+            sl = slice(i, i + CHUNK)
+            wb[sl] = np.asarray(
+                winner_block(o[sl], d[sl], t_hit[sl], alive[sl]))
+        order = jnp.asarray(np.argsort(wb, kind="stable"))
+        acc = census(o[order], d[order], t_hit[order], alive[order])
+        return acc[1]  # the B statistic of the re-tiled population
 
     for it in range(MAX_DEPTH):
         # Production order: sort by the wavefront key, THEN census the
@@ -238,14 +293,19 @@ def main():
         o, d, tm, alive = o[order], d[order], tm[order], alive[order]
 
         p, nd, t_hit, live, key = bounce(o, d, tm, alive, key)
-        A, B, C, n_live, tiles_live = census(o, d, t_hit, alive)
+        A, B, C, D, n_live, tiles_live = census(o, d, t_hit, alive)
+        E = census_binned(o, d, t_hit, alive)
         print(f"bounce {it:2d}: live {int(n_live):8d} "
               f"({int(tiles_live):4d} tiles)  A {A:9.1f}  B {B:9.1f} "
-              f"(B/A {B / max(A, 1e-9):4.2f})  C {C:9.1f} "
+              f"(B/A {B / max(A, 1e-9):4.2f})  D {D:9.1f} "
+              f"(D/A {D / max(A, 1e-9):4.2f})  E {E:9.1f} "
+              f"(E/A {E / max(A, 1e-9):4.2f})  C {C:9.1f} "
               f"(C/A {C / max(A, 1e-9):4.2f})")
         tot["A"] += A
         tot["B"] += B
         tot["C"] += C
+        tot["D"] += D
+        tot["E"] += E
         tot["live"] += float(n_live)
         if int(n_live) == 0:
             break
@@ -255,10 +315,14 @@ def main():
         alive = live
 
     print(f"\nTOTAL tile-sweep units: A {tot['A']:.0f}  B {tot['B']:.0f} "
-          f"(B/A {tot['B'] / tot['A']:.3f})  C {tot['C']:.0f} "
+          f"(B/A {tot['B'] / tot['A']:.3f})  D {tot['D']:.0f} "
+          f"(D/A {tot['D'] / tot['A']:.3f})  E {tot['E']:.0f} "
+          f"(E/A {tot['E'] / tot['A']:.3f})  C {tot['C']:.0f} "
           f"(C/A {tot['C'] / tot['A']:.3f})")
-    print("B/A is the per-lane-distinct ceiling (no regrouping); "
-          "C/A is the perfect-lane-binning floor.")
+    print(f"B/A: per-lane-distinct ceiling (production sort); D/A: "
+          f"{SUBSEG}-sub-segment union-box cull (kernel-affordable); "
+          f"E/A: per-lane-distinct under winner-block binning (needs a "
+          f"hit-block sort key); C/A: perfect lane binning floor.")
 
 
 if __name__ == "__main__":
