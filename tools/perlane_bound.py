@@ -152,15 +152,30 @@ def main():
     ppc = side * side
     n_lanes = ppc * spp
     W = H = 400
-    nearest = bvh.make_nearest_hit(scene)
+    # Raw BVH traverse + direct vertex gathers: make_nearest_hit's
+    # one-hot winner fetch materializes an (L, n_tris) matrix — the
+    # right call on a TPU MXU, a 377 GB OOM on a CPU host at 360k tris.
+    bvh_tree = bvh.build_bvh(scene)
+    tri_verts = scene.triangles.verts  # (M, 3, 3); all-triangle scene
+
+    @jax.jit
+    def hit_t_normal(o, d, tm):
+        t, pid = bvh.traverse(bvh_tree, scene, o, d, tm,
+                              1e-3, True)
+        v = tri_verts[jnp.clip(pid, 0, tri_verts.shape[0] - 1)]
+        n = jnp.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0])
+        n = n / jnp.maximum(
+            jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+        n = jnp.where((jnp.sum(n * d, axis=-1) > 0)[:, None], -n, n)
+        return t, n
+
     rr_, cc_ = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
     s0 = (cc_.reshape(-1) + 0.5) / (W - 1)
     t0_ = ((H - 1 - rr_.reshape(-1)) + 0.5) / (H - 1)
     probe = camera_rays(cam, jax.random.key(1), jnp.asarray(s0),
                         jnp.asarray(t0_))
-    hitmask = np.asarray(
-        nearest(scene, probe.origin, probe.direction, probe.time).hit
-    ).reshape(H, W).astype(np.float32)
+    pt, _pn = hit_t_normal(probe.origin, probe.direction, probe.time)
+    hitmask = np.isfinite(np.asarray(pt)).reshape(H, W).astype(np.float32)
     # Densest side x side window via summed-area table.
     sat = hitmask.cumsum(0).cumsum(1)
     sat = np.pad(sat, ((1, 0), (1, 0)))
@@ -196,18 +211,20 @@ def main():
 
     @jax.jit
     def bounce(o, d, tm, alive, key):
-        hr = nearest(scene, o, d, tm)
-        live = jnp.logical_and(alive, hr.hit)
-        t_hit = jnp.where(hr.hit, hr.t, 1e4)
+        t, n = hit_t_normal(o, d, tm)
+        hit = jnp.isfinite(t)
+        live = jnp.logical_and(alive, hit)
+        t_hit = jnp.where(hit, t, 1e4)
+        point = o + t_hit[:, None] * d
         # Lambertian scatter (the bench scene is all-lambertian).
         k1, k2 = jax.random.split(key)
-        u = jax.random.normal(k1, hr.normal.shape, hr.normal.dtype)
+        u = jax.random.normal(k1, n.shape, n.dtype)
         u = u / jnp.maximum(
             jnp.linalg.norm(u, axis=-1, keepdims=True), 1e-8)
-        nd = hr.normal + u
+        nd = n + u
         nd = jnp.where(jnp.linalg.norm(nd, axis=-1, keepdims=True) < 1e-6,
-                       hr.normal, nd)
-        return hr.point, nd, t_hit, live, k2
+                       n, nd)
+        return point, nd, t_hit, live, k2
 
     @jax.jit
     def census_chunk(o, d, t_hit, alive):
