@@ -100,3 +100,10 @@ echo "pool rc=$?"
 PYTHONUNBUFFERED=1 timeout 4800 python bench.py > /tmp/bench_r5.log 2>&1
 echo "bench rc=$?"
 tail -1 /tmp/bench_r5.log
+
+# 6. PARITY refresh (golden block-mean parity vs the C++ oracle at the
+#    north-star config) — the round-end routine.
+PYTHONUNBUFFERED=1 timeout 4800 python tools/golden_compare.py \
+  > /tmp/parity_r5.log 2>&1
+echo "parity rc=$?"
+tail -2 /tmp/parity_r5.log
