@@ -322,7 +322,6 @@ def render_sharded_wavefront(
     ppc = max(ppc, -(-TILE // spp))
     n_chunks_local = -(-ppd // ppc)
 
-    tables, counts, bmin, inv_ext = _scene_tables(scene)
     nee_kinds = (tuple(k for k, _ in scene.light_ids)
                  if scene.has_emissive else ())
     morton_px = os.environ.get("RTOW_WF_MORTON_PX", "1") == "1"
@@ -335,17 +334,23 @@ def render_sharded_wavefront(
         pix_perm = jnp.asarray(perm)
     else:
         pix_perm = jnp.zeros((1,), jnp.int32)
-    step = _sharded_wavefront_step(
-        flat, width, height, spp, cfg.max_child_rays, ppd, ppc, lpp,
-        n_chunks_local, counts, cull_backfaces, scene.has_emissive,
-        None if scene.background == "sky" else scene.background,
-        nee_kinds, scene.has_checker, scene.volume_kinds, len(nee_kinds),
-        morton_px,
-    )
-    t0 = _time.perf_counter()
-    fb = step(tables, bmin, inv_ext, camera, key, jnp.int32(cfg.seed),
-              pix_perm)
-    fb.block_until_ready()
+    from ..ops import pallas_megakernel as _mk
+
+    # Table build + shard_map trace share the per-scene TRI_BLOCK pick
+    # (round 5) exactly like the single-device render_wavefront.
+    with _mk.tri_block_for(scene.n_triangles):
+        tables, counts, bmin, inv_ext = _scene_tables(scene)
+        step = _sharded_wavefront_step(
+            flat, width, height, spp, cfg.max_child_rays, ppd, ppc, lpp,
+            n_chunks_local, counts, cull_backfaces, scene.has_emissive,
+            None if scene.background == "sky" else scene.background,
+            nee_kinds, scene.has_checker, scene.volume_kinds,
+            len(nee_kinds), morton_px,
+        )
+        t0 = _time.perf_counter()
+        fb = step(tables, bmin, inv_ext, camera, key, jnp.int32(cfg.seed),
+                  pix_perm)
+        fb.block_until_ready()
     elapsed = _time.perf_counter() - t0
     if progress:
         from ..utils.profiling import RenderStats
