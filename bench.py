@@ -75,6 +75,17 @@ def _render_once(scene, camera, cfg):
 
 
 def main() -> int:
+    if "--quick" in sys.argv:
+        # Smoke mode (the verify recipe's sanity check): one small jnp
+        # render, every TPU-only leg off — finishes in seconds on any
+        # backend and still prints the one JSON line.
+        for k, v in (("RTOW_BENCH_WIDTH", "200"), ("RTOW_BENCH_SPP", "8"),
+                     ("RTOW_BENCH_DEPTH", "8"), ("RTOW_BENCH_REPEATS", "1"),
+                     ("RTOW_BENCH_BACKEND", "jnp"),
+                     ("RTOW_BENCH_NORTHSTAR", "0"), ("RTOW_BENCH_MESH", "0"),
+                     ("RTOW_BENCH_RR", "0"), ("RTOW_BENCH_SHARDED", "0"),
+                     ("RTOW_BENCH_GRAD", "0")):
+            os.environ.setdefault(k, v)
     spp = int(os.environ.get("RTOW_BENCH_SPP", "128"))
     width = int(os.environ.get("RTOW_BENCH_WIDTH", "1200"))
     depth = int(os.environ.get("RTOW_BENCH_DEPTH", "50"))
