@@ -40,12 +40,35 @@ W, H, SPP, DEPTH = 400, 267, 16, 8
 TILE = 1024
 
 
-def med_time(fn, *args, repeats=3):
-    jax.block_until_ready(fn(*args))
+def scene_variants(scene, n):
+    """``n`` copies of ``scene``, each with a distinct O(1e-6) radius
+    perturbation — bit-distinct device inputs with identical cost."""
+    import jax.tree_util as jtu
+
+    out = []
+    for i in range(n):
+        eps = 1e-6 * (i + 1)
+        out.append(jtu.tree_map(lambda x, e=eps: x * (1.0 + e)
+                                if x.dtype == jnp.float32 else x, scene))
+    return out
+
+
+def med_time(fn, scenes, repeats=3):
+    """Median of ``repeats`` timed calls, each on a DISTINCT scene copy.
+
+    The tunneled chip serves a repeated bit-identical jitted call in
+    ~0.1 ms (a result-cache fast path — observed as the sporadic 3-4x
+    "outlier" since round 2, and as a persistent whole-ladder corruption
+    in the round-5 sorted run).  Feeding each timed call a perturbed
+    scene copy keeps the executable identical (compile-cache-friendly)
+    but the input distinct, so every timing is a real device execution.
+    """
+    jax.block_until_ready(fn(scenes[0]))  # warm-up/compile
     ts = []
-    for _ in range(repeats):
+    for i in range(repeats):
+        s = scenes[1 + i % (len(scenes) - 1)]
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        jax.block_until_ready(fn(s))
         ts.append(time.perf_counter() - t0)
     return statistics.median(ts)
 
@@ -66,6 +89,7 @@ def main():
     depths = [0, 1, 2, 4, 6, 8]
     tf_prev = tb_prev = 0.0
     d_prev = 0
+    variants = scene_variants(scene, 4)
     for d in depths:
         fwd = jax.jit(lambda s, d=d: render_pixels_kernel(
             s, cam, key, pix, width=W, height=H, spp=SPP, max_depth=d,
@@ -73,8 +97,8 @@ def main():
         lg = jax.jit(lambda s, d=d: loss_and_grad_kernel(
             s, cam, key, target, pix, width=W, height=H, spp=SPP,
             max_depth=d, sort_lanes=sort_lanes))
-        tf = med_time(fwd, scene)
-        tb = med_time(lg, scene)
+        tf = med_time(fwd, variants)
+        tb = med_time(lg, variants)
         seg = (tf - tf_prev) / max(d - d_prev, 1) * 1e3
         print(f"depth {d}: fwd {tf * 1e3:7.1f} ms "
               f"({lanes / tf / 1e6:6.2f} Mrays/s), fwd+bwd {tb * 1e3:7.1f} ms "
