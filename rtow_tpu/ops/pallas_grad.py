@@ -829,23 +829,25 @@ def render_pixels_kernel(
             "VPU, ROADMAP 9c); use diff.loss_and_grad"
         )
     if sort_lanes is None:
-        # Default ON for every scene since round 5 (was: large meshes
-        # only).  The bench-shape drain census (tools/grad_census_cpu,
-        # BASELINE round-5): mean live lanes 29.5%, and the sort
-        # compacts them so 64-98% of tiles go all-dead from bounce 2 —
-        # which the round-5 dead-tile skip then drops, reclaiming ~70%
-        # of dispatched tile-bounces vs ~17% unsorted.  The sort
-        # itself is ~0.3 ms per 1M lanes (round-2 measurement).
-        # RTOW_GRAD_SORT=0 restores the old mesh-only auto-pick for
-        # A/B runs.
+        # Default: sort only for large meshes (round-4 auto-pick).  A
+        # round-5 hardware A/B at the bench shapes REVERTED the brief
+        # sort-for-every-scene default: the CPU drain census predicted
+        # a 70% tile-bounce reclaim, but a dispatched all-dead tile is
+        # already ~free (the pl.when skip copies state through), so the
+        # per-bounce 16-operand sort only ADDED cost — same-session
+        # fwd 174 ms unsorted vs 261 ms sorted (fwd+bwd 412 vs 562 ms)
+        # on the cover at 400x267/spp16/d8.  Mesh scenes keep the sort:
+        # there a live tile's block sweep is ~35x a coherent one, so
+        # compaction pays for itself.  RTOW_GRAD_SORT=1 forces the
+        # sort everywhere for A/B runs.
         import os as _os2
 
-        if _os2.environ.get("RTOW_GRAD_SORT", "1") == "0":
+        if _os2.environ.get("RTOW_GRAD_SORT", "") == "1":
+            sort_lanes = True
+        else:
             from .wavefront_sorted import WAVEFRONT_MIN_TRIS
 
             sort_lanes = scene.n_triangles > WAVEFRONT_MIN_TRIS
-        else:
-            sort_lanes = True
     tbl, boxes = build_sphere_table(scene) if scene.n_spheres else (
         jnp.zeros((SPHERE_BLOCK, 16), jnp.float32),
         jnp.zeros((1, 8), jnp.float32),
